@@ -1,0 +1,376 @@
+"""Clean-room numpy pooling kernels — the single-node semantic reference.
+
+Recasts tinybrain's mip-pyramid pooling kernels (reference:
+``/root/reference/tinybrain/accelerated.pyx``,
+``/root/reference/tinybrain/accelerated.hpp``,
+``/root/reference/tinybrain/downsample.py``) from dense 2-D/3-D images to
+1-D token sequences: a "2x2 patch" becomes a window of 4 consecutive
+tokens, a "2x2x2 cuboid" a window of 8, and a mip level becomes a
+retention tier.  Semantics are byte-matched; the implementation is
+original vectorized numpy (no code copied).
+
+Semantic invariants replicated from the reference
+-------------------------------------------------
+* AVG multi-tier (accelerated.pyx:197-263): keep a widened running
+  accumulator of ORIGINAL values; render tier m as
+  ``accum >> log2(w) * ((m % cycle) + 1)``; renormalize the accumulator
+  (shift it right) only when the bitshift hits the cycle boundary —
+  i.e. exact ``floor(blocksum / w^(m+1))`` for the first `cycle` tiers.
+  Cycles: w=4 → 4 (pyx:224); w=8 → 8 for 8-bit (pyx:742), 5 for 16-bit
+  (pyx:910).
+* Signed render rounds toward zero: ``-(abs(a) >> shift)`` for negative
+  accumulators (accelerated.hpp:934-939, render_image).
+* Float tiers divide by ``w^(m+1)`` with no renormalization
+  (accelerated.pyx:497,563,1065).
+* Sparse AVG keeps a parallel nonzero-count accumulator;
+  ``denom == 0 -> 0`` else C-style truncating division
+  (accelerated.hpp:948-958, render_image_sparse).  Quirk replicated: the
+  w=4 path never renormalizes the denominator at the cycle boundary
+  (pyx:240-259) while the w=8 path does (pyx:758-761).
+* MODE w=4 tie-break: ``a==b -> a; a==c -> a; b==c -> b; else d``
+  (accelerated.hpp:1023-1042, countless chain).
+* Stippled (sparse) MODE w=4: zeros are background; countless result,
+  else d, else first nonzero of a,b,c (downsample.py:355-381).
+* MODE w=8: max count wins, ties -> earliest value in scan order,
+  count >= 4 is an instant win (equivalent), sparse skips zeros and an
+  all-zero window yields 0 (accelerated.hpp:1069-1149).
+* Multi-tier mode is mode-of-modes — recursive, acknowledged lossy
+  (downsample.py:215-217).
+* Max/min/stride: plain strided reduce / slice
+  (downsample.py:147-198,485-506).
+* Edge rule for partial trailing windows: cyclic repetition of the
+  partial window — generalizes the reference's odd-edge doubling for
+  AVG (accelerated.hpp:66-69 "double values to prevent darkening") and
+  reduces to lone-pixel copy for the corner case.  MODE partial windows
+  copy the first element (reference odd-edge replication,
+  accelerated.hpp:1046-1057).
+* Minimum-size guard: ``n < w**num_tiers`` raises ValueError
+  (accelerated.pyx:89-90).
+
+All kernels take a 2-D batch ``(n_rows, n_tok)`` (or 1-D, auto-expanded)
+and return a list of per-tier 2-D arrays, mirroring the reference's
+"list of mips" return shape (downsample.py:45).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "avg_pool",
+    "mode_pool",
+    "max_pool",
+    "min_pool",
+    "stride_pool",
+    "pool",
+    "out_len",
+    "validate_pool_args",
+]
+
+_LOG2 = {2: 1, 4: 2, 8: 3}
+
+# (window -> dtype-kind cycle): after `cycle` tiers the accumulator is
+# renormalized, costing one truncation per cycle. Reference values:
+# accelerated.pyx:224 (w=4 all dtypes: 4), :742 (w=8 8-bit: 8),
+# :910 (w=8 16-bit: 5). Wider engine dtypes (int32/int64) reuse the
+# deepest reference cycle for their window.
+def _cycle(window: int, dtype: np.dtype) -> int:
+    if window == 8 and dtype.itemsize == 2:
+        return 5
+    if window == 8:
+        return 8
+    if window == 4:
+        return 4
+    return 8  # w=2 engine extension: renorm every 8 tiers (shift 8)
+
+
+def out_len(n: int, window: int) -> int:
+    """Output length of one pooling tier: ceil(n / window)."""
+    return -(-n // window)
+
+
+def validate_pool_args(n_tok: int, window: int, num_tiers: int) -> None:
+    if window not in (2, 4, 8):
+        raise ValueError(f"window must be 2, 4 or 8, got {window}")
+    if num_tiers < 1:
+        raise ValueError(f"num_tiers must be >= 1, got {num_tiers}")
+    if n_tok < window**num_tiers:
+        # reference: accelerated.pyx:89-90
+        raise ValueError(
+            f"Can't downsample below one window: n_tok={n_tok} < "
+            f"{window}**{num_tiers}"
+        )
+
+
+def _as_batch(tokens: np.ndarray) -> tuple[np.ndarray, bool]:
+    arr = np.asarray(tokens)
+    if arr.ndim == 1:
+        return arr[np.newaxis, :], True
+    if arr.ndim == 2:
+        return arr, False
+    raise ValueError(f"tokens must be 1-D or 2-D, got ndim={arr.ndim}")
+
+
+def _cyclic_pad(batch: np.ndarray, window: int) -> np.ndarray:
+    """Pad the trailing partial window by cyclic repetition.
+
+    [..., x, y] with window 4 -> [..., x, y, x, y]: the sum doubles, so
+    rendering with the full-window shift yields the mean of {x, y} —
+    the reference's odd-edge doubling rule (accelerated.hpp:66-69).
+    """
+    n = batch.shape[1]
+    rem = n % window
+    if rem == 0:
+        return batch
+    pad = window - rem
+    tail = batch[:, n - rem :]
+    reps = -(-pad // rem)
+    pad_block = np.tile(tail, (1, reps))[:, :pad]
+    return np.concatenate([batch, pad_block], axis=1)
+
+
+def _windows(batch: np.ndarray, window: int) -> np.ndarray:
+    """(rows, n) -> (rows, n_out, window) view over cyclic-padded input."""
+    padded = _cyclic_pad(batch, window)
+    rows, n = padded.shape
+    return padded.reshape(rows, n // window, window)
+
+
+def _render_int(accum: np.ndarray, shift: int, out_dtype: np.dtype) -> np.ndarray:
+    """render_image (accelerated.hpp:932-946): >> for unsigned, signed
+    rounds toward zero via -(abs(a) >> shift)."""
+    if np.issubdtype(accum.dtype, np.signedinteger):
+        out = np.where(accum < 0, -(np.abs(accum) >> shift), accum >> shift)
+    else:
+        out = accum >> shift
+    return out.astype(out_dtype)
+
+
+def _trunc_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """C-style truncating integer division with positive denominator."""
+    if np.issubdtype(num.dtype, np.signedinteger):
+        return np.where(num < 0, -(np.abs(num) // den), num // den)
+    return num // den
+
+
+def avg_pool(
+    tokens: np.ndarray,
+    window: int = 4,
+    num_tiers: int = 1,
+    sparse: bool = False,
+    dtype: np.dtype | type | None = None,
+) -> list[np.ndarray]:
+    """Multi-tier average pooling with a shared widened accumulator.
+
+    Integer dtypes render ``accum >> log2(w)*((m % cycle)+1)`` from a
+    running block-sum of original values (exact for the first `cycle`
+    tiers); floats divide by ``w^(m+1)``.  ``sparse`` divides by the
+    count of nonzero original values instead (0 where the count is 0).
+    Mirrors reference accelerated.pyx:82-599 (2x2) / :603-1150 (2x2x2).
+    """
+    batch, squeeze = _as_batch(tokens)
+    dt = np.dtype(dtype) if dtype is not None else batch.dtype
+    batch = batch.astype(dt, copy=False)
+    validate_pool_args(batch.shape[1], window, num_tiers)
+
+    is_float = np.issubdtype(dt, np.floating)
+    if is_float:
+        acc_dt = dt  # reference accumulates floats in the same type (pyx:469-599)
+    elif np.issubdtype(dt, np.signedinteger):
+        acc_dt = np.int64
+    else:
+        acc_dt = np.uint64
+
+    log2w = _LOG2[window]
+    cycle = _cycle(window, dt)
+
+    accum = _windows(batch.astype(acc_dt), window).sum(axis=2, dtype=acc_dt)
+    denom = None
+    if sparse:
+        nz = (batch != 0).astype(acc_dt)
+        denom = _windows(nz, window).sum(axis=2, dtype=acc_dt)
+
+    results: list[np.ndarray] = []
+    for m in range(num_tiers):
+        shift = log2w * ((m % cycle) + 1)
+        if sparse:
+            if is_float:
+                out = np.where(denom == 0, 0, accum / np.maximum(denom, 1))
+                results.append(out.astype(dt))
+            else:
+                out = np.where(denom == 0, 0, _trunc_div(accum, np.maximum(denom, 1)))
+                results.append(out.astype(dt))
+        elif is_float:
+            results.append((accum / float(window) ** (m + 1)).astype(dt))
+        else:
+            results.append(_render_int(accum, shift, dt))
+
+        if m == num_tiers - 1:
+            break
+
+        if not is_float and shift == log2w * cycle:
+            # renormalize at the cycle boundary (pyx:240-241, 758-761)
+            accum = accum >> shift
+            if sparse and window == 8:
+                # the w=8 path shifts the denominator too (pyx:758-761);
+                # the w=4 path does NOT (pyx:240-259) — quirk replicated
+                denom = denom >> shift
+
+        accum = _windows(accum, window).sum(axis=2, dtype=acc_dt)
+        if sparse:
+            denom = _windows(denom, window).sum(axis=2, dtype=acc_dt)
+
+    return [r[0] if squeeze else r for r in results]
+
+
+def _mode4_one(win: np.ndarray) -> np.ndarray:
+    """(rows, n_out, 4) -> (rows, n_out): countless tie-break chain."""
+    a, b, c, d = win[..., 0], win[..., 1], win[..., 2], win[..., 3]
+    return np.where(
+        (a == b) | (a == c), a, np.where(b == c, b, d)
+    ).astype(win.dtype)
+
+
+def _stippled4_one(win: np.ndarray) -> np.ndarray:
+    """Sparse countless: zeros are background, lone pixels inflate
+    (downsample.py:355-381).  out = AB||AC||BC || D || first-nonzero."""
+    a, b, c, d = win[..., 0], win[..., 1], win[..., 2], win[..., 3]
+    pair = np.where((a == b) & (a != 0) | (a == c) & (a != 0), a, 0)
+    pair = np.where((pair == 0) & (b == c) & (b != 0), b, pair)
+    nonzero = np.where(a != 0, a, np.where(b != 0, b, c))
+    fallback = np.where(d != 0, d, nonzero)
+    return np.where(pair != 0, pair, fallback).astype(win.dtype)
+
+
+def _mode8_one(win: np.ndarray, sparse: bool) -> np.ndarray:
+    """(rows, n_out, 8) -> (rows, n_out): counting mode, first scan-order
+    occurrence wins ties (accelerated.hpp:1069-1149)."""
+    w = win.shape[-1]
+    counts = np.zeros(win.shape, dtype=np.int8)
+    for t in range(w):
+        eq = (win == win[..., t : t + 1]).sum(axis=-1, dtype=np.int8)
+        counts[..., t] = eq
+    if sparse:
+        counts = np.where(win == 0, np.int8(-1), counts)
+    # np.argmax returns the FIRST index achieving the max -> the earliest
+    # scan-order occurrence of the winning value, exactly the reference's
+    # tie-break (and its count>=4 instant win is equivalent).
+    best = np.argmax(counts, axis=-1)
+    out = np.take_along_axis(win, best[..., np.newaxis], axis=-1)[..., 0]
+    if sparse:
+        all_zero = (win == 0).all(axis=-1)
+        out = np.where(all_zero, 0, out)
+    return out.astype(win.dtype)
+
+
+def _mode_pad(batch: np.ndarray, window: int) -> np.ndarray:
+    """Partial trailing window for mode: replicate the FIRST element of
+    the partial window so it wins outright (reference odd-edge copies
+    the lone input pixel, accelerated.hpp:1046-1057)."""
+    n = batch.shape[1]
+    rem = n % window
+    if rem == 0:
+        return batch
+    first = batch[:, n - rem : n - rem + 1]
+    # the whole partial window becomes its first element, so it wins
+    # outright under every mode tie-break
+    pad_block = np.repeat(first, window, axis=1)
+    return np.concatenate([batch[:, : n - rem], pad_block], axis=1)
+
+
+def mode_pool(
+    tokens: np.ndarray,
+    window: int = 4,
+    num_tiers: int = 1,
+    sparse: bool = False,
+) -> list[np.ndarray]:
+    """Multi-tier majority-vote (mode) pooling, mode-of-modes across
+    tiers (downsample.py:200-247).  w=4 uses the COUNTLESS tie-break,
+    w=8 counting mode with scan-order tie-break, w=2 degenerates to
+    'first element wins pairs' via the same countless chain semantics
+    (a==b -> a else ... else b ≡ mode of a pair with a preferred)."""
+    batch, squeeze = _as_batch(tokens)
+    validate_pool_args(batch.shape[1], window, num_tiers)
+    if not np.issubdtype(batch.dtype, np.integer):
+        raise TypeError("mode_pool requires an integer dtype")
+
+    results: list[np.ndarray] = []
+    cur = batch
+    for _ in range(num_tiers):
+        win = _windows(_mode_pad(cur, window), window)[:, : out_len(cur.shape[1], window)]
+        if window == 2:
+            a, b = win[..., 0], win[..., 1]
+            if sparse:
+                nxt = np.where(a != 0, a, b)
+            else:
+                nxt = a.copy()  # pair mode: a always ties-or-wins
+        elif window == 4:
+            nxt = _stippled4_one(win) if sparse else _mode4_one(win)
+        else:
+            nxt = _mode8_one(win, sparse)
+        results.append(nxt)
+        cur = nxt
+
+    return [r[0] if squeeze else r for r in results]
+
+
+def _reduce_pool(tokens, window, num_tiers, fn) -> list[np.ndarray]:
+    batch, squeeze = _as_batch(tokens)
+    validate_pool_args(batch.shape[1], window, num_tiers)
+    results = []
+    cur = batch
+    for _ in range(num_tiers):
+        win = _windows(cur, window)
+        cur = fn(win, axis=2)
+        results.append(cur)
+    return [r[0] if squeeze else r for r in results]
+
+
+def max_pool(tokens, window: int = 4, num_tiers: int = 1) -> list[np.ndarray]:
+    """Strided maximum reduce per window (downsample.py:147-159)."""
+    return _reduce_pool(tokens, window, num_tiers, np.max)
+
+
+def min_pool(tokens, window: int = 4, num_tiers: int = 1) -> list[np.ndarray]:
+    """Strided minimum reduce per window (downsample.py:161-173)."""
+    return _reduce_pool(tokens, window, num_tiers, np.min)
+
+
+def stride_pool(tokens, window: int = 4, num_tiers: int = 1) -> list[np.ndarray]:
+    """Keep every window-th element (downsample.py:485-506)."""
+    batch, squeeze = _as_batch(tokens)
+    validate_pool_args(batch.shape[1], window, num_tiers)
+    results = []
+    cur = batch
+    for _ in range(num_tiers):
+        cur = cur[:, ::window]
+        results.append(cur)
+    return [r[0] if squeeze else r for r in results]
+
+
+_KERNELS = {
+    "avg": avg_pool,
+    "mode": mode_pool,
+    "max": max_pool,
+    "min": min_pool,
+    "stride": stride_pool,
+}
+
+
+def pool(
+    kind: str,
+    tokens: np.ndarray,
+    window: int = 4,
+    num_tiers: int = 1,
+    sparse: bool = False,
+    dtype=None,
+) -> list[np.ndarray]:
+    """Uniform dispatch over the five pooling kernels (the reference's
+    public surface, tinybrain/__init__.py:1-10 + downsample.py:161)."""
+    if kind in ("avg",):
+        return avg_pool(tokens, window, num_tiers, sparse=sparse, dtype=dtype)
+    if kind == "mode":
+        return mode_pool(tokens, window, num_tiers, sparse=sparse)
+    if kind in ("max", "min", "stride"):
+        return _KERNELS[kind](tokens, window, num_tiers)
+    raise ValueError(f"unknown kernel kind: {kind!r}")
