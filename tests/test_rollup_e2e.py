@@ -1,0 +1,139 @@
+"""End-to-end Spark rollup tests (FIXTURES.md §F4): synthetic table ->
+tier jobs -> per-row token-array equality against the single-node numpy
+kernels (the north-rule invariant), plus resume-from-checkpoint and
+salting-equivalence checks."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tinybrain_spark import kernels as K
+from tinybrain_spark.datagen import generate
+from tinybrain_spark.rollup import RollupConfig, RollupEngine
+
+N_DOCS = 96
+N_TOK = 256
+
+
+@pytest.fixture(scope="module")
+def base_df(spark):
+    df = generate(spark, n_docs=N_DOCS, n_tok=N_TOK, seed=42,
+                  num_partitions=4).cache()
+    df.count()
+    return df
+
+
+def _tokens_by_doc(df):
+    return {r["doc_id"]: np.array(r["tokens"], dtype=np.int32)
+            for r in df.select("doc_id", "tokens").collect()}
+
+
+def _assert_tier_matches(engine, cfg, base_tokens, tiers, **kernel_kw):
+    for tier in range(1, tiers + 1):
+        got = _tokens_by_doc(engine.read_tier(cfg, tier))
+        assert set(got) == set(base_tokens)
+        for doc_id, toks in base_tokens.items():
+            want = K.pool(cfg.kernel, toks, window=cfg.window,
+                          num_tiers=tier, sparse=cfg.sparse, **kernel_kw)[tier - 1]
+            assert np.array_equal(got[doc_id], want), (
+                f"{cfg.kernel} tier {tier} doc {doc_id}")
+
+
+@pytest.mark.parametrize("kernel,sparse", [
+    ("avg", False), ("avg", True), ("mode", False), ("mode", True),
+    ("max", False), ("min", False), ("stride", False),
+])
+def test_pyramid_matches_kernels(spark, base_df, workdir, kernel, sparse):
+    cfg = RollupConfig(kernel=kernel, window=4, num_tiers=3, sparse=sparse,
+                       run_kind=f"t_{kernel}_{int(sparse)}")
+    engine = RollupEngine(spark, workdir)
+    stats = engine.run_pyramid(base_df, cfg)
+    assert stats[1]["rows_out"] == N_DOCS
+    assert stats[1]["points_out"] == N_DOCS * N_TOK // 4
+    base = _tokens_by_doc(base_df)
+    _assert_tier_matches(engine, cfg, base, 3)
+
+
+def test_avg_window8(spark, base_df, workdir):
+    cfg = RollupConfig(kernel="avg", window=8, num_tiers=2, run_kind="w8")
+    engine = RollupEngine(spark, workdir)
+    engine.run_pyramid(base_df, cfg)
+    _assert_tier_matches(engine, cfg, _tokens_by_doc(base_df), 2)
+
+
+def test_resume_from_checkpoint(spark, base_df, workdir):
+    """Complete one source partition, then resume the full run: the
+    completed partition is not recomputed and the final pyramid is
+    byte-identical to a fresh run."""
+    cfg = RollupConfig(kernel="avg", window=4, num_tiers=2, run_kind="resume")
+    engine = RollupEngine(spark, workdir)
+
+    some_source = base_df.select("source").first()["source"]
+    part = base_df.where(F.col("source") == some_source)
+    engine.run_tier(part, cfg, tier=1)
+
+    lineage_before = (
+        engine.catalog.read("lineage")
+        .where(F.col("tier") == 1)
+        .count()
+    )
+
+    engine.run_pyramid(base_df, cfg, resume=True)
+
+    # the completed source produced exactly one lineage row in the
+    # second pass's tier-1 records? -> total lineage rows for tier 1 must
+    # be n_sources (no duplicate for the pre-completed one)
+    lineage = engine.catalog.read("lineage").where(
+        (F.col("tier") == 1) & (F.col("run_kind") == "resume:avg4")
+    )
+    per_source = lineage.groupBy("source").count().collect()
+    assert all(r["count"] == 1 for r in per_source), per_source
+    assert lineage_before >= 1
+
+    _assert_tier_matches(engine, cfg, _tokens_by_doc(base_df), 2)
+
+
+def test_salting_does_not_change_results(spark, base_df, workdir):
+    """Pooling is per-row, so any partitioning must yield identical rows."""
+    from tinybrain_spark.partitioning import cluster_for_write
+    from tinybrain_spark.udfs import pool_udf
+
+    udf = pool_udf("mode", window=4, num_tiers=1)
+    plain = base_df.select("doc_id", udf("tokens").alias("t")).collect()
+    salted = (
+        cluster_for_write(base_df, num_partitions=7)
+        .select("doc_id", udf("tokens").alias("t"))
+        .collect()
+    )
+    assert sorted((r["doc_id"], tuple(r["t"])) for r in plain) == sorted(
+        (r["doc_id"], tuple(r["t"])) for r in salted
+    )
+
+
+def test_datagen_deterministic(spark):
+    a = generate(spark, n_docs=32, n_tok=64, seed=7, num_partitions=2)
+    b = generate(spark, n_docs=32, n_tok=64, seed=7, num_partitions=5)
+    ra = {r["doc_id"]: (tuple(r["tokens"]), r["source"], r["time_bucket"])
+          for r in a.collect()}
+    rb = {r["doc_id"]: (tuple(r["tokens"]), r["source"], r["time_bucket"])
+          for r in b.collect()}
+    assert ra == rb
+    c = generate(spark, n_docs=32, n_tok=64, seed=8, num_partitions=2)
+    rc = {r["doc_id"]: tuple(r["tokens"]) for r in c.collect()}
+    assert any(rc[k] != ra[k][0] for k in rc)
+
+
+def test_datagen_skew(spark):
+    df = generate(spark, n_docs=512, n_tok=16, seed=42, num_partitions=4)
+    counts = {r["source"]: r["cnt"] for r in
+              df.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    top = max(counts.values()) / 512
+    assert top > 0.2, counts  # Zipf head holds a big share
+
+
+def test_min_size_guard_job_level(spark, workdir):
+    df = generate(spark, n_docs=8, n_tok=8, seed=1, num_partitions=1)
+    engine = RollupEngine(spark, workdir)
+    cfg = RollupConfig(kernel="avg", window=4, num_tiers=3, run_kind="guard")
+    with pytest.raises(ValueError):
+        engine.run_pyramid(df, cfg)

