@@ -1,0 +1,100 @@
+"""Continuous aggregates (incremental == full recompute), gap-fill
+policies, and Spark-side Gorilla encode/decode round-trip."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tinybrain_spark.aggregates import aggregate_batch, update_continuous_aggregate
+from tinybrain_spark.catalog import Catalog
+from tinybrain_spark.compress import decode_blob, encode_series_table
+from tinybrain_spark.datagen import generate
+from tinybrain_spark.gapfill import gap_fill
+
+
+@pytest.fixture(scope="module")
+def base_df(spark):
+    df = generate(spark, n_docs=200, n_tok=64, seed=11, num_partitions=4).cache()
+    df.count()
+    return df
+
+
+def _state(df):
+    return {
+        (r["source"], r["time_bucket"]): (
+            r["n_docs"], r["n_points"], r["token_sum"], r["token_min"], r["token_max"]
+        )
+        for r in df.collect()
+    }
+
+
+def test_continuous_agg_incremental_equals_full(spark, base_df, workdir):
+    cat = Catalog(spark, workdir)
+    batch1 = base_df.where(F.col("doc_id") < "doc_0000000100")
+    batch2 = base_df.where(F.col("doc_id") >= "doc_0000000100")
+    update_continuous_aggregate(cat, "cagg", batch1)
+    result = update_continuous_aggregate(cat, "cagg", batch2)
+    full = aggregate_batch(base_df)
+    assert _state(result) == _state(full)
+
+
+def test_aggregate_batch_matches_numpy(spark, base_df):
+    got = _state(aggregate_batch(base_df))
+    rows = base_df.collect()
+    want = {}
+    for r in rows:
+        key = (r["source"], r["time_bucket"])
+        toks = np.array(r["tokens"], dtype=np.int64)
+        cur = want.get(key)
+        if cur is None:
+            want[key] = [1, len(toks), int(toks.sum()), int(toks.min()), int(toks.max())]
+        else:
+            cur[0] += 1
+            cur[1] += len(toks)
+            cur[2] += int(toks.sum())
+            cur[3] = min(cur[3], int(toks.min()))
+            cur[4] = max(cur[4], int(toks.max()))
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_gapfill_zero_and_previous(spark):
+    rows = [
+        ("a", 0, 10), ("a", 1, 11), ("a", 4, 14),
+        ("b", 2, 22), ("b", 5, 25),
+    ]
+    df = spark.createDataFrame(rows, "source string, time_bucket long, v long")
+    zero = gap_fill(df, ["source"], "time_bucket", ["v"], policy="zero")
+    got = {(r["source"], r["time_bucket"]): r["v"] for r in zero.collect()}
+    assert len(got) == 12  # 2 sources x buckets 0..5
+    assert got[("a", 2)] == 0 and got[("a", 4)] == 14
+    assert got[("b", 0)] == 0 and got[("b", 2)] == 22
+
+    prev = gap_fill(df, ["source"], "time_bucket", ["v"], policy="previous")
+    got = {(r["source"], r["time_bucket"]): r["v"] for r in prev.collect()}
+    assert got[("a", 2)] == 11 and got[("a", 3)] == 11
+    assert got[("b", 0)] is None  # nothing before the first observation
+    assert got[("b", 3)] == 22 and got[("b", 4)] == 22
+
+    with pytest.raises(ValueError):
+        gap_fill(df, ["source"], "time_bucket", ["v"], policy="bogus")
+
+
+def test_gorilla_encode_in_spark(spark, base_df):
+    agg = aggregate_batch(base_df)
+    blobs = encode_series_table(agg).collect()
+    agg_rows = agg.collect()
+    by_source = {}
+    for r in agg_rows:
+        by_source.setdefault(r["source"], []).append(
+            (r["time_bucket"], r["token_sum"])
+        )
+    assert len(blobs) == len(by_source)
+    total_raw = total_comp = 0
+    for r in blobs:
+        want = sorted(by_source[r["source"]])
+        buckets, vals = decode_blob(r["blob"])
+        assert list(zip(buckets.tolist(), vals.tolist())) == want
+        assert r["n_points"] == len(want)
+        total_raw += r["raw_bytes"]
+        total_comp += len(r["blob"])
+    assert total_comp < total_raw
