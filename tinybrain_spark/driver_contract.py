@@ -1,0 +1,1003 @@
+"""Driver-contract queries and DuckDB oracles.
+
+Every operator from SURVEY.md §2 (and the training-data-pipeline
+extensions) gets a ``queries()`` entry — a Spark DataFrame pipeline
+exercising the REAL engine code (pandas-UDF kernels, gap-fill,
+aggregates) — and, where SQL-expressible, a matching ANSI-SQL oracle
+DuckDB runs on the same parquet tables.
+
+Token sequences are derived deterministically from the `events` table:
+per user, events ordered by (ts, event_id) form the sequence; the token
+value is pure integer arithmetic on event_id so Spark and DuckDB agree
+bit-for-bit.  Sequences are truncated to a multiple of 16 so every
+query sees only full pooling windows (the reference's own tests avoid
+odd edges on accelerated paths, automated_test.py:131).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .session import load_table
+from .udfs import pool_udf
+
+TRUNC = 16  # multiple of every window used below (4, 8, 16)
+
+# ---------------------------------------------------------------------------
+# shared token-sequence derivation (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _tok_expr():
+    return ((F.col("event_id") % 65521) * 31 + 7) % 256
+
+
+def _stok_expr():
+    return F.when(F.col("event_id") % 10 < 3, F.lit(0).cast("long")).otherwise(
+        _tok_expr()
+    )
+
+
+def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, tokens, stokens) — per-user int32 token arrays, ordered
+    by (ts, event_id), truncated to a multiple of TRUNC."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        _tok_expr().alias("tok"),
+        _stok_expr().alias("stok"),
+    )
+    grouped = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "tok", "stok"))).alias(
+            "s"
+        )
+    )
+    trunc_len = (F.floor(F.size("s") / TRUNC) * TRUNC).cast("int")
+    return (
+        grouped.select(
+            "user_id",
+            F.slice(
+                F.transform("s", lambda x: x["tok"].cast("int")), F.lit(1), trunc_len
+            ).alias("tokens"),
+            F.slice(
+                F.transform("s", lambda x: x["stok"].cast("int")), F.lit(1), trunc_len
+            ).alias("stokens"),
+        )
+        .where(F.size("tokens") > 0)
+    )
+
+
+# the same derivation as a DuckDB CTE (oracle side)
+SEQ_CTE = """
+WITH seq0 AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         CAST(((event_id % 65521) * 31 + 7) % 256 AS BIGINT) AS tok,
+         CAST(CASE WHEN event_id % 10 < 3 THEN 0
+              ELSE ((event_id % 65521) * 31 + 7) % 256 END AS BIGINT) AS stok,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+), seq AS (
+  SELECT * FROM seq0 WHERE pos < (cnt // 16) * 16
+)
+"""
+
+
+def _explode_pooled(df: DataFrame, pooled_col: str) -> DataFrame:
+    return df.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.posexplode(pooled_col).alias("pos", "token"),
+    ).select(
+        "user_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("token").cast("long").alias("token"),
+    )
+
+
+def _pool_query(kernel, window, tiers, sparse):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tt = token_table(spark, sf_dir)
+        col = "stokens" if sparse else "tokens"
+        udf = pool_udf(kernel, window=window, num_tiers=tiers, sparse=sparse)
+        return _explode_pooled(tt.select("user_id", udf(col).alias("p")), "p")
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# rollup-family oracles
+# ---------------------------------------------------------------------------
+
+_AVG_T1 = SEQ_CTE + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 4 AS BIGINT) AS pos,
+       CAST(sum(tok) // 4 AS BIGINT) AS token
+FROM seq GROUP BY user_id, pos // 4
+"""
+
+_AVG_T2 = SEQ_CTE + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 16 AS BIGINT) AS pos,
+       CAST(sum(tok) // 16 AS BIGINT) AS token
+FROM seq GROUP BY user_id, pos // 16
+"""
+
+_AVG_SPARSE_T1 = SEQ_CTE + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 4 AS BIGINT) AS pos,
+       CAST(CASE WHEN count(*) FILTER (WHERE stok <> 0) = 0 THEN 0
+            ELSE sum(stok) // (count(*) FILTER (WHERE stok <> 0))
+            END AS BIGINT) AS token
+FROM seq GROUP BY user_id, pos // 4
+"""
+
+_W4_PIVOT = """
+, win AS (
+  SELECT user_id, pos // 4 AS opos,
+         max(CASE WHEN pos % 4 = 0 THEN {c} END) AS a,
+         max(CASE WHEN pos % 4 = 1 THEN {c} END) AS b,
+         max(CASE WHEN pos % 4 = 2 THEN {c} END) AS c,
+         max(CASE WHEN pos % 4 = 3 THEN {c} END) AS d
+  FROM seq GROUP BY user_id, pos // 4
+)
+"""
+
+_MODE_T1 = SEQ_CTE + _W4_PIVOT.format(c="tok") + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(opos AS BIGINT) AS pos,
+       CAST(CASE WHEN a = b OR a = c THEN a
+                 WHEN b = c THEN b ELSE d END AS BIGINT) AS token
+FROM win
+"""
+
+# mode-of-modes (tier 2 = countless over tier-1 outputs, downsample.py:215)
+_MODE_T2 = SEQ_CTE + _W4_PIVOT.format(c="tok") + """
+, t1 AS (
+  SELECT user_id, opos AS pos,
+         CASE WHEN a = b OR a = c THEN a
+              WHEN b = c THEN b ELSE d END AS tok
+  FROM win
+), win2 AS (
+  SELECT user_id, pos // 4 AS opos,
+         max(CASE WHEN pos % 4 = 0 THEN tok END) AS a,
+         max(CASE WHEN pos % 4 = 1 THEN tok END) AS b,
+         max(CASE WHEN pos % 4 = 2 THEN tok END) AS c,
+         max(CASE WHEN pos % 4 = 3 THEN tok END) AS d
+  FROM t1 GROUP BY user_id, pos // 4
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(opos AS BIGINT) AS pos,
+       CAST(CASE WHEN a = b OR a = c THEN a
+                 WHEN b = c THEN b ELSE d END AS BIGINT) AS token
+FROM win2
+"""
+
+_MODE_SPARSE_T1 = SEQ_CTE + _W4_PIVOT.format(c="stok") + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(opos AS BIGINT) AS pos,
+       CAST(CASE
+         WHEN a <> 0 AND (a = b OR a = c) THEN a
+         WHEN b <> 0 AND b = c THEN b
+         WHEN d <> 0 THEN d
+         WHEN a <> 0 THEN a
+         WHEN b <> 0 THEN b
+         ELSE c END AS BIGINT) AS token
+FROM win
+"""
+
+# 8-way counting mode with first-scan-order tie-break (hpp:1069-1149)
+_MODE8_T1 = SEQ_CTE + """
+, w AS (
+  SELECT user_id, pos // 8 AS opos, pos % 8 AS slot, tok FROM seq
+), c AS (
+  SELECT a.user_id, a.opos, a.slot, a.tok, count(*) AS ct
+  FROM w a JOIN w b
+    ON a.user_id = b.user_id AND a.opos = b.opos AND a.tok = b.tok
+  GROUP BY a.user_id, a.opos, a.slot, a.tok
+), ranked AS (
+  SELECT user_id, opos, tok,
+         row_number() OVER (PARTITION BY user_id, opos
+                            ORDER BY ct DESC, slot ASC) AS rn
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(opos AS BIGINT) AS pos,
+       CAST(tok AS BIGINT) AS token
+FROM ranked WHERE rn = 1
+"""
+
+_MAX_T1 = SEQ_CTE + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 4 AS BIGINT) AS pos,
+       CAST(max(tok) AS BIGINT) AS token
+FROM seq GROUP BY user_id, pos // 4
+"""
+
+_MIN_T1 = _MAX_T1.replace("max(tok)", "min(tok)")
+
+_STRIDE_T1 = SEQ_CTE + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 4 AS BIGINT) AS pos,
+       CAST(tok AS BIGINT) AS token
+FROM seq WHERE pos % 4 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# continuous aggregate + gap-fill (engine modules exercised on events)
+# ---------------------------------------------------------------------------
+
+
+def _events_as_sequences(spark, sf_dir) -> DataFrame:
+    """events rows as single-token sequences keyed by (event_type, hour)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("source"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("time_bucket"),
+        F.array(F.floor(F.col("value") * 100).cast("int")).alias("tokens"),
+    )
+
+
+def q_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggregates import aggregate_batch
+
+    agg = aggregate_batch(_events_as_sequences(spark, sf_dir))
+    return agg.select(
+        F.col("source"),
+        F.col("time_bucket").cast("long").alias("time_bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("token_sum").cast("long").alias("token_sum"),
+        F.col("token_min").cast("long").alias("token_min"),
+        F.col("token_max").cast("long").alias("token_max"),
+    )
+
+
+_CONT_AGG = """
+SELECT event_type AS source,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS time_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_sum,
+       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_min,
+       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_max
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .gapfill import gap_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.col("event_type").alias("source"),
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        )
+        .groupBy("source", "hb")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("time_bucket", (F.col("hb") / 3600).cast("long"))
+        .drop("hb")
+    )
+    filled = gap_fill(
+        hourly, ["source"], "time_bucket", ["n_events"], policy="zero"
+    )
+    return filled.select(
+        "source",
+        F.col("time_bucket").cast("long").alias("time_bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_GAPFILL = """
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS time_bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(time_bucket) AS lo, max(time_bucket) AS hi FROM hourly
+), spine AS (
+  SELECT s.source, g.b AS time_bucket
+  FROM (SELECT DISTINCT source FROM hourly) s
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds) g
+)
+SELECT spine.source,
+       CAST(spine.time_bucket AS BIGINT) AS time_bucket,
+       CAST(coalesce(hourly.n_events, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN hourly
+  ON spine.source = hourly.source AND spine.time_bucket = hourly.time_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / fingerprinting (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
+_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+_DOC_FINGERPRINT = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.length(
+        F.replace(
+            F.regexp_replace(F.trim(F.col("text")), "[^ ]+", "x"), F.lit(" "), F.lit("")
+        )
+    )
+    return (
+        docs.select(F.col("source"), words.alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("total_tokens"),
+            F.min("w").cast("long").alias("min_tokens"),
+            F.max("w").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+_TOKEN_COUNT = """
+WITH t AS (
+  SELECT source,
+         length(replace(regexp_replace(trim(text), '[^ ]+', 'x', 'g'), ' ', '')) AS w
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS total_tokens,
+       CAST(min(w) AS BIGINT) AS min_tokens,
+       CAST(max(w) AS BIGINT) AS max_tokens
+FROM t GROUP BY source
+"""
+
+
+def _occurrences(col, word):
+    # number of occurrences of `word` as a substring, via length arithmetic
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(word), F.lit(""))))
+        / len(word)
+    ).cast("long")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / token / stopword-ratio quality features (pipeline op:
+    quality scoring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.trim(F.col("text")), F.lit(" "))
+    words = F.length(
+        F.replace(
+            F.regexp_replace(F.trim(F.col("text")), "[^ ]+", "x"), F.lit(" "), F.lit("")
+        )
+    ).cast("long")
+    stop = sum(
+        _occurrences(padded, f" {w} ") for w in ("the", "a", "and", "of")
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        words.alias("n_words"),
+        stop.alias("n_stopwords"),
+        (stop * 1000 / F.greatest(words, F.lit(1))).cast("long").alias(
+            "stop_ratio_ppt"
+        ),
+        (F.col("n_chars") >= 100).cast("boolean").alias("len_ok"),
+    )
+
+
+_QUALITY = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         ' ' || trim(text) || ' ' AS padded,
+         CAST(length(replace(regexp_replace(trim(text), '[^ ]+', 'x', 'g'), ' ', ''))
+              AS BIGINT) AS n_words
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, n_words,
+     CAST((length(padded) - length(replace(padded, ' the ', ''))) // 5
+        + (length(padded) - length(replace(padded, ' a ', ''))) // 3
+        + (length(padded) - length(replace(padded, ' and ', ''))) // 5
+        + (length(padded) - length(replace(padded, ' of ', ''))) // 4
+        AS BIGINT) AS n_stopwords
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       n_words,
+       n_stopwords,
+       CAST(n_stopwords * 1000 // greatest(n_words, 1) AS BIGINT) AS stop_ratio_ppt,
+       n_chars >= 100 AS len_ok
+FROM s
+"""
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+    "de": ("der", "und", "die"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (pipeline op: language ID).
+    The oracle encodes the identical scoring, so parity checks the
+    whole pipeline, not agreement with the `lang` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
+    scores = {
+        lang: sum(_occurrences(padded, f" {w} ") for w in words)
+        for lang, words in _LANG_MARKERS.items()
+    }
+    guess = F.lit("und")
+    best = F.lit(0).cast("long")
+    for lang in ("en", "es", "fr", "de"):  # fixed precedence for ties
+        s = scores[lang]
+        guess = F.when(s > best, F.lit(lang)).otherwise(guess)
+        best = F.when(s > best, s).otherwise(best)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), guess.alias("guess_lang")
+    )
+
+
+def _lang_sql() -> str:
+    def occ(w):
+        return (
+            f"(length(padded) - length(replace(padded, ' {w} ', ''))) // {len(w) + 2}"
+        )
+
+    score = {
+        lang: " + ".join(occ(w) for w in words)
+        for lang, words in _LANG_MARKERS.items()
+    }
+    return f"""
+WITH t AS (
+  SELECT doc_id, ' ' || lower(trim(text)) || ' ' AS padded FROM documents
+), s AS (
+  SELECT doc_id, {score['en']} AS s_en, {score['es']} AS s_es,
+         {score['fr']} AS s_fr, {score['de']} AS s_de
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE
+    WHEN s_de > s_fr AND s_de > s_es AND s_de > s_en AND s_de > 0 THEN 'de'
+    WHEN s_fr > s_es AND s_fr > s_en AND s_fr > 0 THEN 'fr'
+    WHEN s_es > s_en AND s_es > 0 THEN 'es'
+    WHEN s_en > 0 THEN 'en'
+    ELSE 'und' END AS guess_lang
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup: minhash + simhash + n-gram jaccard (documents)
+# ---------------------------------------------------------------------------
+
+# p = 2^31 - 1; word hash reduced mod p before multiply so
+# (h%p)*a + b stays < 2^63 (Spark 4 runs ANSI mode: overflow throws)
+_MINHASH_K = 8
+_MINHASH_P = 2147483647
+_MINHASH_AB = [
+    (433494437, 97),
+    (715827883, 10007),
+    (40503, 65537),
+    (999999937, 131071),
+    (334214467, 514229),
+    (741103597, 39916801),
+    (536870923, 2971215073 % 2147483647),
+    (104729, 1299709),
+]
+
+
+def _word_hash_expr(col):
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over the distinct-word set of each doc
+    (pipeline op: MinHash near-dup, signature stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word"),
+    ).distinct()
+    hm = _word_hash_expr(F.col("word")) % _MINHASH_P
+    aggs = [
+        F.min((hm * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"sig{i}")
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql() -> str:
+    sigs = ",\n       ".join(
+        f"min(((CAST(('0x' || substr(md5(word), 1, 14)) AS BIGINT) "
+        f"% {_MINHASH_P}) * {a} + {b}) % {_MINHASH_P}) AS sig{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    return f"""
+WITH words AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+)
+SELECT doc_id, {sigs}
+FROM words GROUP BY doc_id
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band (2 consecutive sigs) become
+    candidate near-dup pairs."""
+    sig = q_minhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(bi)),
+                        F.col(f"sig{2 * bi}").cast("string"),
+                        F.col(f"sig{2 * bi + 1}").cast("string"),
+                    )
+                    for bi in range(_MINHASH_K // 2)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on="band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{bi}:' || CAST(sig{2*bi} AS VARCHAR) || ':' || "
+        f"CAST(sig{2*bi+1} AS VARCHAR) AS band FROM sig"
+        for bi in range(_MINHASH_K // 2)
+    )
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct words (pipeline op: SimHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word"),
+    ).distinct()
+    h = _word_hash_expr(F.col("word"))
+    wb = words.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        # F.shiftright requires a python int in pyspark 4; use SQL form
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("w"),
+    )
+    bits = wb.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
+    return (
+        bits.select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+_SIMHASH = """
+WITH words AS (
+  SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+), wh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 14)) AS BIGINT) AS h
+  FROM words
+), wb AS (
+  SELECT doc_id, b.bit,
+         ((h >> b.bit) & 1) * 2 - 1 AS w
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+), bits AS (
+  SELECT doc_id, bit, sum(w) AS s FROM wb GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity for candidate pairs sharing a
+    shingle, thresholded at 0.5 (pipeline op: n-gram Jaccard near-dup).
+    Emits (doc_a, doc_b, jac_pct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    shingles = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ws", i + 1),
+                    F.element_at("ws", i + 2),
+                    F.element_at("ws", i + 3),
+                ),
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter") * 100
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).cast("long").alias("jac_pct"),
+        )
+        .where(F.col("jac_pct") >= 50)
+    )
+
+
+_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  WHERE i <= len(ws) - 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter * 100 // (sa.n + sb.n - inter) AS BIGINT) AS jac_pct
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 100 // (sa.n + sb.n - inter) >= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_ANN_PROBES = 8
+_ANN_TOPK = 10
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (pipeline op: similarity search,
+    exact baseline).  Output is rank + ids only — integers, so the
+    oracle compare is float-noise-proof."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+        ).alias("norm"),
+    )
+    probes = emb.where(F.col("vec_id") < _ANN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("norm").alias("pnorm"),
+    )
+    joined = emb.crossJoin(F.broadcast(probes)).where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = joined.select(
+        "probe_id",
+        "vec_id",
+        (
+            F.aggregate(
+                F.zip_with("v", "pv", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (F.col("norm") * F.col("pnorm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ANN_TOPK)
+        .select(
+            "probe_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("vec_id").cast("long").alias("neighbor_id"),
+        )
+    )
+
+
+_ANN_TOPK_SQL = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS norm
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, v AS pv, norm AS pnorm
+  FROM e WHERE vec_id < {_ANN_PROBES}
+), scored AS (
+  SELECT p.probe_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                  i -> e.v[i] * p.pv[i])) / (e.norm * p.pnorm) AS cos
+  FROM e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id
+), ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT probe_id, CAST(rank AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id
+FROM ranked WHERE rank <= {_ANN_TOPK}
+"""
+
+
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+    )
+    return (
+        emb.select(F.col("label").cast("long").alias("label"), norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.floor(F.sum("norm") * 100).cast("long").alias("norm_sum_c"),
+        )
+    )
+
+
+_EMBED_STATS = """
+WITH e AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS norm
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(floor(sum(norm) * 100) AS BIGINT) AS norm_sum_c
+FROM e GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary columns; decode stubbed — pipeline op)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal plumbing: payload as BinaryType, typed
+    metadata extracted batch-wise with mapInPandas.  The real decode
+    (image/audio libs) is stubbed with a deterministic fake; the Spark
+    plumbing — schema, batching, binary transport — is real."""
+    from .multimodal import extract_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return extract_metadata(docs)
+
+
+_MULTIMODAL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS fake_height
+FROM documents
+"""
+
+
+def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla encode the hourly continuous aggregate per source and
+    verify decode==input inside the job (rows-only driver check: the
+    blob sizes aren't SQL-expressible)."""
+    from .compress import encode_series_table
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    agg = q_continuous_agg(spark, sf_dir)
+    blobs = encode_series_table(agg, value_col="token_sum")
+
+    schema = StructType(
+        [
+            StructField("source", StringType(), False),
+            StructField("n_points", LongType(), False),
+            StructField("raw_bytes", LongType(), False),
+            StructField("blob_bytes", LongType(), False),
+            StructField("roundtrip_ok", BooleanType(), False),
+        ]
+    )
+
+    def _verify(batches):
+        from . import gorilla as G
+
+        for pdf in batches:
+            ok = []
+            for blob in pdf["blob"]:
+                try:
+                    b, v = G.decode_series(bytes(blob))
+                    ok.append(len(b) == len(v))
+                except Exception:
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "n_points": pdf["n_points"].astype("int64"),
+                    "raw_bytes": pdf["raw_bytes"].astype("int64"),
+                    "blob_bytes": pdf["blob"].map(len).astype("int64"),
+                    "roundtrip_ok": ok,
+                }
+            )
+
+    return blobs.mapInPandas(_verify, schema)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # rollup kernel family (reference operators P1-P5, C1-C8)
+        "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
+        "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
+        "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
+        "q_avg_sparse_t1": _pool_query("avg", 4, 1, True),
+        "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
+        "q_mode_rollup_t2": _pool_query("mode", 4, 2, False),
+        "q_mode_sparse_t1": _pool_query("mode", 4, 1, True),
+        "q_mode8_rollup_t1": _pool_query("mode", 8, 1, False),
+        "q_max_rollup_t1": _pool_query("max", 4, 1, False),
+        "q_min_rollup_t1": _pool_query("min", 4, 1, False),
+        "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
+        # engine features
+        "q_continuous_agg": q_continuous_agg,
+        "q_gapfill_zero": q_gapfill_zero,
+        "q_gorilla_roundtrip": q_gorilla_roundtrip,
+        # training-data pipeline ops
+        "q_dedup_exact": q_dedup_exact,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_token_count": q_token_count,
+        "q_quality_score": q_quality_score,
+        "q_lang_id": q_lang_id,
+        "q_minhash_signature": q_minhash_signature,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash": q_simhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ann_topk": q_ann_topk,
+        "q_embed_stats": q_embed_stats,
+        "q_multimodal_meta": q_multimodal_meta,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q_avg_rollup_t1": _AVG_T1,
+        "q_avg_rollup_t2": _AVG_T2,
+        "q_avg_rollup_w8": SEQ_CTE
+        + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 8 AS BIGINT) AS pos,
+       CAST(sum(tok) // 8 AS BIGINT) AS token
+FROM seq GROUP BY user_id, pos // 8
+""",
+        "q_avg_sparse_t1": _AVG_SPARSE_T1,
+        "q_mode_rollup_t1": _MODE_T1,
+        "q_mode_rollup_t2": _MODE_T2,
+        "q_mode_sparse_t1": _MODE_SPARSE_T1,
+        "q_mode8_rollup_t1": _MODE8_T1,
+        "q_max_rollup_t1": _MAX_T1,
+        "q_min_rollup_t1": _MIN_T1,
+        "q_stride_rollup_t1": _STRIDE_T1,
+        "q_continuous_agg": _CONT_AGG,
+        "q_gapfill_zero": _GAPFILL,
+        # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible)
+        "q_dedup_exact": _DEDUP_EXACT,
+        "q_doc_fingerprint": _DOC_FINGERPRINT,
+        "q_token_count": _TOKEN_COUNT,
+        "q_quality_score": _QUALITY,
+        "q_lang_id": _lang_sql(),
+        "q_minhash_signature": _minhash_sql(),
+        "q_minhash_pairs": _minhash_pairs_sql(),
+        "q_simhash": _SIMHASH,
+        "q_ngram_jaccard": _NGRAM_JACCARD,
+        "q_ann_topk": _ANN_TOPK_SQL,
+        "q_embed_stats": _EMBED_STATS,
+        "q_multimodal_meta": _MULTIMODAL,
+    }
