@@ -1,0 +1,126 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "points_per_sec": ...}
+
+The engine's north metric (rolled-up points/sec across all retention
+tiers) is computed from a synthetic tokenized-sequence table (datagen,
+SPARK_GRAFT_BENCH_DOCS docs x 256 tokens) pushed through the 3-tier avg
++ 2-tier mode pyramids with a noop sink, and reported in the extra
+keys; the per-query seconds cover the driver-contract headliners at the
+given sf directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_avg_rollup_t2",
+    "q_avg_sparse_t1",
+    "q_mode_rollup_t1",
+    "q_mode8_rollup_t1",
+    "q_max_rollup_t1",
+    "q_continuous_agg",
+    "q_gapfill_zero",
+    "q_gorilla_roundtrip",
+    "q_dedup_exact",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_minhash_signature",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_ann_topk",
+    "q_multimodal_meta",
+]
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame without collecting it to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+
+    from pyspark.sql import functions as F
+
+    from tinybrain_spark import driver_contract as dc
+    from tinybrain_spark.datagen import generate
+    from tinybrain_spark.session import get_spark
+    from tinybrain_spark.udfs import pool_all_tiers_udf
+
+    spark = get_spark("tinybrain-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(32, cpus))
+
+    timings: dict[str, float] = {}
+    qs = dc.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- engine pyramid throughput (north metric) -----------------------
+    # materialize the synthetic table as parquet (the engine's real input
+    # shape — a cached boxed-row table is not how a 100TB table arrives)
+    import tempfile
+
+    seq_path = os.path.join(tempfile.mkdtemp(prefix="tb_bench_"), "seq")
+    generate(spark, n_docs=bench_docs, n_tok=256, seed=42,
+             num_partitions=cpus * 2).write.mode("overwrite").parquet(seq_path)
+    seq = spark.read.parquet(seq_path)
+    n_rows = seq.count()
+
+    def pyramid_points(kind: str, tiers: int, sparse: bool = False) -> tuple[float, int]:
+        best, points = float("inf"), 0
+        for _ in range(2):  # best-of-2: the sandbox VM is timing-noisy.
+            # Rebuild the DataFrame each run — pyspark 4.1 memoizes
+            # execution per DataFrame object.
+            udf = pool_all_tiers_udf(kind, window=4, num_tiers=tiers,
+                                     sparse=sparse)
+            df = seq.select(F.explode(udf("tokens")).alias("t")).select(
+                F.sum(F.size("t")).alias("points")
+            )
+            t0 = time.time()
+            points = int(df.collect()[0]["points"])
+            best = min(best, time.time() - t0)
+        return best, points
+
+    t_avg, p_avg = pyramid_points("avg", 3)
+    t_mode, p_mode = pyramid_points("mode", 2)
+    timings["pyramid_avg_t3"] = round(t_avg, 3)
+    timings["pyramid_mode_t2"] = round(t_mode, 3)
+    points_per_sec = (p_avg + p_mode) / (t_avg + t_mode)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "bench_docs": n_rows,
+                "rolled_up_points": p_avg + p_mode,
+                "points_per_sec": round(points_per_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--run-kind", default="job")
     p.add_argument("--master", default=None)
+    p.add_argument("--repeat", type=int, default=1,
+                   help="run the pyramid N times (fresh output each), "
+                        "report the best — amortizes worker cold-start")
     p.add_argument("--gen-docs", type=int, default=0,
                    help="synthesize this many docs instead of --input")
     p.add_argument("--gen-ntok", type=int, default=256)
@@ -63,10 +66,16 @@ def main(argv: list[str] | None = None) -> int:
             sparse=args.sparse,
             run_kind=args.run_kind,
         )
-        engine = RollupEngine(spark, args.output)
-        t0 = time.time()
-        stats = engine.run_pyramid(df, cfg, resume=not args.no_resume)
-        wall = time.time() - t0
+        best_wall, stats = None, None
+        for rep in range(max(1, args.repeat)):
+            out_dir = args.output if args.repeat == 1 else f"{args.output}_r{rep}"
+            engine = RollupEngine(spark, out_dir)
+            t0 = time.time()
+            s = engine.run_pyramid(df, cfg, resume=not args.no_resume)
+            wall_r = time.time() - t0
+            if best_wall is None or wall_r < best_wall:
+                best_wall, stats = wall_r, s
+        wall = best_wall
         points = sum(s["points_out"] for s in stats.values())
         print(json.dumps({
             "kernel": args.kernel,

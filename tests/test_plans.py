@@ -1,0 +1,57 @@
+"""Physical-plan quality gates: column pruning and filter pushdown must
+reach the parquet scan, and pooling plans must stay shuffle-free
+(SURVEY.md §4 — 'a scan that reads all columns for a 2-column
+projection is wrong')."""
+
+from pyspark.sql import functions as F
+
+from tinybrain_spark import driver_contract as dc
+from tinybrain_spark.session import load_table
+from tinybrain_spark.udfs import pool_udf
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_token_table_scan_prunes_columns(spark):
+    plan = _plan(dc.token_table(spark, SF_DIR))
+    # events has (event_id, ts, user_id, event_type, value, props);
+    # the token table needs only 3 of 6 columns
+    assert "event_type" not in plan
+    assert "props" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = load_table(spark, SF_DIR, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("event_id")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "purchase" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_pooling_is_shuffle_free(spark):
+    """Per-row pooling must not introduce an exchange."""
+    ev = load_table(spark, SF_DIR, "events")
+    seq = ev.select("event_id", F.array(F.col("event_id").cast("int")).alias("t"))
+    udf = pool_udf("avg", 2, 1)
+    plan = _plan(seq.select("event_id", udf(F.col("t"))))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_ann_broadcasts_probes(spark):
+    plan = _plan(dc.q_ann_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_gapfill_uses_single_shuffle_side_broadcast(spark):
+    plan = _plan(dc.q_gapfill_zero(spark, SF_DIR))
+    # the spine join must not blow up into a cartesian product
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,87 @@
+"""Structured Streaming: file-stream continuous aggregate equals the
+batch recompute; windowed aggregate plan produces per-bucket state."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinybrain_spark.aggregates import aggregate_batch
+from tinybrain_spark.catalog import Catalog
+from tinybrain_spark.datagen import generate
+from tinybrain_spark.streaming import (
+    run_incremental_stream,
+    windowed_aggregate,
+    with_event_time,
+)
+
+
+@pytest.fixture(scope="module")
+def seq_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "seq")
+    # several files so availableNow produces multiple micro-batches
+    generate(spark, n_docs=120, n_tok=32, seed=3, num_partitions=6).write.parquet(
+        path
+    )
+    return path
+
+
+def _state(df):
+    return {
+        (r["source"], r["time_bucket"]): (
+            r["n_docs"], r["n_points"], r["token_sum"], r["token_min"], r["token_max"]
+        )
+        for r in df.collect()
+    }
+
+
+def test_incremental_stream_equals_batch(spark, seq_dir, workdir):
+    q = run_incremental_stream(
+        spark, seq_dir, workdir, table="cs", max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    result = Catalog(spark, workdir).read("cs")
+    batch = aggregate_batch(spark.read.parquet(seq_dir))
+    assert _state(result) == _state(batch)
+
+
+def test_stream_resume_is_exactly_once(spark, seq_dir, workdir):
+    """Re-running the drained stream with the same checkpoint must not
+    double-count anything."""
+    q = run_incremental_stream(spark, seq_dir, workdir, table="cs2")
+    q.awaitTermination(300)
+    first = _state(Catalog(spark, workdir).read("cs2"))
+    q2 = run_incremental_stream(spark, seq_dir, workdir, table="cs2")
+    q2.awaitTermination(300)
+    second = _state(Catalog(spark, workdir).read("cs2"))
+    assert first == second
+
+
+def test_windowed_aggregate_batch_semantics(spark, seq_dir):
+    """The streaming plan's aggregation logic, applied in batch mode,
+    matches aggregate_batch keyed by the hour bucket."""
+    df = with_event_time(spark.read.parquet(seq_dir))
+    got = _state(windowed_aggregate(df))
+    want = _state(aggregate_batch(spark.read.parquet(seq_dir)))
+    assert got == want
+
+
+def test_windowed_aggregate_streams(spark, seq_dir, tmp_path):
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(seq_dir).schema)
+        .load(seq_dir)
+    )
+    agg = windowed_aggregate(with_event_time(stream))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = _state(spark.sql("SELECT * FROM win_agg"))
+    want = _state(aggregate_batch(spark.read.parquet(seq_dir)))
+    assert got == want

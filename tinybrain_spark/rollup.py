@@ -106,13 +106,25 @@ class RollupEngine:
         if resume:
             pending = self.checkpoints.filter_pending(src, run_kind, tier)
 
-        out = self._pool_tier(pending, config, tier, prev_has_accum)
-        out = cluster_for_write(out)
+        # rows_in per source: column-pruned scan, no UDF involved
+        rows_in_map = {
+            r["source"]: r["cnt"]
+            for r in pending.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+        }
+
+        # Cluster BEFORE pooling: repartitionByRange samples its child to
+        # pick range bounds — with the UDF upstream that would execute the
+        # whole pooling stage twice.  Pooling is row-wise, so clustering
+        # the raw input yields identically-clustered output with exactly
+        # ONE kernel pass.
+        clustered = cluster_for_write(pending)
+        out = self._pool_tier(clustered, config, tier, prev_has_accum)
         self.catalog.write(
             out, table, partition_by=("source",), mode="overwrite_partitions"
         )
 
-        # stats from the materialized tier (also validates the write)
+        # stats from the materialized tier (a cheap scan of the 4x-smaller
+        # output; also validates the write)
         written = self.catalog.read(table)
         per_source_rows = (
             written.groupBy("source")
@@ -127,10 +139,6 @@ class RollupEngine:
             )
             .collect()
         )
-        rows_in_map = {
-            r["source"]: r["cnt"]
-            for r in pending.groupBy("source").agg(F.count("*").alias("cnt")).collect()
-        }
         per_source = [
             {
                 "source": r["source"],

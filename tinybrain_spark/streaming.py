@@ -1,0 +1,114 @@
+"""Structured Streaming extension: continuous aggregates maintained from
+a file stream of sequence rows (SURVEY.md §2.4 'Streaming' row).
+
+Two layers:
+
+* ``windowed_aggregate`` — pure streaming plan: watermarked tumbling
+  window over event time, sum-mergeable rollup state per (source,
+  window).  Late rows beyond the watermark are dropped by Spark.
+* ``run_incremental_stream`` — production shape: ``foreachBatch`` folds
+  each micro-batch into the stored continuous aggregate via
+  ``update_continuous_aggregate`` (the same incremental-merge path the
+  batch engine uses), so a crashed stream resumes from its checkpoint
+  and the stored table always equals a full recompute of everything
+  ingested so far.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .aggregates import update_continuous_aggregate
+from .catalog import Catalog
+from .datagen import SCHEMA as SEQ_SCHEMA
+
+
+def with_event_time(df: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
+    """Derive an event timestamp from the integer time bucket."""
+    return df.withColumn(
+        "event_time",
+        F.timestamp_seconds(F.col("time_bucket") * bucket_seconds),
+    )
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup of a streaming sequence table
+    with columns (source, event_time, tokens)."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), F.col("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("tokens")).alias("n_points"),
+            F.sum(
+                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+            ).alias("token_sum"),
+            F.min(F.array_min("tokens")).alias("token_min"),
+            F.max(F.array_max("tokens")).alias("token_max"),
+        )
+        .select(
+            "source",
+            (F.unix_timestamp(F.col("w.start")) / 3600).cast("long").alias(
+                "time_bucket"
+            ),
+            "n_docs",
+            "n_points",
+            "token_sum",
+            "token_min",
+            "token_max",
+        )
+    )
+
+
+def read_sequence_stream(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # StructType.add mutates in place — never call it on the shared schema
+    schema = StructType(
+        list(SEQ_SCHEMA.fields) + [StructField("time_bucket", LongType(), True)]
+    )
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_path)
+
+
+def run_incremental_stream(
+    spark: SparkSession,
+    input_path: str,
+    warehouse: str,
+    table: str = "cagg_stream",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Fold a parquet-directory stream into the stored continuous
+    aggregate, one micro-batch at a time, exactly-once per batch id via
+    the streaming checkpoint.  Uses availableNow so tests (and backfill
+    jobs) terminate when the directory is drained."""
+    catalog = Catalog(spark, warehouse)
+    stream = read_sequence_stream(spark, input_path, max_files_per_trigger)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_continuous_aggregate(catalog, table, batch_df)
+
+    query = (
+        stream.writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{warehouse}/_checkpoints/{table}",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query
