@@ -316,6 +316,109 @@ FROM spine LEFT JOIN hourly
 
 
 # ---------------------------------------------------------------------------
+# relational coverage: ROLLUP grouping sets, window functions, top-k
+# (SURVEY.md §2.4 rows 'grouping sets / cube / rollup', 'window
+# functions', 'sorts / limits / top-k')
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over (event_type) — the metrics-reporting
+    shape SURVEY.md §2.4 plans for per-tier rollup reports."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("value_c"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "value_c",
+        )
+    )
+
+
+_ROLLUP_METRICS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event count over hour buckets (window
+    functions over the continuous-aggregate shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        )
+        .groupBy("user_id", "hb")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hourly.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("hb").cast("long").alias("time_bucket"),
+        F.sum("n").over(w).cast("long").alias("running_events"),
+    )
+
+
+_RUNNING_SUM = """
+WITH hourly AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS time_bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       time_bucket,
+       CAST(sum(n) OVER (PARTITION BY user_id ORDER BY time_bucket
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_events
+FROM hourly
+"""
+
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by event count, deterministic tie-break on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+_TOPK_USERS = """
+WITH counts AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, n_events,
+         row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_events AS BIGINT) AS n_events
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis / dedup / fingerprinting (documents table)
 # ---------------------------------------------------------------------------
 
@@ -946,6 +1049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_max_rollup_t1": _pool_query("max", 4, 1, False),
         "q_min_rollup_t1": _pool_query("min", 4, 1, False),
         "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
+        # relational coverage
+        "q_rollup_metrics": q_rollup_metrics,
+        "q_running_sum": q_running_sum,
+        "q_topk_users": q_topk_users,
         # engine features
         "q_continuous_agg": q_continuous_agg,
         "q_gapfill_zero": q_gapfill_zero,
@@ -985,6 +1092,9 @@ FROM seq GROUP BY user_id, pos // 8
         "q_max_rollup_t1": _MAX_T1,
         "q_min_rollup_t1": _MIN_T1,
         "q_stride_rollup_t1": _STRIDE_T1,
+        "q_rollup_metrics": _ROLLUP_METRICS,
+        "q_running_sum": _RUNNING_SUM,
+        "q_topk_users": _TOPK_USERS,
         "q_continuous_agg": _CONT_AGG,
         "q_gapfill_zero": _GAPFILL,
         # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible)
