@@ -85,3 +85,40 @@ def test_windowed_aggregate_streams(spark, seq_dir, tmp_path):
     got = _state(spark.sql("SELECT * FROM win_agg"))
     want = _state(aggregate_batch(spark.read.parquet(seq_dir)))
     assert got == want
+
+
+def test_stateful_running_rollup(spark, seq_dir, tmp_path):
+    from tinybrain_spark.streaming import read_sequence_stream, stateful_running_rollup
+
+    stream = read_sequence_stream(spark, seq_dir, max_files_per_trigger=2)
+    agg = stateful_running_rollup(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_rollup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # last emitted row per source == full batch totals
+    rows = spark.sql(
+        """SELECT source, n_docs, n_points, token_sum FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+                                          ORDER BY n_docs DESC) rn
+             FROM state_rollup) WHERE rn = 1"""
+    ).collect()
+    got = {r["source"]: (r["n_docs"], r["n_points"], r["token_sum"]) for r in rows}
+    batch = (
+        spark.read.parquet(seq_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("d"),
+            F.sum(F.size("tokens")).alias("p"),
+            F.sum(F.aggregate("tokens", F.lit(0).cast("long"),
+                              lambda a, x: a + x)).alias("s"),
+        )
+        .collect()
+    )
+    want = {r["source"]: (r["d"], r["p"], r["s"]) for r in batch}
+    assert got == want

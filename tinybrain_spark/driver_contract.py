@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -921,6 +922,85 @@ FROM ranked WHERE rank <= {_ANN_TOPK}
 """
 
 
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the ANN 'scale path':
+    bucket-local joins instead of a full cross join)."""
+    from .similarity import lsh_bucket_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        lsh_bucket_expr("embedding", 64).alias("bucket"),
+    )
+
+
+def _lsh_buckets_sql() -> str:
+    from .similarity import lsh_bucket_sql
+
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST({lsh_bucket_sql("CAST(embedding AS DOUBLE[])", 64)} AS BIGINT)
+         AS bucket
+FROM embeddings
+"""
+
+
+def q_ann_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: 1-NN within each LSH bucket."""
+    from .similarity import bucketed_nn, lsh_bucket_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        lsh_bucket_expr("embedding", 64).alias("bucket"),
+    )
+    return bucketed_nn(emb)
+
+
+def _ann_nn_bucketed_sql() -> str:
+    from .similarity import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("CAST(embedding AS DOUBLE[])", 64)
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         CAST({bucket} AS BIGINT) AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id, b.vec_id AS cand_id,
+         list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * b.v[i]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, cand_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cand_id ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, cand_id AS nn_id,
+       CAST(floor(cos * 1000) AS BIGINT) AS cos_c
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GEMM-blocked exact top-k (scale path) — must equal the
+    zip_with formulation, so it shares q_ann_topk's oracle."""
+    from .similarity import brute_force_topk_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    probes = [
+        (r["vec_id"], np.asarray(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < _ANN_PROBES).collect()
+    ]
+    return brute_force_topk_blocked(emb, probes, k=_ANN_TOPK)
+
+
 def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.sqrt(
@@ -1068,6 +1148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_topk": q_ann_topk,
+        "q_ann_topk_blocked": q_ann_topk_blocked,
+        "q_lsh_buckets": q_lsh_buckets,
+        "q_ann_nn_bucketed": q_ann_nn_bucketed,
         "q_embed_stats": q_embed_stats,
         "q_multimodal_meta": q_multimodal_meta,
     }
@@ -1108,6 +1191,9 @@ FROM seq GROUP BY user_id, pos // 8
         "q_simhash": _SIMHASH,
         "q_ngram_jaccard": _NGRAM_JACCARD,
         "q_ann_topk": _ANN_TOPK_SQL,
+        "q_ann_topk_blocked": _ANN_TOPK_SQL,
+        "q_lsh_buckets": _lsh_buckets_sql(),
+        "q_ann_nn_bucketed": _ann_nn_bucketed_sql(),
         "q_embed_stats": _EMBED_STATS,
         "q_multimodal_meta": _MULTIMODAL,
     }

@@ -82,6 +82,76 @@ def read_sequence_stream(
     return reader.load(input_path)
 
 
+def stateful_running_rollup(
+    stream: DataFrame,
+    timeout_conf: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (SURVEY.md §2.4 'applyInPandasWithState for custom stateful
+    operators'): a per-source running accumulator of (n_docs, n_points,
+    token_sum) maintained across micro-batches — the streaming analog of
+    the reference's multi-mip shared accumulator.
+
+    Emits one updated state row per source per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("source", StringType(), False),
+            StructField("n_docs", LongType(), False),
+            StructField("n_points", LongType(), False),
+            StructField("token_sum", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_docs", LongType(), False),
+            StructField("n_points", LongType(), False),
+            StructField("token_sum", LongType(), False),
+        ]
+    )
+
+    def _update(key, pdfs, state):
+        n_docs, n_points, token_sum = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        for pdf in pdfs:
+            for toks in pdf["tokens"]:
+                arr = [int(x) for x in toks]
+                n_docs += 1
+                n_points += len(arr)
+                token_sum += sum(arr)
+        state.update((n_docs, n_points, token_sum))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_docs": [n_docs],
+                "n_points": [n_points],
+                "token_sum": [token_sum],
+            }
+        )
+
+    return (
+        stream.select("source", "tokens")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=getattr(GroupStateTimeout, timeout_conf),
+        )
+    )
+
+
 def run_incremental_stream(
     spark: SparkSession,
     input_path: str,
