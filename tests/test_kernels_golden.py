@@ -180,3 +180,52 @@ def test_bad_window():
 def test_mode_rejects_float():
     with pytest.raises(TypeError):
         K.mode_pool(np.arange(8, dtype=np.float32), window=4)
+
+
+# ---- true 2-D tile kernels (the reference's actual 2x2 geometry) ----
+# mirrors automated_test.py:256-310 cases laid out as real 2x2 patches
+
+def test_mode_pool_2d_truth_table():
+    # x = first axis: a=t[0,0], b=t[1,0], c=t[0,1], d=t[1,1]
+    cases = [
+        ([[0, 2], [1, 3]], 3),    # all different -> d
+        ([[0, 2], [0, 3]], 0),    # a==b -> a
+        ([[1, 1], [2, 3]], 1),    # a==c -> a
+        ([[1, 2], [2, 3]], 2),    # b==c -> b
+        ([[5, 5], [5, 5]], 5),
+        ([[255, 1], [255, 2]], 255),
+    ]
+    for tile, expected in cases:
+        out = K.mode_pool_2d(np.array(tile, dtype=np.uint8))
+        assert out.tolist() == [[expected]], tile
+
+
+def test_avg_pool_2d():
+    tile = np.array([[1, 3], [2, 4]], dtype=np.uint8)
+    assert K.avg_pool_2d(tile, dtype=np.uint8).tolist() == [[2]]  # 10>>2
+    neg = np.array([[-1, -1], [-1, 0]], dtype=np.int8)
+    assert K.avg_pool_2d(neg, dtype=np.int8).tolist() == [[0]]  # toward zero
+    f = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    assert K.avg_pool_2d(f, dtype=np.float32).tolist() == [[2.5]]
+
+
+def test_tile_kernels_vs_1d_equivalence():
+    """A 2-D tile flattened in the reference's (x, y) scan order must
+    pool identically to the 1-D window kernels."""
+    rng = np.random.default_rng(5)
+    tile = rng.integers(0, 5, size=(8, 6)).astype(np.int32)
+    got2d = K.mode_pool_2d(tile)
+    for i in range(4):
+        for j in range(3):
+            win = np.array([tile[2*i, 2*j], tile[2*i+1, 2*j],
+                            tile[2*i, 2*j+1], tile[2*i+1, 2*j+1]],
+                           dtype=np.int32)
+            want = K.mode_pool(win, window=4)[0][0]
+            assert got2d[i, j] == want
+
+
+def test_tile_odd_dims_raise():
+    with pytest.raises(ValueError):
+        K.avg_pool_2d(np.zeros((3, 4), dtype=np.int32))
+    with pytest.raises(TypeError):
+        K.mode_pool_2d(np.zeros((2, 2), dtype=np.float32))

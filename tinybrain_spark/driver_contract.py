@@ -842,6 +842,81 @@ WHERE inter * 100 // (sa.n + sb.n - inter) >= 50
 
 
 # ---------------------------------------------------------------------------
+# 2-D tile pooling (the reference's true 2x2 geometry, grouped UDAF path)
+# ---------------------------------------------------------------------------
+
+_TILE = 16  # 16x16 cells per tile (fits even the sf0.001 events table)
+
+
+def _tile_cells(spark, sf_dir) -> DataFrame:
+    """Deterministic dense tiles carved out of the events table:
+    event_id e -> tile e // 4096, row (e % 4096) // 64, col e % 64.
+    Only complete tiles are kept, so every tile is dense 64x64."""
+    ev = load_table(spark, sf_dir, "events")
+    n_full = ev.count() // (_TILE * _TILE) * (_TILE * _TILE)
+    return ev.where(F.col("event_id") < n_full).select(
+        (F.col("event_id") / (_TILE * _TILE)).cast("long").alias("tile_id"),
+        ((F.col("event_id") % (_TILE * _TILE)) / _TILE).cast("int").alias("r"),
+        (F.col("event_id") % _TILE).cast("int").alias("c"),
+        _tok_expr().cast("int").alias("tok"),
+    )
+
+
+def _tile_query(kernel):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .tiles import tile_pool
+
+        out = tile_pool(_tile_cells(spark, sf_dir), kernel=kernel)
+        return out.select(
+            "tile_id",
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("token").cast("long").alias("token"),
+        )
+
+    return q
+
+
+_TILE_CTE = f"""
+WITH cells AS (
+  SELECT event_id // 256 AS tile_id,
+         (event_id % 256) // 16 AS r,
+         event_id % 16 AS c,
+         ((event_id % 65521) * 31 + 7) % 256 AS tok
+  FROM events
+  WHERE event_id < (SELECT (count(*) // 256) * 256 FROM events)
+)
+"""
+
+_TILE_AVG = _TILE_CTE + """
+SELECT CAST(tile_id AS BIGINT) AS tile_id,
+       CAST(r // 2 AS BIGINT) AS i,
+       CAST(c // 2 AS BIGINT) AS j,
+       CAST(sum(tok) // 4 AS BIGINT) AS token
+FROM cells GROUP BY tile_id, r // 2, c // 2
+"""
+
+# countless over the (x, y) scan order: a=(0,0) b=(1,0) c=(0,1) d=(1,1)
+# with x = row axis (accelerated.hpp:1026-1030)
+_TILE_MODE = _TILE_CTE + """
+, win AS (
+  SELECT tile_id, r // 2 AS i, c // 2 AS j,
+         max(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN tok END) AS a,
+         max(CASE WHEN r % 2 = 1 AND c % 2 = 0 THEN tok END) AS b,
+         max(CASE WHEN r % 2 = 0 AND c % 2 = 1 THEN tok END) AS c_,
+         max(CASE WHEN r % 2 = 1 AND c % 2 = 1 THEN tok END) AS d
+  FROM cells GROUP BY tile_id, r // 2, c // 2
+)
+SELECT CAST(tile_id AS BIGINT) AS tile_id,
+       CAST(i AS BIGINT) AS i,
+       CAST(j AS BIGINT) AS j,
+       CAST(CASE WHEN a = b OR a = c_ THEN a
+                 WHEN b = c_ THEN b ELSE d END AS BIGINT) AS token
+FROM win
+"""
+
+
+# ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
 
@@ -1129,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_max_rollup_t1": _pool_query("max", 4, 1, False),
         "q_min_rollup_t1": _pool_query("min", 4, 1, False),
         "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
+        "q_tile_avg_2d": _tile_query("avg"),
+        "q_tile_mode_2d": _tile_query("mode"),
         # relational coverage
         "q_rollup_metrics": q_rollup_metrics,
         "q_running_sum": q_running_sum,
@@ -1175,6 +1252,8 @@ FROM seq GROUP BY user_id, pos // 8
         "q_max_rollup_t1": _MAX_T1,
         "q_min_rollup_t1": _MIN_T1,
         "q_stride_rollup_t1": _STRIDE_T1,
+        "q_tile_avg_2d": _TILE_AVG,
+        "q_tile_mode_2d": _TILE_MODE,
         "q_rollup_metrics": _ROLLUP_METRICS,
         "q_running_sum": _RUNNING_SUM,
         "q_topk_users": _TOPK_USERS,

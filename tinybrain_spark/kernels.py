@@ -348,6 +348,54 @@ def stride_pool(tokens, window: int = 4, num_tiers: int = 1) -> list[np.ndarray]
     return [r[0] if squeeze else r for r in results]
 
 
+# -- true 2-D (tile) kernels: the reference's actual 2x2 geometry --------
+#
+# A tile is a dense 2-D array (rows = docs in a (source, time_bucket)
+# group ordered by doc_id, cols = token positions) — the engine analog
+# of one image plane.  Window offsets follow the reference's (x, y)
+# scan order: a=(0,0), b=(1,0), c=(0,1), d=(1,1) with x = first axis
+# (accelerated.hpp:1026-1030).
+
+
+def _tile_windows(tile: np.ndarray) -> tuple[np.ndarray, ...]:
+    if tile.shape[0] % 2 or tile.shape[1] % 2:
+        raise ValueError(f"tile dims must be even, got {tile.shape}")
+    a = tile[0::2, 0::2]
+    b = tile[1::2, 0::2]
+    c = tile[0::2, 1::2]
+    d = tile[1::2, 1::2]
+    return a, b, c, d
+
+
+def avg_pool_2d(tile: np.ndarray, dtype=np.int32) -> np.ndarray:
+    """One 2x2 average-pool tier over a 2-D tile: promoted block sum
+    >> 2, signed rounding toward zero (single-mip path, hpp:314-448)."""
+    dt = np.dtype(dtype)
+    a, b, c, d = _tile_windows(np.asarray(tile))
+    if np.issubdtype(dt, np.floating):
+        acc = (
+            a.astype(dt) + b.astype(dt) + c.astype(dt) + d.astype(dt)
+        )
+        return (acc / dt.type(4)).astype(dt)
+    acc = (
+        a.astype(np.int64) + b.astype(np.int64) + c.astype(np.int64)
+        + d.astype(np.int64)
+    )
+    return _render_int(acc, 2, dt)
+
+
+def mode_pool_2d(tile: np.ndarray) -> np.ndarray:
+    """One 2x2 mode-pool tier over a 2-D tile: the countless-if chain
+    a==b -> a; a==c -> a; b==c -> b; else d (hpp:1023-1042)."""
+    tile = np.asarray(tile)
+    if not np.issubdtype(tile.dtype, np.integer):
+        raise TypeError("mode_pool_2d requires an integer dtype")
+    a, b, c, d = _tile_windows(tile)
+    return np.where((a == b) | (a == c), a, np.where(b == c, b, d)).astype(
+        tile.dtype
+    )
+
+
 _KERNELS = {
     "avg": avg_pool,
     "mode": mode_pool,
