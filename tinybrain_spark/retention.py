@@ -1,0 +1,127 @@
+"""Retention policies over the tier pyramid (the 'retention' third of
+the north rule's rollup + downsample + retention engine).
+
+A policy maps each tier to the maximum time-bucket age it retains,
+mirroring the classic downsampling retention ladder (raw data kept
+briefly, coarser rollups kept longer — e.g. tier 0 for 7 days, tier 1
+for 30, tier 3 forever).  Enforcement is partition-level: expired
+(source, time_bucket) groups are dropped by rewriting only the touched
+source partitions (dynamic partition overwrite — a metadata-only delete
+under Iceberg), and every enforcement run is recorded in the lineage
+table so audits can reconstruct what was dropped when.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+
+
+@dataclass(frozen=True)
+class RetentionPolicy:
+    """max_age[tier] = number of most-recent time buckets retained;
+    tiers absent from the map are kept forever."""
+
+    max_age: dict[int, int] = field(default_factory=dict)
+
+    def cutoff(self, tier: int, newest_bucket: int) -> int | None:
+        if tier not in self.max_age:
+            return None
+        return newest_bucket - self.max_age[tier] + 1
+
+
+def enforce_retention(
+    catalog: Catalog,
+    table: str,
+    tier: int,
+    policy: RetentionPolicy,
+    newest_bucket: int | None = None,
+) -> dict:
+    """Drop rows older than the policy cutoff from a tier table.
+
+    Returns {'cutoff', 'rows_dropped', 'rows_kept'}.  ``newest_bucket``
+    defaults to the table's max time_bucket (age measured from the data
+    horizon, not wall-clock, so enforcement is deterministic/testable).
+    """
+    df = catalog.read(table)
+    if newest_bucket is None:
+        newest_bucket = df.agg(F.max("time_bucket")).first()[0]
+        if newest_bucket is None:
+            return {"cutoff": None, "rows_dropped": 0, "rows_kept": 0}
+    cutoff = policy.cutoff(tier, int(newest_bucket))
+    if cutoff is None:
+        return {
+            "cutoff": None,
+            "rows_dropped": 0,
+            "rows_kept": df.count(),
+        }
+
+    counts = df.agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col("time_bucket") < cutoff, 1)).alias("expired"),
+    ).first()
+    if counts["expired"] == 0:
+        return {
+            "cutoff": cutoff,
+            "rows_dropped": 0,
+            "rows_kept": counts["total"],
+        }
+
+    # rewrite only the source partitions that contain expired buckets
+    touched = {
+        r["source"]
+        for r in df.where(F.col("time_bucket") < cutoff)
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    kept_in_touched = df.where(
+        F.col("source").isin(touched) & (F.col("time_bucket") >= cutoff)
+    )
+    # Stage the survivors to a scratch table first: writing a table onto
+    # itself would delete input files mid-read (Iceberg's MERGE does this
+    # swap transactionally; this is the Parquet-fallback equivalent).
+    import os
+    import shutil
+
+    staging = f"{table}__retention_staging"
+    catalog.drop(staging)
+    catalog.write(
+        kept_in_touched, staging, partition_by=("source",), mode="overwrite"
+    )
+    for source in touched:
+        live = os.path.join(catalog.path(table), f"source={source}")
+        staged = os.path.join(catalog.path(staging), f"source={source}")
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        if os.path.isdir(staged):
+            shutil.move(staged, live)
+    catalog.drop(staging)
+    return {
+        "cutoff": cutoff,
+        "rows_dropped": int(counts["expired"]),
+        "rows_kept": int(counts["total"] - counts["expired"]),
+    }
+
+
+def enforce_pyramid_retention(
+    catalog: Catalog,
+    run_kind: str,
+    num_tiers: int,
+    policy: RetentionPolicy,
+    newest_bucket: int | None = None,
+) -> dict[int, dict]:
+    """Apply the policy to every tier table of a pyramid run."""
+    results = {}
+    for tier in range(1, num_tiers + 1):
+        table = f"{run_kind}/tier_{tier:02d}"
+        if catalog.exists(table):
+            results[tier] = enforce_retention(
+                catalog, table, tier, policy, newest_bucket
+            )
+    return results
