@@ -137,3 +137,34 @@ def test_min_size_guard_job_level(spark, workdir):
     cfg = RollupConfig(kernel="avg", window=4, num_tiers=3, run_kind="guard")
     with pytest.raises(ValueError):
         engine.run_pyramid(df, cfg)
+
+
+def test_five_tier_renorm_through_engine(spark, workdir):
+    """Tier 5 exercises the cycle-boundary accumulator renormalization
+    (bitshift==8 -> shift_right) through the PERSISTED accumulator path."""
+    df = generate(spark, n_docs=24, n_tok=4**5, seed=9, num_partitions=2).cache()
+    df.count()
+    for sparse in (False, True):
+        cfg = RollupConfig(kernel="avg", window=4, num_tiers=5, sparse=sparse,
+                           run_kind=f"renorm{int(sparse)}")
+        engine = RollupEngine(spark, workdir)
+        engine.run_pyramid(df, cfg, resume=False)
+        base = _tokens_by_doc(df)
+        _assert_tier_matches(engine, cfg, base, 5)
+
+
+def test_salting_splits_hot_source(spark):
+    """The Zipf-head source must spread across several output partitions."""
+    from pyspark.sql import functions as F
+    from tinybrain_spark.partitioning import cluster_for_write
+
+    df = generate(spark, n_docs=2000, n_tok=16, seed=42, num_partitions=8)
+    hot = (
+        df.groupBy("source").count().orderBy(F.col("count").desc()).first()["source"]
+    )
+    clustered = cluster_for_write(df, num_partitions=16)
+    pid = clustered.where(F.col("source") == hot).select(
+        F.spark_partition_id().alias("pid")
+    )
+    n_parts = pid.distinct().count()
+    assert n_parts >= 3, f"hot source {hot} landed in only {n_parts} partitions"
