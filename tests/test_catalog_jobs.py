@@ -1,0 +1,66 @@
+"""Catalog compaction and the spark-submit job CLIs (retention job runs
+in-process through its main() to avoid a second JVM)."""
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tinybrain_spark.catalog import Catalog
+from tinybrain_spark.datagen import generate
+
+
+def test_compact_reduces_file_count(spark, workdir):
+    cat = Catalog(spark, workdir)
+    df = generate(spark, n_docs=200, n_tok=16, seed=4, num_partitions=8)
+    # simulate accretion: several small appends
+    for _ in range(4):
+        cat.write(df.limit(50), "t", partition_by=("source",), mode="append")
+    before = len(glob.glob(os.path.join(cat.path("t"), "**", "*.parquet"),
+                           recursive=True))
+    n_rows = cat.read("t").count()
+    after = cat.compact("t", partition_by=("source",), target_partitions=2)
+    assert after < before
+    spark.catalog.clearCache()
+    assert cat.read("t").count() == n_rows
+
+
+def test_rollup_then_retention_job_cli(spark, workdir, capsys):
+    """Drive the retention CLI main() against a real pyramid."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import retention_job
+
+    from tinybrain_spark.rollup import RollupConfig, RollupEngine
+
+    df = generate(spark, n_docs=64, n_tok=64, seed=13, num_partitions=2)
+    engine = RollupEngine(spark, workdir)
+    cfg = RollupConfig(kernel="avg", window=4, num_tiers=2, run_kind="cli")
+    engine.run_pyramid(df, cfg, resume=False)
+
+    # monkeypatch get_spark so the CLI reuses the test session
+    import tinybrain_spark.session as sess
+
+    orig = sess.get_spark
+    stopped = []
+    spark.stop = lambda: stopped.append(True)  # CLI calls stop(); keep alive
+    try:
+        sess.get_spark = lambda *a, **k: spark
+        rc = retention_job.main([
+            "--warehouse", workdir,
+            "--run-kind", "cli",
+            "--tiers", "2",
+            "--keep", "1:5",
+        ])
+    finally:
+        sess.get_spark = orig
+        del spark.stop
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "1" in out["per_tier"]
+    t1 = engine.catalog.read(cfg.name(1))
+    newest = t1.agg(F.max("time_bucket")).first()[0]
+    assert t1.where(F.col("time_bucket") < newest - 4).count() == 0

@@ -72,3 +72,32 @@ class Catalog:
         p = self.path(name)
         if os.path.isdir(p):
             shutil.rmtree(p)
+
+    def compact(
+        self,
+        name: str,
+        partition_by: tuple[str, ...] = ("source",),
+        target_partitions: int | None = None,
+    ) -> int:
+        """Rewrite a table into fewer, larger files (small-file compaction
+        — incremental appends/streaming micro-batches accrete small files
+        that degrade scan parallelism accounting at scale).  Stages to a
+        scratch dir then swaps, so a crash never loses the live table.
+        Returns the file count after compaction."""
+        import shutil
+
+        df = self.read(name)
+        if target_partitions:
+            df = df.repartition(target_partitions, *partition_by) if partition_by else df.repartition(target_partitions)
+        staging = f"{name}__compact_staging"
+        self.drop(staging)
+        self.write(df, staging, partition_by=partition_by, mode="overwrite")
+        live, staged = self.path(name), self.path(staging)
+        backup = live + "__pre_compact"
+        shutil.move(live, backup)
+        shutil.move(staged, live)
+        shutil.rmtree(backup)
+        n = 0
+        for _root, _dirs, files in os.walk(live):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
