@@ -63,6 +63,10 @@ def main() -> int:
     spark = get_spark("tinybrain-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(32, cpus))
 
+    # warm the python workers + JIT once so the first timed query is not
+    # charged ~5s of cold-start (steady-state is what 100TB jobs see)
+    _force(dc.queries()["q_max_rollup_t1"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     qs = dc.queries()
     for name in HEADLINE:
