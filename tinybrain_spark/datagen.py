@@ -70,7 +70,11 @@ def generate(
         sources = np.empty(rows, dtype=object)
 
         for j, i in enumerate(idx):
-            rng = np.random.Generator(np.random.Philox(key=seed, counter=i))
+            # key=(seed, i): an independent Philox stream per doc.
+            # (counter=i would make adjacent docs share most of their
+            # stream — correlated rows that parquet compresses 10-30x,
+            # silently distorting any I/O benchmark.)
+            rng = np.random.Generator(np.random.Philox(key=[seed, i]))
             if categorical:
                 # long runs of equal adjacent labels: exercises the
                 # instant-majority fast path (README.md:110)

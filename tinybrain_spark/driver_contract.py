@@ -443,6 +443,38 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-set: one survivor (min doc_id) per normalized-content
+    cluster — the materialized output a training pipeline actually
+    consumes (drop-duplicates with a deterministic keep policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+_DEDUP_KEEP = r"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -721,27 +753,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), " +")).alias("word"),
     ).distinct()
     h = _word_hash_expr(F.col("word"))
-    wb = words.select(
-        "doc_id",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        # F.shiftright requires a python int in pyspark 4; use SQL form
-        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("w"),
+    wh = words.select("doc_id", h.alias("h"))
+    # one shuffle, 32 aggregate columns — instead of exploding 32x rows
+    votes = wh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
     )
-    bits = wb.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
-    return (
-        bits.select(
-            "doc_id",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bitval"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    simhash = None
+    for b in range(32):
+        bitval = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = bitval if simhash is None else simhash + bitval
+    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 _SIMHASH = """
@@ -1216,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_keep": q_dedup_keep,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -1261,6 +1290,7 @@ FROM seq GROUP BY user_id, pos // 8
         "q_gapfill_zero": _GAPFILL,
         # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible)
         "q_dedup_exact": _DEDUP_EXACT,
+        "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
         "q_token_count": _TOKEN_COUNT,
         "q_quality_score": _QUALITY,

@@ -18,7 +18,7 @@ clustering only) -> partitioned write.  Pooling itself never shuffles.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
