@@ -242,9 +242,17 @@ def _stippled4_one(win: np.ndarray) -> np.ndarray:
     return np.where(pair != 0, pair, fallback).astype(win.dtype)
 
 
-def _mode8_one(win: np.ndarray, sparse: bool) -> np.ndarray:
+def _mode8_one(
+    win: np.ndarray, sparse: bool, fallback_last: bool = False
+) -> np.ndarray:
     """(rows, n_out, 8) -> (rows, n_out): counting mode, first scan-order
-    occurrence wins ties (accelerated.hpp:1069-1149)."""
+    occurrence wins ties (accelerated.hpp:1069-1149).
+
+    ``fallback_last`` replicates the numpy countless3d fallback instead:
+    a window with NO repeated value yields its LAST element
+    (downsample.py:456 ``lor(reduce(lor, results), sections[-1])``),
+    whereas the accelerated kernel yields the first.
+    """
     w = win.shape[-1]
     counts = np.zeros(win.shape, dtype=np.int8)
     for t in range(w):
@@ -256,6 +264,9 @@ def _mode8_one(win: np.ndarray, sparse: bool) -> np.ndarray:
     # scan-order occurrence of the winning value, exactly the reference's
     # tie-break (and its count>=4 instant win is equivalent).
     best = np.argmax(counts, axis=-1)
+    if fallback_last:
+        no_repeat = counts.max(axis=-1) <= 1
+        best = np.where(no_repeat, w - 1, best)
     out = np.take_along_axis(win, best[..., np.newaxis], axis=-1)[..., 0]
     if sparse:
         all_zero = (win == 0).all(axis=-1)
