@@ -103,14 +103,16 @@ class RollupEngine:
 
         run_kind = f"{config.run_kind}:{config.kernel}{config.window}"
         pending = src
+        completed: set[str] = set()
         if resume:
-            pending = self.checkpoints.filter_pending(src, run_kind, tier)
-
-        # rows_in per source: column-pruned scan, no UDF involved
-        rows_in_map = {
-            r["source"]: r["cnt"]
-            for r in pending.groupBy("source").agg(F.count("*").alias("cnt")).collect()
-        }
+            completed = {
+                r["source"]
+                for r in self.checkpoints.completed_sources(
+                    run_kind, tier
+                ).collect()
+            }
+            if completed:
+                pending = src.where(~F.col("source").isin(completed))
 
         # Cluster BEFORE pooling: repartitionByRange samples its child to
         # pick range bounds — with the UDF upstream that would execute the
@@ -142,13 +144,14 @@ class RollupEngine:
         per_source = [
             {
                 "source": r["source"],
-                "rows_in": rows_in_map.get(r["source"], 0),
+                # pooling is per-row: rows_in == rows_out, no extra scan
+                "rows_in": r["rows_out"],
                 "rows_out": r["rows_out"],
                 "points_out": r["points_out"],
                 "checksum": r["checksum"] or 0,
             }
             for r in per_source_rows
-            if r["source"] in rows_in_map  # only newly-computed partitions
+            if r["source"] not in completed  # only newly-computed partitions
         ]
         wall = time.time() - t0
         self.checkpoints.record_tier(run_kind, tier, per_source, wall)
