@@ -295,6 +295,57 @@ def q_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward (the 'previous'
+    policy): missing hours inherit the prior bucket's count."""
+    from .gapfill import gap_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.col("event_type").alias("source"),
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("time_bucket"),
+        )
+        .groupBy("source", "time_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+    filled = gap_fill(
+        hourly, ["source"], "time_bucket", ["n_events"], policy="previous"
+    )
+    return filled.select(
+        "source",
+        F.col("time_bucket").cast("long").alias("time_bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_GAPFILL_LOCF = """
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS time_bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(time_bucket) AS lo, max(time_bucket) AS hi FROM hourly
+), spine AS (
+  SELECT s.source, g.b AS time_bucket
+  FROM (SELECT DISTINCT source FROM hourly) s
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds) g
+), joined AS (
+  SELECT spine.source, spine.time_bucket, hourly.n_events
+  FROM spine LEFT JOIN hourly
+    ON spine.source = hourly.source AND spine.time_bucket = hourly.time_bucket
+)
+SELECT source,
+       CAST(time_bucket AS BIGINT) AS time_bucket,
+       CAST(last_value(n_events IGNORE NULLS) OVER (
+         PARTITION BY source ORDER BY time_bucket
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_events
+FROM joined
+"""
+
 _GAPFILL = """
 WITH hourly AS (
   SELECT event_type AS source,
@@ -1241,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine features
         "q_continuous_agg": q_continuous_agg,
         "q_gapfill_zero": q_gapfill_zero,
+        "q_gapfill_locf": q_gapfill_locf,
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
@@ -1288,6 +1340,7 @@ FROM seq GROUP BY user_id, pos // 8
         "q_topk_users": _TOPK_USERS,
         "q_continuous_agg": _CONT_AGG,
         "q_gapfill_zero": _GAPFILL,
+        "q_gapfill_locf": _GAPFILL_LOCF,
         # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible)
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
