@@ -168,3 +168,21 @@ def test_salting_splits_hot_source(spark):
     )
     n_parts = pid.distinct().count()
     assert n_parts >= 3, f"hot source {hot} landed in only {n_parts} partitions"
+
+
+@pytest.mark.parametrize("kernel,sparse", [("avg", True), ("mode", False)])
+def test_single_pass_pyramid_equals_tiered(spark, base_df, workdir, kernel, sparse):
+    """One-scan pyramid == the tier-by-tier materialization."""
+    cfg = RollupConfig(kernel=kernel, window=4, num_tiers=3, sparse=sparse,
+                       run_kind=f"sp_{kernel}{int(sparse)}")
+    engine = RollupEngine(spark, workdir)
+    stats = engine.run_pyramid_single_pass(base_df, cfg)
+    assert set(stats) == {1, 2, 3}
+    assert stats[1]["rows_out"] == N_DOCS
+    base = _tokens_by_doc(base_df)
+    for tier in (1, 2, 3):
+        got = _tokens_by_doc(engine.read_pyramid_tier(cfg, tier))
+        for doc_id, toks in base.items():
+            want = K.pool(kernel, toks, window=4, num_tiers=tier,
+                          sparse=sparse)[tier - 1]
+            assert np.array_equal(got[doc_id], want), (kernel, tier, doc_id)

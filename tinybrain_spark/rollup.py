@@ -81,6 +81,73 @@ class RollupEngine:
             stats[tier] = self.run_tier(df, config, tier, resume=resume)
         return stats
 
+    def run_pyramid_single_pass(
+        self,
+        df: DataFrame,
+        config: RollupConfig,
+    ) -> dict:
+        """Materialize ALL tiers from ONE scan + ONE kernel pass.
+
+        The multi-tier kernel already computes every level from the
+        shared accumulator (the reference's num_mips semantics,
+        accelerated.pyx:223-259), so when per-tier resume granularity is
+        not needed this writes the whole pyramid with a single input
+        scan — k fewer scans and k-1 fewer Arrow exchanges than the
+        tiered path.  Output: one table `<run_kind>/pyramid` partitioned
+        by (tier, source).  Results are identical to the tiered path
+        (pinned by test)."""
+        from .udfs import pool_all_tiers_udf
+
+        min_n = df.agg(F.min("n_tok")).collect()[0][0]
+        if min_n is None:
+            raise ValueError("empty input table")
+        config.validate(int(min_n))
+
+        t0 = time.time()
+        udf = pool_all_tiers_udf(
+            config.kernel,
+            window=config.window,
+            num_tiers=config.num_tiers,
+            sparse=config.sparse,
+        )
+        clustered = cluster_for_write(df.select(*TIER_KEY_COLS, "tokens"))
+        out = clustered.select(
+            *TIER_KEY_COLS,
+            F.posexplode(udf("tokens")).alias("tier0", "tokens"),
+        ).select(
+            *TIER_KEY_COLS,
+            (F.col("tier0") + 1).alias("tier"),
+            "tokens",
+            F.size("tokens").alias("n_tok"),
+        )
+        table = f"{config.run_kind}/pyramid"
+        self.catalog.write(
+            out, table, partition_by=("tier", "source"), mode="overwrite_partitions"
+        )
+        written = self.catalog.read(table)
+        stats_rows = (
+            written.groupBy("tier")
+            .agg(
+                F.count("*").alias("rows_out"),
+                F.sum(F.size("tokens")).alias("points_out"),
+            )
+            .collect()
+        )
+        wall = time.time() - t0
+        return {
+            int(r["tier"]): {
+                "rows_out": r["rows_out"],
+                "points_out": r["points_out"],
+                "wall_sec": wall,
+            }
+            for r in stats_rows
+        }
+
+    def read_pyramid_tier(self, config: RollupConfig, tier: int) -> DataFrame:
+        return self.catalog.read(f"{config.run_kind}/pyramid").where(
+            F.col("tier") == tier
+        )
+
     def run_tier(
         self,
         df: DataFrame,
