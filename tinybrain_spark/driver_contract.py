@@ -314,7 +314,9 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = gap_fill(
         hourly, ["source"], "time_bucket", ["n_events"], policy="previous"
     )
-    return filled.select(
+    # drop rows before a group's first observation: NULL vs NaN encoding
+    # differs across engines and would poison the driver's value-hash
+    return filled.where(F.col("n_events").isNotNull()).select(
         "source",
         F.col("time_bucket").cast("long").alias("time_bucket"),
         F.col("n_events").cast("long").alias("n_events"),
@@ -338,12 +340,15 @@ WITH hourly AS (
   FROM spine LEFT JOIN hourly
     ON spine.source = hourly.source AND spine.time_bucket = hourly.time_bucket
 )
-SELECT source,
-       CAST(time_bucket AS BIGINT) AS time_bucket,
-       CAST(last_value(n_events IGNORE NULLS) OVER (
-         PARTITION BY source ORDER BY time_bucket
-         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_events
-FROM joined
+, locf AS (
+  SELECT source,
+         CAST(time_bucket AS BIGINT) AS time_bucket,
+         CAST(last_value(n_events IGNORE NULLS) OVER (
+           PARTITION BY source ORDER BY time_bucket
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_events
+  FROM joined
+)
+SELECT * FROM locf WHERE n_events IS NOT NULL
 """
 
 _GAPFILL = """
