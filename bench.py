@@ -70,9 +70,13 @@ def main() -> int:
     timings: dict[str, float] = {}
     qs = dc.queries()
     for name in HEADLINE:
-        t0 = time.time()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: sandbox timing variance is 2-3x.
+            # Rebuild per run — pyspark 4.1 memoizes per DataFrame object.
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # --- engine pyramid throughput (north metric) -----------------------
     # materialize the synthetic table as parquet (the engine's real input
