@@ -49,3 +49,33 @@ def test_query_matches_oracle(spark, name):
     sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
     odf = con.execute(entrymod.oracle_sql()[name]).df()
     assert compare(sdf, odf) == []
+
+
+def test_hot_user_sequence_capped(spark):
+    """One pathological user (40k events vs 64 for everyone else) must
+    not blow up the sequence derivation: the row_number pre-filter drops
+    rows past MAX_SEQ BEFORE collect_list, so the hot key costs a
+    window-sort, never an unbounded aggregation buffer."""
+    from pyspark.sql import functions as F
+
+    from tinybrain_spark.driver_contract import MAX_SEQ, _sequence_table
+
+    n_hot, n_cold = 40_000, 64
+    ev = (
+        spark.range(n_hot + 3 * n_cold)
+        .select(
+            F.when(F.col("id") < n_hot, F.lit(7))
+            .otherwise(1 + ((F.col("id") - n_hot) / n_cold).cast("long"))
+            .alias("user_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            F.col("id").alias("event_id"),
+        )
+    )
+    tt = _sequence_table(ev, F.col("user_id"), "user_id", 16, MAX_SEQ)
+    rows = {r["user_id"]: len(r["tokens"]) for r in tt.collect()}
+    assert rows[7] == MAX_SEQ  # hot user truncated to the cap
+    assert all(v == n_cold for k, v in rows.items() if k != 7)
+    # the cap is applied before aggregation: the plan filters on the
+    # row_number window, not on the collected array
+    plan = tt._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan

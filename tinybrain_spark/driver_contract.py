@@ -27,6 +27,12 @@ from .udfs import pool_udf
 
 TRUNC = 16  # multiple of every window used below (4, 8, 16)
 
+# Hot-key bound: no sequence ever exceeds MAX_SEQ tokens.  The cap is
+# enforced BEFORE the collect_list aggregation (row_number <= MAX_SEQ),
+# so a pathological user with 10^8 events costs one window-sort spill,
+# never a single 10^8-struct aggregation buffer (VERDICT r01 §wrong #3).
+MAX_SEQ = 4096  # multiple of TRUNC
+
 # ---------------------------------------------------------------------------
 # shared token-sequence derivation (Spark side)
 # ---------------------------------------------------------------------------
@@ -42,38 +48,76 @@ def _stok_expr():
     )
 
 
-def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, tokens, stokens) — per-user int32 token arrays, ordered
-    by (ts, event_id), truncated to a multiple of TRUNC."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
+def _sequence_table(
+    ev: DataFrame, key, key_name: str, unit: int, cap: int
+) -> DataFrame:
+    """(key, tokens, stokens): token arrays per `key`, events ordered by
+    (ts, event_id), truncated to a multiple of `unit`, capped at `cap`.
+
+    Skew-safe derivation: a per-key row_number window (shuffle + sort,
+    spillable) drops everything past `cap` BEFORE collect_list, so the
+    aggregation buffer is bounded by `cap` structs per key no matter how
+    hot the key is.  The groupBy reuses the window's hash partitioning —
+    one exchange total.
+    """
+    keyed = ev.select(
+        key.alias(key_name),
         "ts",
         "event_id",
         _tok_expr().alias("tok"),
         _stok_expr().alias("stok"),
     )
-    grouped = ev.groupBy("user_id").agg(
+    w = Window.partitionBy(key_name).orderBy("ts", "event_id")
+    capped = keyed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= cap
+    )
+    grouped = capped.groupBy(key_name).agg(
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "tok", "stok"))).alias(
             "s"
         )
     )
-    trunc_len = (F.floor(F.size("s") / TRUNC) * TRUNC).cast("int")
-    return (
-        grouped.select(
-            "user_id",
-            F.slice(
-                F.transform("s", lambda x: x["tok"].cast("int")), F.lit(1), trunc_len
-            ).alias("tokens"),
-            F.slice(
-                F.transform("s", lambda x: x["stok"].cast("int")), F.lit(1), trunc_len
-            ).alias("stokens"),
-        )
-        .where(F.size("tokens") > 0)
+    trunc_len = (F.floor(F.size("s") / unit) * unit).cast("int")
+    return grouped.select(
+        key_name,
+        F.slice(
+            F.transform("s", lambda x: x["tok"].cast("int")), F.lit(1), trunc_len
+        ).alias("tokens"),
+        F.slice(
+            F.transform("s", lambda x: x["stok"].cast("int")), F.lit(1), trunc_len
+        ).alias("stokens"),
+    ).where(F.size("tokens") > 0)
+
+
+def token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, tokens, stokens) — per-user int32 token arrays, ordered
+    by (ts, event_id), truncated to a multiple of TRUNC, capped at
+    MAX_SEQ tokens per user (hot-key bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    return _sequence_table(ev, F.col("user_id"), "user_id", TRUNC, MAX_SEQ)
+
+
+LONG_GROUPS = 4  # deep-tier sequences: events coalesced into 4 streams
+LONG_UNIT = 1024  # 4**5 — w=4 tier-5 needs 1024 tokens per sequence
+LONG_CAP = 8192  # multiple of LONG_UNIT
+
+W8_UNIT = 64  # 8**2 — w=8 tier-2 needs 64 tokens per sequence
+
+
+def long_token_table(
+    spark: SparkSession, sf_dir: str, unit: int = LONG_UNIT, cap: int = LONG_CAP
+) -> DataFrame:
+    """(gid, tokens, stokens) — events coalesced into LONG_GROUPS long
+    streams keyed by user_id % LONG_GROUPS, so deep retention tiers
+    (w=4 tier 5 needs 4^5 = 1024 tokens) have full windows even at small
+    scale factors."""
+    ev = load_table(spark, sf_dir, "events")
+    return _sequence_table(
+        ev, (F.col("user_id") % LONG_GROUPS).cast("long"), "gid", unit, cap
     )
 
 
 # the same derivation as a DuckDB CTE (oracle side)
-SEQ_CTE = """
+SEQ_CTE = f"""
 WITH seq0 AS (
   SELECT user_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
@@ -83,7 +127,24 @@ WITH seq0 AS (
          count(*) OVER (PARTITION BY user_id) AS cnt
   FROM events
 ), seq AS (
-  SELECT * FROM seq0 WHERE pos < (cnt // 16) * 16
+  SELECT * FROM seq0 WHERE pos < least((cnt // {TRUNC}) * {TRUNC}, {MAX_SEQ})
+)
+"""
+
+
+def _long_cte(unit: int, cap: int) -> str:
+    return f"""
+WITH seq0 AS (
+  SELECT user_id % {LONG_GROUPS} AS gid,
+         row_number() OVER (PARTITION BY user_id % {LONG_GROUPS}
+                            ORDER BY ts, event_id) - 1 AS pos,
+         CAST(((event_id % 65521) * 31 + 7) % 256 AS BIGINT) AS tok,
+         CAST(CASE WHEN event_id % 10 < 3 THEN 0
+              ELSE ((event_id % 65521) * 31 + 7) % 256 END AS BIGINT) AS stok,
+         count(*) OVER (PARTITION BY user_id % {LONG_GROUPS}) AS cnt
+  FROM events
+), seq AS (
+  SELECT * FROM seq0 WHERE pos < least((cnt // {unit}) * {unit}, {cap})
 )
 """
 
@@ -105,6 +166,26 @@ def _pool_query(kernel, window, tiers, sparse):
         col = "stokens" if sparse else "tokens"
         udf = pool_udf(kernel, window=window, num_tiers=tiers, sparse=sparse)
         return _explode_pooled(tt.select("user_id", udf(col).alias("p")), "p")
+
+    return q
+
+
+def _long_pool_query(kernel, window, tiers, sparse, unit):
+    """Deep-tier pooling over the long coalesced sequences (gid key)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tt = long_token_table(spark, sf_dir, unit=unit, cap=LONG_CAP)
+        col = "stokens" if sparse else "tokens"
+        udf = pool_udf(kernel, window=window, num_tiers=tiers, sparse=sparse)
+        pooled = tt.select("gid", udf(col).alias("p"))
+        return pooled.select(
+            F.col("gid").cast("long").alias("gid"),
+            F.posexplode("p").alias("pos", "token"),
+        ).select(
+            "gid",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("token").cast("long").alias("token"),
+        )
 
     return q
 
@@ -225,6 +306,61 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(pos // 4 AS BIGINT) AS pos,
        CAST(tok AS BIGINT) AS token
 FROM seq WHERE pos % 4 = 0
+"""
+
+# -- deep tiers crossing the accumulator cycle-renorm boundary -------------
+#
+# w=4, cycle 4 (accelerated.pyx:224): tiers 1-4 render the shared int64
+# block-sum accumulator with shifts 2/4/6/8; after the shift-8 render the
+# accumulator is renormalized (accum >>= 8, pyx:240-241), so tier 5 =
+# (sum of 4 renormed tier-4 block sums) >> 2.  The sparse w=4 path never
+# shifts its denominator at the boundary (pyx:240-259 quirk): tier-5
+# denominators are plain sums of nonzero counts of ORIGINAL values.
+
+_AVG_T5 = _long_cte(LONG_UNIT, LONG_CAP) + """
+, t4 AS (
+  SELECT gid, pos // 256 AS p, sum(tok) AS s
+  FROM seq GROUP BY gid, pos // 256
+)
+SELECT CAST(gid AS BIGINT) AS gid,
+       CAST(p // 4 AS BIGINT) AS pos,
+       CAST(sum(s // 256) // 4 AS BIGINT) AS token
+FROM t4 GROUP BY gid, p // 4
+"""
+
+_AVG_SPARSE_T5 = _long_cte(LONG_UNIT, LONG_CAP) + """
+, t4 AS (
+  SELECT gid, pos // 256 AS p,
+         sum(stok) AS s,
+         count(*) FILTER (WHERE stok <> 0) AS d
+  FROM seq GROUP BY gid, pos // 256
+)
+SELECT CAST(gid AS BIGINT) AS gid,
+       CAST(p // 4 AS BIGINT) AS pos,
+       CAST(CASE WHEN sum(d) = 0 THEN 0
+            ELSE sum(s // 256) // sum(d) END AS BIGINT) AS token
+FROM t4 GROUP BY gid, p // 4
+"""
+
+# w=8 tier 2 (cycle 8, pyx:742 — no boundary before tier 9): dense
+# renders accum >> 6 == blocksum64 // 64; sparse divides the 64-block
+# numerator by the 64-block nonzero count (denominator accumulated
+# across tiers, pyx:746-757).
+
+_AVG_W8_T2 = _long_cte(W8_UNIT, LONG_CAP) + """
+SELECT CAST(gid AS BIGINT) AS gid,
+       CAST(pos // 64 AS BIGINT) AS pos,
+       CAST(sum(tok) // 64 AS BIGINT) AS token
+FROM seq GROUP BY gid, pos // 64
+"""
+
+_AVG_SPARSE_W8_T2 = _long_cte(W8_UNIT, LONG_CAP) + """
+SELECT CAST(gid AS BIGINT) AS gid,
+       CAST(pos // 64 AS BIGINT) AS pos,
+       CAST(CASE WHEN count(*) FILTER (WHERE stok <> 0) = 0 THEN 0
+            ELSE sum(stok) // (count(*) FILTER (WHERE stok <> 0))
+            END AS BIGINT) AS token
+FROM seq GROUP BY gid, pos // 64
 """
 
 
@@ -1281,6 +1417,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
         "q_avg_sparse_t1": _pool_query("avg", 4, 1, True),
+        # deep tiers crossing the cycle-renorm boundary (pyx:224,240-241)
+        "q_avg_rollup_t5": _long_pool_query("avg", 4, 5, False, LONG_UNIT),
+        "q_avg_sparse_t5": _long_pool_query("avg", 4, 5, True, LONG_UNIT),
+        "q_avg_rollup_w8_t2": _long_pool_query("avg", 8, 2, False, W8_UNIT),
+        "q_avg_sparse_w8_t2": _long_pool_query("avg", 8, 2, True, W8_UNIT),
         "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
         "q_mode_rollup_t2": _pool_query("mode", 4, 2, False),
         "q_mode_sparse_t1": _pool_query("mode", 4, 1, True),
@@ -1331,6 +1472,10 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM seq GROUP BY user_id, pos // 8
 """,
         "q_avg_sparse_t1": _AVG_SPARSE_T1,
+        "q_avg_rollup_t5": _AVG_T5,
+        "q_avg_sparse_t5": _AVG_SPARSE_T5,
+        "q_avg_rollup_w8_t2": _AVG_W8_T2,
+        "q_avg_sparse_w8_t2": _AVG_SPARSE_W8_T2,
         "q_mode_rollup_t1": _MODE_T1,
         "q_mode_rollup_t2": _MODE_T2,
         "q_mode_sparse_t1": _MODE_SPARSE_T1,
