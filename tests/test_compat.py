@@ -175,3 +175,27 @@ def test_max_min_match_reference(ref, factor):
         want = theirs(img, factor, num_mips=2)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(g, w)
+
+
+def test_segmentation_float_bit_view():
+    """Fast-factor mode pooling accepts float labels via raw-bit
+    reinterpretation (accelerated.pyx:1198-1231, 1271-1296): NaN windows
+    compare bit-equal and -0.0 != +0.0."""
+    import numpy as np
+
+    from tinybrain_spark import compat as tb
+
+    img = np.array(
+        [[0.0, -0.0], [-0.0, 5.0]], dtype=np.float32
+    )
+    out = tb.downsample_segmentation(img, (2, 2))[0]
+    # b==c (-0.0 bits) wins over value-equality a==b (0.0 == -0.0)
+    assert np.signbit(out.ravel()[0])
+    img = np.array([[np.nan, np.nan], [1.0, 2.0]], dtype=np.float64)
+    out = tb.downsample_segmentation(img, (2, 2))[0]
+    assert np.isnan(out.ravel()[0])
+    # 2x2x2 counting mode on float bits
+    img3 = np.full((2, 2, 2), 3.5, dtype=np.float32)
+    img3[1, 1, 1] = 9.0
+    out = tb.downsample_segmentation(img3, (2, 2, 2))[0]
+    assert out.ravel()[0] == 3.5

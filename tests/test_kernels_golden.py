@@ -174,12 +174,66 @@ def test_min_size_guard():
         K.mode_pool(np.arange(3, dtype=np.int32), window=4, num_tiers=1)
 
 def test_bad_window():
+    # the ACCUMULATOR kernel is pinned to the accelerated windows; the
+    # generic path (pool/avg_pool_generic) takes any window >= 2
     with pytest.raises(ValueError):
         K.avg_pool(np.arange(8, dtype=np.int32), window=3)
+    with pytest.raises(ValueError):
+        K.avg_pool_generic(np.arange(8, dtype=np.int32), window=1)
 
-def test_mode_rejects_float():
+
+def test_avg_generic_w3():
+    # [1,2,3 | 4,5,6 | 7] -> [2, 5, 7]; partial tail averages what's there
+    out = K.avg_pool_generic(np.array([1, 2, 3, 4, 5, 6, 7], dtype=np.int32), 3)
+    assert out[0].tolist() == [2, 5, 7]
+    # truncation toward zero via float temp: [1,1,0] -> 0 (2/3)
+    out = K.avg_pool_generic(np.array([1, 1, 0], dtype=np.int32), 3)
+    assert out[0].tolist() == [0]
+    # sparse: zero-only window -> 0 (clamped count), zeros excluded
+    out = K.avg_pool_generic(
+        np.array([0, 0, 3, 0, 0, 0], dtype=np.int32), 3, sparse=True
+    )
+    assert out[0].tolist() == [3, 0]
+    # per-tier truncation (NO shared accumulator on the generic path):
+    # tier2 of [1]*9 w3: tier1=[1,1,1] -> tier2=[1]
+    out = K.avg_pool_generic(np.ones(9, dtype=np.int32), 3, num_tiers=2)
+    assert out[1].tolist() == [1]
+    # dispatch through pool()
+    out = K.pool("avg", np.array([1, 2, 3, 4, 5, 6], dtype=np.int32), window=3)
+    assert out[0].tolist() == [2, 5]
+
+
+def test_avg_float_divisor():
+    # float tiers divide by w^(m+1), no renorm (accelerated.pyx:469-599)
+    out = K.avg_pool(
+        np.arange(16, dtype=np.float32), window=4, num_tiers=2,
+        dtype=np.float32,
+    )
+    assert out[0].tolist() == [1.5, 5.5, 9.5, 13.5]
+    assert out[1].tolist() == [7.5]  # 120 / 16
+
+
+def test_mode_float_bit_view():
+    # mode pools float labels on their raw bits (pyx:1198-1231):
+    # -0.0 != +0.0 and NaN == NaN, unlike value equality
+    win = np.array([0.0, -0.0, -0.0, 5.0], dtype=np.float32)
+    out = K.mode_pool(win, window=4)[0]
+    assert out.tolist() == [-0.0]
+    assert np.signbit(out)[0]  # b==c chain picked -0.0, not +0.0
+    win = np.array([np.nan, np.nan, 1.0, 2.0], dtype=np.float64)
+    out = K.mode_pool(win, window=4)[0]
+    assert np.isnan(out[0])  # NaN bit-equal -> a==b -> NaN wins
+    # plain float majority still works through the bit view
+    out = K.mode_pool(np.array([7.5, 7.5, 1.0, 2.0], dtype=np.float32), 4)[0]
+    assert out.tolist() == [7.5]
+    # 2-D tile variant
+    tile = np.array([[7.5, 1.0], [7.5, 2.0]], dtype=np.float32)
+    assert K.mode_pool_2d(tile).tolist() == [[7.5]]
+
+
+def test_mode_rejects_unsupported():
     with pytest.raises(TypeError):
-        K.mode_pool(np.arange(8, dtype=np.float32), window=4)
+        K.mode_pool(np.array([object()] * 4), window=4)
 
 
 # ---- true 2-D tile kernels (the reference's actual 2x2 geometry) ----
@@ -227,5 +281,7 @@ def test_tile_kernels_vs_1d_equivalence():
 def test_tile_odd_dims_raise():
     with pytest.raises(ValueError):
         K.avg_pool_2d(np.zeros((3, 4), dtype=np.int32))
+    # floats are now bit-view-pooled (pyx:1198-1231); only dtypes with
+    # no unsigned view of the same width are rejected
     with pytest.raises(TypeError):
-        K.mode_pool_2d(np.zeros((2, 2), dtype=np.float32))
+        K.mode_pool_2d(np.array([[object()] * 2] * 2))

@@ -350,6 +350,19 @@ def downsample_segmentation(img, factor, sparse=False, num_mips=1):
     if all(f == 1 for f in factor):
         return [img] * num_mips
 
+    # the accelerated mode kernels pool ANY 8/16/32/64-bit dtype on its
+    # raw bits (accelerated.pyx:1198-1231, 1271-1296): NaN windows
+    # compare bit-equal, -0.0 != +0.0.  Only the fast factors take this
+    # path — the numpy planner routes floats to striding (downsample.py:
+    # 253-254), matching the reference.
+    if img.dtype.kind in "fc" and factor in (
+        (2, 2), (2, 2, 1), (2, 2, 1, 1), (2, 2, 2), (2, 2, 2, 1)
+    ) and not (sparse and factor in ((2, 2), (2, 2, 1), (2, 2, 1, 1))):
+        mips = downsample_segmentation(
+            K._bit_view(img), factor, sparse=sparse, num_mips=num_mips
+        )
+        return [m.view(img.dtype) for m in mips]
+
     if factor in ((2, 2), (2, 2, 1), (2, 2, 1, 1)) and not sparse:
         img4, ndim = _to4d(img)
         results = []

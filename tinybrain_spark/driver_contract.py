@@ -308,6 +308,53 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM seq WHERE pos % 4 = 0
 """
 
+# -- float tiers + non-power-of-two windows (engine paths) -----------------
+
+
+def q_avg_float_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-dtype tier through the Spark engine: float32 accumulator,
+    divisor 4^(m+1), NO cycle renorm (accelerated.pyx:469-599).  Output
+    scaled to integers (floor(x*1000)) for hash-stable oracle compare —
+    exact because block sums (<= 255*16) and /16 are exact in f32."""
+    from .udfs import float_pool_udf
+
+    tt = token_table(spark, sf_dir)
+    udf = float_pool_udf("avg", window=4, num_tiers=2)
+    pooled = tt.select("user_id", udf("tokens").alias("p"))
+    return pooled.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.posexplode("p").alias("pos", "fval"),
+    ).select(
+        "user_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.floor(F.col("fval").cast("double") * 1000).cast("long").alias("token_c"),
+    )
+
+
+_AVG_FLOAT_T2 = SEQ_CTE + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 16 AS BIGINT) AS pos,
+       CAST(floor((sum(tok) / 16.0) * 1000) AS BIGINT) AS token_c
+FROM seq GROUP BY user_id, pos // 16
+"""
+
+
+def q_avg_rollup_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-power-of-two window through the engine: the reference's
+    numpy generic path (float32 temp accumulate / count divide / cast
+    back, downsample.py:118-145) as a 3:1 retention tier.  Trailing
+    partial windows average over the elements present."""
+    return _pool_query("avg", 3, 1, False)(spark, sf_dir)
+
+
+_AVG_W3 = SEQ_CTE + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 3 AS BIGINT) AS pos,
+       CAST(sum(tok) // count(*) AS BIGINT) AS token
+FROM seq GROUP BY user_id, pos // 3
+"""
+
+
 # -- deep tiers crossing the accumulator cycle-renorm boundary -------------
 #
 # w=4, cycle 4 (accelerated.pyx:224): tiers 1-4 render the shared int64
@@ -1422,6 +1469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_sparse_t5": _long_pool_query("avg", 4, 5, True, LONG_UNIT),
         "q_avg_rollup_w8_t2": _long_pool_query("avg", 8, 2, False, W8_UNIT),
         "q_avg_sparse_w8_t2": _long_pool_query("avg", 8, 2, True, W8_UNIT),
+        # float tiers (4^(m+1) divisor) + non-PoT generic window
+        "q_avg_float_t2": q_avg_float_t2,
+        "q_avg_rollup_w3": q_avg_rollup_w3,
         "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
         "q_mode_rollup_t2": _pool_query("mode", 4, 2, False),
         "q_mode_sparse_t1": _pool_query("mode", 4, 1, True),
@@ -1476,6 +1526,8 @@ FROM seq GROUP BY user_id, pos // 8
         "q_avg_sparse_t5": _AVG_SPARSE_T5,
         "q_avg_rollup_w8_t2": _AVG_W8_T2,
         "q_avg_sparse_w8_t2": _AVG_SPARSE_W8_T2,
+        "q_avg_float_t2": _AVG_FLOAT_T2,
+        "q_avg_rollup_w3": _AVG_W3,
         "q_mode_rollup_t1": _MODE_T1,
         "q_mode_rollup_t2": _MODE_T2,
         "q_mode_sparse_t1": _MODE_SPARSE_T1,

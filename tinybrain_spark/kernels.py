@@ -58,6 +58,7 @@ import numpy as np
 
 __all__ = [
     "avg_pool",
+    "avg_pool_generic",
     "mode_pool",
     "max_pool",
     "min_pool",
@@ -89,9 +90,17 @@ def out_len(n: int, window: int) -> int:
     return -(-n // window)
 
 
-def validate_pool_args(n_tok: int, window: int, num_tiers: int) -> None:
-    if window not in (2, 4, 8):
+def validate_pool_args(
+    n_tok: int, window: int, num_tiers: int, pot_only: bool = True
+) -> None:
+    """``pot_only`` pins the accumulator/mode kernels to the reference's
+    accelerated windows {2,4,8}; the generic paths (avg_pool_generic,
+    max/min/stride — reference downsample.py:118-198,485-506 accept any
+    factor) take any window >= 2."""
+    if pot_only and window not in (2, 4, 8):
         raise ValueError(f"window must be 2, 4 or 8, got {window}")
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
     if num_tiers < 1:
         raise ValueError(f"num_tiers must be >= 1, got {num_tiers}")
     if n_tok < window**num_tiers:
@@ -223,6 +232,41 @@ def avg_pool(
     return [r[0] if squeeze else r for r in results]
 
 
+def avg_pool_generic(
+    tokens: np.ndarray,
+    window: int,
+    num_tiers: int = 1,
+    sparse: bool = False,
+) -> list[np.ndarray]:
+    """Arbitrary-window average pooling — the reference's numpy generic
+    path (downsample.py:118-145, per-mip recursion downsample.py:57-69):
+    accumulate strided offset slices into a float32 temp, divide by the
+    (nonzero-)count, cast back to the input dtype each tier.  Trailing
+    partial windows average over the elements actually present.  Unlike
+    the accelerated path, truncation happens EVERY tier (no shared
+    accumulator) — the reference accepts this for non-{2,4,8} factors."""
+    batch, squeeze = _as_batch(tokens)
+    validate_pool_args(batch.shape[1], window, num_tiers, pot_only=False)
+    dt = batch.dtype
+    results: list[np.ndarray] = []
+    cur = batch
+    for _ in range(num_tiers):
+        rows, n = cur.shape
+        n_out = out_len(n, window)
+        temp = np.zeros((rows, n_out), dtype=np.float32)
+        counts = np.zeros((rows, n_out), dtype=np.int64)
+        for o in range(window):
+            part = cur[:, o::window]
+            wpart = part.shape[1]
+            temp[:, :wpart] += part
+            counts[:, :wpart] += (part != 0) if sparse else 1
+        if sparse:
+            np.maximum(counts, 1, out=counts)
+        cur = np.asarray(temp / counts, dtype=dt)
+        results.append(cur)
+    return [r[0] if squeeze else r for r in results]
+
+
 def _mode4_one(win: np.ndarray) -> np.ndarray:
     """(rows, n_out, 4) -> (rows, n_out): countless tie-break chain."""
     a, b, c, d = win[..., 0], win[..., 1], win[..., 2], win[..., 3]
@@ -274,6 +318,19 @@ def _mode8_one(
     return out.astype(win.dtype)
 
 
+_BIT_VIEW = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+def _bit_view(arr: np.ndarray) -> np.ndarray:
+    """Reinterpret any 8/16/32/64-bit dtype as unsigned bits
+    (accelerated.pyx:1198-1231: `img.view(np.uintN)`)."""
+    try:
+        udt = _BIT_VIEW[arr.dtype.itemsize]
+    except KeyError:
+        raise TypeError(f"no {arr.dtype.itemsize * 8}-bit unsigned view")
+    return np.ascontiguousarray(arr).view(udt)
+
+
 def _mode_pad(batch: np.ndarray, window: int) -> np.ndarray:
     """Partial trailing window for mode: replicate the FIRST element of
     the partial window so it wins outright (reference odd-edge copies
@@ -302,8 +359,18 @@ def mode_pool(
     (a==b -> a else ... else b ≡ mode of a pair with a preferred)."""
     batch, squeeze = _as_batch(tokens)
     validate_pool_args(batch.shape[1], window, num_tiers)
+    if batch.dtype.kind in "fc":
+        # mode-pool ANY 8/16/32/64-bit dtype by viewing its raw bits as
+        # unsigned — the reference's dispatch (accelerated.pyx:1198-1231,
+        # 1271-1296): NaN windows compare bit-equal, -0.0 != +0.0.
+        uview = _bit_view(batch)
+        pooled = mode_pool(uview, window, num_tiers, sparse=sparse)
+        return [
+            p.view(batch.dtype)[0] if squeeze else p.view(batch.dtype)
+            for p in pooled
+        ]
     if not np.issubdtype(batch.dtype, np.integer):
-        raise TypeError("mode_pool requires an integer dtype")
+        raise TypeError(f"mode_pool: unsupported dtype {batch.dtype}")
 
     results: list[np.ndarray] = []
     cur = batch
@@ -327,7 +394,7 @@ def mode_pool(
 
 def _reduce_pool(tokens, window, num_tiers, fn) -> list[np.ndarray]:
     batch, squeeze = _as_batch(tokens)
-    validate_pool_args(batch.shape[1], window, num_tiers)
+    validate_pool_args(batch.shape[1], window, num_tiers, pot_only=False)
     results = []
     cur = batch
     for _ in range(num_tiers):
@@ -350,7 +417,7 @@ def min_pool(tokens, window: int = 4, num_tiers: int = 1) -> list[np.ndarray]:
 def stride_pool(tokens, window: int = 4, num_tiers: int = 1) -> list[np.ndarray]:
     """Keep every window-th element (downsample.py:485-506)."""
     batch, squeeze = _as_batch(tokens)
-    validate_pool_args(batch.shape[1], window, num_tiers)
+    validate_pool_args(batch.shape[1], window, num_tiers, pot_only=False)
     results = []
     cur = batch
     for _ in range(num_tiers):
@@ -397,10 +464,13 @@ def avg_pool_2d(tile: np.ndarray, dtype=np.int32) -> np.ndarray:
 
 def mode_pool_2d(tile: np.ndarray) -> np.ndarray:
     """One 2x2 mode-pool tier over a 2-D tile: the countless-if chain
-    a==b -> a; a==c -> a; b==c -> b; else d (hpp:1023-1042)."""
+    a==b -> a; a==c -> a; b==c -> b; else d (hpp:1023-1042).  Float
+    tiles are pooled on their raw bits (pyx:1198-1231)."""
     tile = np.asarray(tile)
+    if tile.dtype.kind in "fc":
+        return mode_pool_2d(_bit_view(tile)).view(tile.dtype)
     if not np.issubdtype(tile.dtype, np.integer):
-        raise TypeError("mode_pool_2d requires an integer dtype")
+        raise TypeError(f"mode_pool_2d: unsupported dtype {tile.dtype}")
     a, b, c, d = _tile_windows(tile)
     return np.where((a == b) | (a == c), a, np.where(b == c, b, d)).astype(
         tile.dtype
@@ -425,8 +495,15 @@ def pool(
     dtype=None,
 ) -> list[np.ndarray]:
     """Uniform dispatch over the five pooling kernels (the reference's
-    public surface, tinybrain/__init__.py:1-10 + downsample.py:161)."""
+    public surface, tinybrain/__init__.py:1-10 + downsample.py:161).
+    AVG routes non-{2,4,8} windows to the numpy-generic path, like the
+    reference's factor dispatch (downsample.py:47-57)."""
     if kind in ("avg",):
+        if window not in (2, 4, 8):
+            arr = np.asarray(tokens)
+            if dtype is not None:
+                arr = arr.astype(np.dtype(dtype), copy=False)
+            return avg_pool_generic(arr, window, num_tiers, sparse=sparse)
         return avg_pool(tokens, window, num_tiers, sparse=sparse, dtype=dtype)
     if kind == "mode":
         return mode_pool(tokens, window, num_tiers, sparse=sparse)

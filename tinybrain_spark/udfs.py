@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    FloatType,
     IntegerType,
     LongType,
     StructField,
@@ -29,6 +30,7 @@ from . import kernels as K
 
 __all__ = [
     "pool_udf",
+    "float_pool_udf",
     "pool_all_tiers_udf",
     "avg_step_udf",
     "batch_apply",
@@ -90,6 +92,31 @@ def pool_udf(
             return res[pick]
 
         return batch_apply(tokens, kernel)
+
+    return _pool
+
+
+def float_pool_udf(
+    kind: str = "avg",
+    window: int = 4,
+    num_tiers: int = 1,
+    sparse: bool = False,
+    tier: int | None = None,
+):
+    """Scalar pandas UDF over float32 token arrays: the reference's
+    float tier semantics — divide the running accumulator by
+    ``w^(m+1)`` with NO cycle renormalization (accelerated.pyx:469-599,
+    divisor at :497).  Input may be int or float; pooled in float32."""
+    pick = (num_tiers if tier is None else tier) - 1
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _pool(tokens: pd.Series) -> pd.Series:
+        def kernel(batch: np.ndarray) -> np.ndarray:
+            res = K.pool(kind, batch, window=window, num_tiers=num_tiers,
+                         sparse=sparse, dtype=np.float32)
+            return res[pick]
+
+        return batch_apply(tokens, kernel, dtype=np.float32)
 
     return _pool
 
