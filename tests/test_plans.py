@@ -55,3 +55,13 @@ def test_gapfill_uses_single_shuffle_side_broadcast(spark):
     plan = _plan(dc.q_gapfill_zero(spark, SF_DIR))
     # the spine join must not blow up into a cartesian product
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_df_cap_bounds_self_join(spark):
+    """The shingle self-join must be preceded by the document-frequency
+    window filter (df <= CAP) so no join key fans out quadratically."""
+    plan = _plan(dc.q_ngram_jaccard(spark, SF_DIR))
+    # the cap filter is a window count over sh partitions
+    assert "count(1)" in plan and "windowspecdefinition(sh" in plan
+    cap_str = str(dc._NGRAM_DF_CAP)
+    assert f"<= {cap_str}" in plan or f"(df_#" in plan

@@ -1033,16 +1033,27 @@ FROM bits GROUP BY doc_id
 """
 
 
+_NGRAM_DF_CAP = 64  # drop shingles appearing in more docs than this
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard similarity for candidate pairs sharing a
-    shingle, thresholded at 0.5 (pipeline op: n-gram Jaccard near-dup).
-    Emits (doc_a, doc_b, jac_pct)."""
+    RARE shingle, thresholded at 0.5 (pipeline op: n-gram Jaccard
+    near-dup).  Emits (doc_a, doc_b, jac_pct).
+
+    Scale bound: shingles with document frequency > _NGRAM_DF_CAP are
+    dropped from the shingle sets BEFORE the self-join (standard
+    web-dedup practice — a stop-phrase trigram like 'one of the' in k
+    docs would otherwise produce k^2 join rows).  Jaccard is then
+    defined consistently over the rare-shingle sets; the oracle applies
+    the identical cap, and the join's per-key fan-out is <= CAP^2
+    regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.trim(F.col("text")), " +").alias("ws"),
     )
-    shingles = w.select(
+    raw = w.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -1055,7 +1066,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("sh"),
-    ).distinct()
+    )
+    # per-doc dedup AND the DF cap as two window functions over ONE
+    # sh-partitioned exchange (a groupBy+join formulation costs two
+    # extra exchanges; the self-join below then reuses this hash
+    # partitioning on sh)
+    w_dedup = Window.partitionBy("sh").orderBy("doc_id")
+    dedup = (
+        raw.withColumn("prev", F.lag("doc_id").over(w_dedup))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("doc_id")))
+        .drop("prev")
+    )
+    shingles = (
+        dedup.withColumn("df_", F.count("*").over(Window.partitionBy("sh")))
+        .where(F.col("df_") <= _NGRAM_DF_CAP)
+        .drop("df_")
+    )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -1082,16 +1108,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_JACCARD = """
+_NGRAM_JACCARD = f"""
 WITH w AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          string_split_regex(trim(text), ' +') AS ws
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
   FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
   WHERE i <= len(ws) - 2
+), sh AS (
+  SELECT sh0.doc_id, sh0.sh
+  FROM sh0 JOIN (
+    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= {_NGRAM_DF_CAP}
+  ) rare ON sh0.sh = rare.sh
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (

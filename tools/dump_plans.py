@@ -1,0 +1,82 @@
+"""Regenerate PLANS.md — .explain("formatted") of the flagship queries.
+
+Usage: python tools/dump_plans.py   (writes /root/repo/PLANS.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+HEADER = """# PLANS — physical plans of the flagship queries (.explain("formatted"))
+
+Generated from the live session at sf0.001 (plans are scale-invariant in
+shape). What to look for, per SURVEY.md §4: filters/column pruning
+pushed into `Scan parquet` (`ReadSchema`/`PushedFilters`), wide
+`WholeStageCodegen` spans around the JVM-side stages, Arrow exchange
+(`ArrowEvalPython`/`FlatMapGroupsInPandas`) only where the pooling
+kernels run, and exchanges only at aggregation/write boundaries.
+Plan-shape regressions are pinned by tests/test_plans.py.
+Regenerate with `python tools/dump_plans.py`.
+"""
+
+# query -> one-line commentary on why this plan is the one we want
+BLURBS = {
+    "q_avg_rollup_t1": (
+        "Flagship pooling path: scan -> row_number window (hot-key cap, one "
+        "hash exchange reused by the groupBy) -> single ArrowEvalPython "
+        "projection -> explode. Pooling itself never shuffles."
+    ),
+    "q_continuous_agg": (
+        "Salted two-phase aggregate: map-side partial agg inside "
+        "WholeStageCodegen, one exchange on the salted key, final combine."
+    ),
+    "q_gapfill_zero": (
+        "Spine join: the sequence()+explode spine stays tiny; AQE plans the "
+        "LEFT JOIN with the aggregated side broadcast."
+    ),
+    "q_ann_topk": (
+        "Broadcast the 8-probe side; candidates stream through "
+        "WholeStageCodegen; rank window is per-probe."
+    ),
+    "q_tile_mode_2d": (
+        "Grouped 2-D tile pooling: one hash exchange on tile_id, "
+        "FlatMapGroupsInPandas, no further shuffle."
+    ),
+    "q_ngram_jaccard": (
+        "Bounded near-dup join: per-doc dedup AND the document-frequency cap "
+        "(df <= 64) run as two window functions over ONE sh-partitioned "
+        "exchange; the shingle self-join reuses that partitioning, and no "
+        "join key can fan out past CAP^2 rows regardless of corpus size — "
+        "the skew bound that survives web-scale stop-phrase shingles."
+    ),
+}
+
+
+def main() -> int:
+    from tinybrain_spark import driver_contract as dc
+    from tinybrain_spark.session import get_spark
+
+    spark = get_spark("dump-plans", master="local[8]", shuffle_partitions=8)
+    qs = dc.queries()
+    out = [HEADER]
+    for name, blurb in BLURBS.items():
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"\n## {name}\n\n{blurb}\n\n```\n{plan.rstrip()}\n```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("".join(out))
+    print(f"wrote {path} ({len(BLURBS)} plans)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
