@@ -1,0 +1,64 @@
+"""Multiband LSH scale path: derived plane counts, bounded buckets,
+and 1-NN correctness on planted near-duplicates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tinybrain_spark.datagen import generate_embeddings
+from tinybrain_spark.similarity import (
+    multiband_candidates,
+    multiband_nn,
+    n_planes_for,
+)
+
+
+def test_n_planes_scales_with_corpus():
+    assert n_planes_for(100) == 4
+    assert n_planes_for(256 * 256) == 8
+    assert n_planes_for(10**9) == 22
+    assert n_planes_for(10**12) == 24  # clamped
+    # bucket count tracks corpus size -> expected bucket size ~constant
+    for n in (10**6, 10**9):
+        assert n / 2 ** n_planes_for(n) <= 512
+
+
+def test_multiband_nn_finds_planted_duplicates(spark):
+    """Exact duplicates (identical embeddings, distinct ids) must be
+    each other's 1-NN with cos_c == 999 or 1000."""
+    emb = generate_embeddings(spark, 2000, n_dims=32, n_clusters=64)
+    dupes = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    full = emb.unionByName(dupes)
+    nn = multiband_nn(full, n_dims=32, n_vecs=2020, n_bands=3).toPandas()
+    got = dict(zip(nn["vec_id"], nn["nn_id"]))
+    cos = dict(zip(nn["vec_id"], nn["cos_c"]))
+    found = sum(1 for i in range(20) if got.get(100000 + i) == i)
+    assert found == 20  # every planted dupe resolves to its original
+    assert all(cos[100000 + i] >= 999 for i in range(20))
+
+
+def test_per_bucket_cap_bounds_candidates(spark):
+    """A degenerate corpus (every vector identical -> one bucket per
+    band) must produce at most cap*(cap-1)/2 candidate pairs per band."""
+    n, cap = 400, 50
+    one = generate_embeddings(spark, 1, n_dims=16, n_clusters=1)
+    vec = one.collect()[0]["embedding"]
+    degenerate = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)).cast("float") for x in vec]).alias(
+            "embedding"
+        ),
+    )
+    cands = multiband_candidates(
+        degenerate, n_dims=16, n_planes=6, n_bands=2, per_bucket_cap=cap
+    )
+    assert cands.count() <= cap * (cap - 1) / 2  # dedup across bands
+
+
+def test_multiband_deterministic(spark):
+    emb = generate_embeddings(spark, 1000, n_dims=16)
+    a = multiband_nn(emb, 16, n_vecs=1000).orderBy("vec_id").collect()
+    b = multiband_nn(emb, 16, n_vecs=1000).orderBy("vec_id").collect()
+    assert a == b

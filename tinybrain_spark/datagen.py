@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -119,3 +121,49 @@ def with_time_bucket(df: DataFrame, buckets_per_source: int = 64) -> DataFrame:
             % buckets_per_source
         ),
     )
+
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    n_dims: int = 64,
+    n_clusters: int = 1024,
+    noise: float = 0.02,
+    seed: int = 7,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic clustered embeddings for ANN benchmarks: vector i
+    belongs to cluster i % n_clusters, centers are unit-ish Philox
+    draws, plus per-vector noise — near-neighbors exist by
+    construction (same-cluster vectors), so LSH recall is measurable.
+    Counter-based RNG keyed by (seed, cluster) / (seed, i): identical
+    output at any partitioning or scale."""
+
+    @F.pandas_udf(EMB_SCHEMA)
+    def _gen(ids: pd.Series) -> pd.DataFrame:
+        idx = ids.to_numpy(dtype=np.int64)
+        out = np.empty(len(idx), dtype=object)
+        centers: dict[int, np.ndarray] = {}
+        for j, i in enumerate(idx):
+            c = int(i % n_clusters)
+            center = centers.get(c)
+            if center is None:
+                crng = np.random.Generator(np.random.Philox(key=[seed, c]))
+                center = crng.standard_normal(n_dims)
+                center /= np.linalg.norm(center)
+                centers[c] = center
+            vrng = np.random.Generator(np.random.Philox(key=[seed + 1, i]))
+            v = center + noise * vrng.standard_normal(n_dims)
+            out[j] = v.astype(np.float32)
+        return pd.DataFrame({"vec_id": idx, "embedding": out})
+
+    rng_df = spark.range(n_vecs, numPartitions=num_partitions)
+    return rng_df.select(_gen(F.col("id")).alias("r")).select("r.vec_id", "r.embedding")
