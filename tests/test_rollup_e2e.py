@@ -186,3 +186,24 @@ def test_single_pass_pyramid_equals_tiered(spark, base_df, workdir, kernel, spar
             want = K.pool(kernel, toks, window=4, num_tiers=tier,
                           sparse=sparse)[tier - 1]
             assert np.array_equal(got[doc_id], want), (kernel, tier, doc_id)
+
+
+def test_run_tier_issues_no_stats_rescan_jobs(spark, base_df, workdir):
+    """Tier metrics ride the write job via df.observe and per-source
+    lineage rows come from parquet footers, so a tier costs exactly:
+    range-sampling + write, lineage append, metrics append — with no
+    post-write stats re-scan and no pre-flight min(n_tok) scan
+    (VERDICT r01 item 10)."""
+    cfg = RollupConfig(kernel="avg", window=4, num_tiers=2, run_kind="jc")
+    engine = RollupEngine(spark, workdir)
+    sc = spark.sparkContext
+    sc.setJobGroup("jc_tier1", "tier 1")
+    engine.run_tier(base_df, cfg, tier=1)
+    sc.setJobGroup("jc_done", "after")
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("jc_tier1"))
+    # measured: 6 = repartitionByRange sampling, kernel+write, broadcast
+    # of the (empty) completed-lineage set, lineage append, metrics
+    # append (2 incl. local-rows conversion).  The pre-refactor path
+    # added a stats groupBy-collect over the written tier and a
+    # pyramid-level min(n_tok) scan on top.
+    assert n_jobs <= 6, f"run_tier launched {n_jobs} jobs"

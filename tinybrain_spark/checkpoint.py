@@ -31,6 +31,10 @@ from .catalog import Catalog
 LINEAGE_TABLE = "lineage"
 METRICS_TABLE = "metrics"
 
+# Per-source rows come from parquet footers (metadata-only; Iceberg
+# manifests carry them natively); per-source VALUE sums would need a
+# second scan per tier, so points/checksum live at tier granularity in
+# METRICS, computed by df.observe on the write job itself.
 LINEAGE_SCHEMA = StructType(
     [
         StructField("run_kind", StringType(), False),
@@ -38,8 +42,6 @@ LINEAGE_SCHEMA = StructType(
         StructField("source", StringType(), False),
         StructField("rows_in", LongType(), False),
         StructField("rows_out", LongType(), False),
-        StructField("points_out", LongType(), False),
-        StructField("checksum", LongType(), False),
         StructField("status", StringType(), False),
         StructField("completed_at", TimestampType(), False),
     ]
@@ -51,6 +53,8 @@ METRICS_SCHEMA = StructType(
         StructField("tier", IntegerType(), False),
         StructField("rows_out", LongType(), False),
         StructField("points_out", LongType(), False),
+        StructField("checksum", LongType(), False),
+        StructField("min_n_tok", LongType(), False),
         StructField("wall_sec", DoubleType(), False),
         StructField("points_per_sec", DoubleType(), False),
         StructField("completed_at", TimestampType(), False),
@@ -91,10 +95,12 @@ class CheckpointStore:
         run_kind: str,
         tier: int,
         per_source: list[dict],
+        totals: dict,
         wall_sec: float,
     ) -> None:
-        """per_source: rows of {source, rows_in, rows_out, points_out,
-        checksum} collected from the tier's stats aggregation."""
+        """per_source: rows of {source, rows_in, rows_out} (parquet-
+        footer counts); totals: {rows_out, points_out, checksum,
+        min_n_tok} observed on the write job."""
         spark = self.catalog.spark
         now = time.time()
         import datetime as dt
@@ -107,8 +113,6 @@ class CheckpointStore:
                 r["source"],
                 int(r["rows_in"]),
                 int(r["rows_out"]),
-                int(r["points_out"]),
-                int(r["checksum"]),
                 "complete",
                 ts,
             )
@@ -120,14 +124,15 @@ class CheckpointStore:
                 LINEAGE_TABLE,
                 mode="append",
             )
-        rows_out = sum(int(r["rows_out"]) for r in per_source)
-        points = sum(int(r["points_out"]) for r in per_source)
+        points = int(totals["points_out"])
         metrics = [
             (
                 run_kind,
                 tier,
-                rows_out,
+                int(totals["rows_out"]),
                 points,
+                int(totals["checksum"]),
+                int(totals["min_n_tok"]),
                 float(wall_sec),
                 points / wall_sec if wall_sec > 0 else 0.0,
                 ts,

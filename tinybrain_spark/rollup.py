@@ -31,6 +31,20 @@ from .udfs import avg_step_udf, pool_udf
 
 TIER_KEY_COLS = ("doc_id", "source", "time_bucket")
 
+_GUARD_MSG = "Can't downsample below one window"
+
+
+def _reraise_kernel_guard(exc: Exception) -> None:
+    """The minimum-size guard runs inside the kernel (per batch, no
+    driver pre-scan job); translate the wrapped executor error back to
+    the ValueError the reference raises (accelerated.pyx:89-90)."""
+    msg = str(exc)
+    if _GUARD_MSG in msg:
+        detail = next(
+            (ln for ln in msg.splitlines() if _GUARD_MSG in ln), _GUARD_MSG
+        )
+        raise ValueError(detail.strip()) from exc
+
 
 @dataclass(frozen=True)
 class RollupConfig:
@@ -45,6 +59,16 @@ class RollupConfig:
 
     def validate(self, min_n_tok: int) -> None:
         K.validate_pool_args(min_n_tok, self.window, self.num_tiers)
+
+    def validate_static(self) -> None:
+        """Window/tier sanity without scanning the data.  The per-row
+        minimum-length guard (accelerated.pyx:89-90) is enforced inside
+        the kernel on every batch, so a dedicated driver-side
+        min(n_tok) pre-scan job is unnecessary; the observed min is
+        still recorded in the tier metrics."""
+        K.validate_pool_args(
+            self.window**self.num_tiers, self.window, self.num_tiers
+        )
 
 
 class RollupEngine:
@@ -71,10 +95,7 @@ class RollupEngine:
 
         Returns {tier -> {rows_out, points_out, wall_sec}}.
         """
-        min_n = df.agg(F.min("n_tok")).collect()[0][0]
-        if min_n is None:
-            raise ValueError("empty input table")
-        config.validate(int(min_n))
+        config.validate_static()
 
         stats: dict[int, dict] = {}
         for tier in range(1, config.num_tiers + 1):
@@ -96,12 +117,11 @@ class RollupEngine:
         tiered path.  Output: one table `<run_kind>/pyramid` partitioned
         by (tier, source).  Results are identical to the tiered path
         (pinned by test)."""
+        from pyspark.sql import Observation
+
         from .udfs import pool_all_tiers_udf
 
-        min_n = df.agg(F.min("n_tok")).collect()[0][0]
-        if min_n is None:
-            raise ValueError("empty input table")
-        config.validate(int(min_n))
+        config.validate_static()
 
         t0 = time.time()
         udf = pool_all_tiers_udf(
@@ -111,9 +131,24 @@ class RollupEngine:
             sparse=config.sparse,
         )
         clustered = cluster_for_write(df.select(*TIER_KEY_COLS, "tokens"))
-        out = clustered.select(
+        tiers = clustered.select(
+            *TIER_KEY_COLS, udf("tokens").alias("tiers")
+        )
+        # per-tier stats ride the write job as observe metrics (the tier
+        # count is known, so 'group by tier' unrolls into one aggregate
+        # expression per tier) — no post-write stats re-scan
+        obs = Observation(f"pyramid_{config.run_kind}")
+        metrics = [F.count(F.lit(1)).alias("rows")]
+        for k in range(1, config.num_tiers + 1):
+            metrics.append(
+                F.coalesce(
+                    F.sum(F.size(F.element_at("tiers", k))), F.lit(0)
+                ).alias(f"points_t{k}")
+            )
+        tiers = tiers.observe(obs, *metrics)
+        out = tiers.select(
             *TIER_KEY_COLS,
-            F.posexplode(udf("tokens")).alias("tier0", "tokens"),
+            F.posexplode("tiers").alias("tier0", "tokens"),
         ).select(
             *TIER_KEY_COLS,
             (F.col("tier0") + 1).alias("tier"),
@@ -121,26 +156,25 @@ class RollupEngine:
             F.size("tokens").alias("n_tok"),
         )
         table = f"{config.run_kind}/pyramid"
-        self.catalog.write(
-            out, table, partition_by=("tier", "source"), mode="overwrite_partitions"
-        )
-        written = self.catalog.read(table)
-        stats_rows = (
-            written.groupBy("tier")
-            .agg(
-                F.count("*").alias("rows_out"),
-                F.sum(F.size("tokens")).alias("points_out"),
+        try:
+            self.catalog.write(
+                out, table, partition_by=("tier", "source"),
+                mode="overwrite_partitions",
             )
-            .collect()
-        )
+        except Exception as exc:
+            _reraise_kernel_guard(exc)
+            raise
+        got = obs.get
+        if got["rows"] == 0:
+            raise ValueError("empty input table")
         wall = time.time() - t0
         return {
-            int(r["tier"]): {
-                "rows_out": r["rows_out"],
-                "points_out": r["points_out"],
+            k: {
+                "rows_out": got["rows"],
+                "points_out": got[f"points_t{k}"],
                 "wall_sec": wall,
             }
-            for r in stats_rows
+            for k in range(1, config.num_tiers + 1)
         }
 
     def read_pyramid_tier(self, config: RollupConfig, tier: int) -> DataFrame:
@@ -188,48 +222,86 @@ class RollupEngine:
         # ONE kernel pass.
         clustered = cluster_for_write(pending)
         out = self._pool_tier(clustered, config, tier, prev_has_accum)
-        self.catalog.write(
-            out, table, partition_by=("source",), mode="overwrite_partitions"
-        )
 
-        # stats from the materialized tier (a cheap scan of the 4x-smaller
-        # output; also validates the write)
-        written = self.catalog.read(table)
-        per_source_rows = (
-            written.groupBy("source")
-            .agg(
-                F.count("*").alias("rows_out"),
-                F.sum(F.size("tokens")).alias("points_out"),
+        # tier metrics ride the write job via observe — no post-write
+        # stats re-scan (VERDICT r01 item 10)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"{run_kind}_t{tier}")
+        observed = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.coalesce(F.sum(F.size("tokens")), F.lit(0)).alias("points_out"),
+            F.coalesce(
                 F.sum(
                     F.aggregate(
                         "tokens", F.lit(0).cast("long"), lambda a, x: a + x
                     )
-                ).alias("checksum"),
-            )
-            .collect()
+                ),
+                F.lit(0),
+            ).alias("checksum"),
+            F.min(F.size("tokens")).alias("min_n_tok"),
         )
+        try:
+            self.catalog.write(
+                observed, table, partition_by=("source",),
+                mode="overwrite_partitions",
+            )
+        except Exception as exc:  # surface the in-kernel guard cleanly
+            _reraise_kernel_guard(exc)
+            raise
+        got = obs.get
+
+        # per-source lineage rows (resume granularity) from parquet
+        # footers — an exact metadata-only read, no Spark job.  On a real
+        # deployment Iceberg manifests carry these per-partition counts
+        # natively; per-source VALUE sums would need a second scan, so
+        # sums live at tier granularity in the metrics table.
+        per_source_rows = self._partition_row_counts(table)
         per_source = [
-            {
-                "source": r["source"],
-                # pooling is per-row: rows_in == rows_out, no extra scan
-                "rows_in": r["rows_out"],
-                "rows_out": r["rows_out"],
-                "points_out": r["points_out"],
-                "checksum": r["checksum"] or 0,
-            }
-            for r in per_source_rows
-            if r["source"] not in completed  # only newly-computed partitions
+            # pooling is per-row: rows_in == rows_out
+            {"source": s, "rows_in": n, "rows_out": n}
+            for s, n in sorted(per_source_rows.items())
+            if s not in completed  # only newly-computed partitions
         ]
         wall = time.time() - t0
-        self.checkpoints.record_tier(run_kind, tier, per_source, wall)
+        self.checkpoints.record_tier(
+            run_kind,
+            tier,
+            per_source,
+            totals={
+                "rows_out": int(got["rows_out"]),
+                "points_out": int(got["points_out"]),
+                "checksum": int(got["checksum"]),
+                "min_n_tok": int(got["min_n_tok"] or 0),
+            },
+            wall_sec=wall,
+        )
 
-        total_rows = sum(r["rows_out"] for r in per_source_rows)
-        total_points = sum(r["points_out"] for r in per_source_rows)
         return {
-            "rows_out": total_rows,
-            "points_out": total_points,
+            "rows_out": int(got["rows_out"]),
+            "points_out": int(got["points_out"]),
             "wall_sec": wall,
         }
+
+    def _partition_row_counts(self, table: str, key: str = "source") -> dict:
+        """Exact per-partition row counts from parquet footers (metadata
+        only — kilobytes even for a 10^9-row tier)."""
+        import glob
+        import os
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        counts: dict[str, int] = {}
+        base = self.catalog.path(table)
+        for d in glob.glob(os.path.join(base, f"{key}=*")):
+            src = unquote(os.path.basename(d).split("=", 1)[1])
+            counts[src] = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(d, "*.parquet"))
+            )
+        return counts
 
     def read_tier(self, config: RollupConfig, tier: int) -> DataFrame:
         return self.catalog.read(config.name(tier))
@@ -244,8 +316,11 @@ class RollupEngine:
         prev_has_accum: bool,
     ) -> DataFrame:
         w = config.window
+        guard = config.num_tiers if tier == 1 else None
         if config.kernel == "avg":
-            step = avg_step_udf(window=w, sparse=config.sparse, tier=tier)
+            step = avg_step_udf(
+                window=w, sparse=config.sparse, tier=tier, guard_tiers=guard
+            )
             if tier == 1:
                 stepped = src.withColumn(
                     "step", step(F.col("tokens"), F.col("tokens").cast("array<long>"))
@@ -268,7 +343,8 @@ class RollupEngine:
 
         # mode/max/min/stride: recursive pooling of rendered values
         udf = pool_udf(
-            config.kernel, window=w, num_tiers=1, sparse=config.sparse
+            config.kernel, window=w, num_tiers=1, sparse=config.sparse,
+            guard_tiers=guard,
         )
         return src.select(
             *TIER_KEY_COLS,

@@ -78,15 +78,24 @@ def pool_udf(
     num_tiers: int = 1,
     sparse: bool = False,
     tier: int | None = None,
+    guard_tiers: int | None = None,
 ):
     """Scalar pandas UDF: tokens array -> pooled array at `tier`
     (default: the deepest tier). Stays fully inside one projection —
-    no shuffle is ever required for pooling itself."""
+    no shuffle is ever required for pooling itself.
+
+    ``guard_tiers``: enforce the pyramid-depth minimum-size guard
+    (accelerated.pyx:89-90, n >= window**guard_tiers) per batch, so the
+    engine needs no driver-side pre-scan to validate a deep pyramid."""
     pick = (num_tiers if tier is None else tier) - 1
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _pool(tokens: pd.Series) -> pd.Series:
         def kernel(batch: np.ndarray) -> np.ndarray:
+            if guard_tiers is not None:
+                K.validate_pool_args(
+                    batch.shape[1], window, guard_tiers, pot_only=False
+                )
             res = K.pool(kind, batch, window=window, num_tiers=num_tiers,
                          sparse=sparse, dtype=np.int32)
             return res[pick]
@@ -154,7 +163,12 @@ _STEP_SCHEMA = StructType(
 )
 
 
-def avg_step_udf(window: int = 4, sparse: bool = False, tier: int = 1):
+def avg_step_udf(
+    window: int = 4,
+    sparse: bool = False,
+    tier: int = 1,
+    guard_tiers: int | None = None,
+):
     """One retention-tier step for AVG from persisted accumulators.
 
     Tier k+1 extends the int64 block-sum accumulator persisted with
@@ -179,6 +193,12 @@ def avg_step_udf(window: int = 4, sparse: bool = False, tier: int = 1):
 
         for idx, stacked in _stack_by_length(values, np.int64):
             if tier == 1:
+                if guard_tiers is not None:
+                    # pyramid-depth guard per batch (pyx:89-90) — no
+                    # driver-side pre-scan needed
+                    K.validate_pool_args(
+                        stacked.shape[1], window, guard_tiers, pot_only=False
+                    )
                 acc = K._windows(stacked, window).sum(axis=2, dtype=np.int64)
                 den = (
                     K._windows((stacked != 0).astype(np.int64), window).sum(
