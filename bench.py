@@ -24,6 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q_avg_rollup_t2",
+    "q_avg_rollup_t5",
+    "q_avg_float_t2",
     "q_avg_sparse_t1",
     "q_mode_rollup_t1",
     "q_mode8_rollup_t1",
