@@ -70,14 +70,25 @@ def plane_matrix(
 
 def lsh_bucket_expr(vec_col: str, n_dims: int, n_planes: int = N_PLANES):
     """JVM-side (Catalyst) bucket id: sum of sign bits over planes.
-    Pure arithmetic -> SQL-oracle-parity."""
+    Pure arithmetic -> SQL-oracle-parity.
+
+    Each plane's dot product is ONE zip_with+aggregate fold instead of
+    n_dims chained Add nodes — same left-to-right float64 additions
+    (bit-identical to the oracle's explicit sum), but the codegen tree
+    shrinks from n_planes*n_dims arithmetic nodes to n_planes folds
+    (cold q_lsh_buckets compile: ~45s -> ~2s, task binary 1.8MB -> KBs).
+    """
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        dot = F.lit(0.0)
-        for i in range(n_dims):
-            dot = dot + F.element_at(vec_col, i + 1).cast("double") * F.lit(
-                plane_weight(p, i)
-            )
+        weights = F.array(
+            *[F.lit(plane_weight(p, i)) for i in range(n_dims)]
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
