@@ -1,0 +1,32 @@
+"""Connected components (hash-min label propagation) unit tests."""
+
+from pyspark.sql import functions as F
+
+from tinybrain_spark.clusters import connected_components
+
+
+def _cc(spark, edge_list, node_list):
+    edges = spark.createDataFrame(edge_list, "a long, b long")
+    nodes = spark.createDataFrame([(n,) for n in node_list], "node long")
+    out = connected_components(edges, nodes)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_components_basic(spark):
+    # two components {1,2,3,7} (chain) and {5,6}; 9 is a singleton
+    got = _cc(spark, [(2, 1), (2, 3), (3, 7), (5, 6)], [1, 2, 3, 5, 6, 7, 9])
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_long_path_converges(spark):
+    # worst case for hash-min: a path graph needs diameter rounds
+    # (kept small — each round is a real shuffle; near-dup graphs have
+    # tiny diameters, see clusters.py docstring)
+    n = 8
+    got = _cc(spark, [(i, i + 1) for i in range(n - 1)], list(range(n)))
+    assert all(v == 0 for v in got.values())
+
+
+def test_cycle_and_self_edge(spark):
+    got = _cc(spark, [(4, 5), (5, 6), (6, 4), (8, 8)], [4, 5, 6, 8])
+    assert got == {4: 4, 5: 4, 6: 4, 8: 8}

@@ -1,0 +1,66 @@
+"""Connected components over a near-dup candidate graph — the step a
+training-data pipeline runs after MinHash/LSH pair generation: candidate
+pairs -> duplicate CLUSTERS -> one survivor per cluster.
+
+Algorithm: hash-min label propagation (the standard Spark CC shape,
+same propagation rule GraphFrames/GraphX use): every node starts
+labeled with itself; each round every node takes the min label among
+itself and its neighbors; converged when no label changes.  Rounds =
+O(component diameter) — near-dup clusters are dense and shallow, so
+this is 2-4 rounds in practice.  Each round is one shuffle join + one
+shuffle aggregate on the edge key; labels are persisted and the plan is
+cut per round (iterative lineage would otherwise grow unboundedly).
+
+At 10^9 edges the round cost is bounded by the edge-join shuffle; the
+classic large-star/small-star optimization halves rounds on adversarial
+long-path graphs, which near-dup graphs are not — documented tradeoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges: (a, b) undirected pairs; nodes: (node) — every vertex,
+    including singletons.  Returns (node, label) with label = min node
+    id in the component."""
+    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
+        edges.selectExpr("b AS src", "a AS dst")
+    )
+    sym = sym.repartition("src").persist()
+    sym.count()
+
+    labels = nodes.select(
+        F.col("node"), F.col("node").alias("label")
+    ).persist()
+    # labels only ever decrease, so sum(label) is a strictly-decreasing
+    # convergence witness: one cheap aggregate per round instead of a
+    # changed-rows join
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    sym.unpersist()
+    return labels

@@ -1139,6 +1139,43 @@ WHERE inter * 100 // (sa.n + sb.n - inter) >= 50
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (hash-min label
+    propagation, tinybrain_spark.clusters) over the MinHash band-pair
+    candidate graph.  cluster_id = min doc_id in the component;
+    singletons map to themselves.  The step after pair generation that
+    a dedup pipeline actually consumes."""
+    from .clusters import connected_components
+
+    pairs = q_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("node")
+    )
+    cc = connected_components(pairs, nodes)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+cc(node, label) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2-D tile pooling (the reference's true 2x2 geometry, grouped UDAF path)
 # ---------------------------------------------------------------------------
@@ -1539,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_minhash_signature": q_minhash_signature,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_topk": q_ann_topk,
@@ -1592,6 +1630,7 @@ FROM seq GROUP BY user_id, pos // 8
         "q_lang_id": _lang_sql(),
         "q_minhash_signature": _minhash_sql(),
         "q_minhash_pairs": _minhash_pairs_sql(),
+        "q_dedup_clusters": _dedup_clusters_sql(),
         "q_simhash": _SIMHASH,
         "q_ngram_jaccard": _NGRAM_JACCARD,
         "q_ann_topk": _ANN_TOPK_SQL,
