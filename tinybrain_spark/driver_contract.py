@@ -1549,6 +1549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # float tiers (4^(m+1) divisor) + non-PoT generic window
         "q_avg_float_t2": q_avg_float_t2,
         "q_avg_rollup_w3": q_avg_rollup_w3,
+        # w=2 pair window (engine extension: 1-D pair tiers)
+        "q_avg_rollup_w2": _pool_query("avg", 2, 1, False),
+        "q_mode_sparse_w2": _pool_query("mode", 2, 1, True),
         "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
         "q_mode_rollup_t2": _pool_query("mode", 4, 2, False),
         "q_mode_sparse_t1": _pool_query("mode", 4, 1, True),
@@ -1606,6 +1609,25 @@ FROM seq GROUP BY user_id, pos // 8
         "q_avg_sparse_w8_t2": _AVG_SPARSE_W8_T2,
         "q_avg_float_t2": _AVG_FLOAT_T2,
         "q_avg_rollup_w3": _AVG_W3,
+        "q_avg_rollup_w2": SEQ_CTE + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 2 AS BIGINT) AS pos,
+       CAST(sum(tok) // 2 AS BIGINT) AS token
+FROM seq GROUP BY user_id, pos // 2
+""",
+        # sparse pair mode: first nonzero of (a, b), else 0
+        "q_mode_sparse_w2": SEQ_CTE + """
+, win AS (
+  SELECT user_id, pos // 2 AS opos,
+         max(CASE WHEN pos % 2 = 0 THEN stok END) AS a,
+         max(CASE WHEN pos % 2 = 1 THEN stok END) AS b
+  FROM seq GROUP BY user_id, pos // 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(opos AS BIGINT) AS pos,
+       CAST(CASE WHEN a <> 0 THEN a ELSE b END AS BIGINT) AS token
+FROM win
+""",
         "q_mode_rollup_t1": _MODE_T1,
         "q_mode_rollup_t2": _MODE_T2,
         "q_mode_sparse_t1": _MODE_SPARSE_T1,
