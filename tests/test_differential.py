@@ -105,3 +105,26 @@ def test_batch_equals_per_row():
             row = K.pool(kind, batch[i], window=4, num_tiers=2)
             for g, r in zip(got, row):
                 np.testing.assert_array_equal(g[i], r)
+
+
+@pytest.mark.parametrize("dtype,sparse", [
+    (np.int16, False), (np.int16, True),   # cycle 5 (pyx:910)
+    (np.int32, False),                     # cycle 8 (pyx:742)
+])
+def test_w8_deep_cycle_renorm(dtype, sparse):
+    """w=8 tiers crossing the accumulator cycle boundary: 16-bit dtypes
+    renormalize every 5 tiers (pyx:910, incl. the denominator shift
+    quirk pyx:758-761), wider dtypes every 8. Needs 8^6 tokens for the
+    16-bit boundary — the one cycle variant deep-tier oracle queries
+    can't reach at test scale."""
+    n = 8 ** 6
+    arr = RNG.integers(0, 100, size=n).astype(dtype)
+    if sparse:
+        arr[RNG.random(n) < 0.5] = 0
+    tiers = 6 if np.dtype(dtype).itemsize == 2 else 6
+    got = K.avg_pool(arr, window=8, num_tiers=tiers, sparse=sparse,
+                     dtype=dtype)
+    want = R.naive_avg(arr, 8, tiers, sparse=sparse, dtype=dtype)
+    for t, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g, np.asarray(w, dtype=dtype),
+                                      err_msg=f"tier {t+1}")
