@@ -285,3 +285,28 @@ def test_tile_odd_dims_raise():
     # no unsigned view of the same width are rejected
     with pytest.raises(TypeError):
         K.mode_pool_2d(np.array([[object()] * 2] * 2))
+
+
+def test_tile_multi_tier_matches_compat_pyramid():
+    """2-D multi-mip tile pooling must equal the compat drop-in API's
+    pyramid (itself pinned by the reference's own test suite) —
+    including the tier-5 shift-8 accumulator renorm."""
+    from tinybrain_spark import compat as tb
+
+    rng = np.random.default_rng(11)
+    # uint8: the accelerated multi-mip dtype (int32 multi-mip routes to
+    # the reference's per-mip generic path, which truncates every tier)
+    tile = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+    got = K.avg_pool_2d_multi(tile, 5, dtype=np.uint8)
+    want = tb.downsample_with_averaging(tile, (2, 2), num_mips=5)
+    for t, (g, w) in enumerate(zip(got, want)):
+        assert np.array_equal(g, w.astype(np.uint8)), f"tier {t+1}"
+    got_m = K.mode_pool_2d_multi(tile, 3)
+    want_m = tb.downsample_segmentation(tile, (2, 2), num_mips=3)
+    for t, (g, w) in enumerate(zip(got_m, want_m)):
+        assert np.array_equal(g, w), f"mode tier {t+1}"
+
+
+def test_tile_multi_tier_guard():
+    with pytest.raises(ValueError):
+        K.avg_pool_2d_multi(np.zeros((8, 8), dtype=np.int32), 4)

@@ -1206,11 +1206,13 @@ def _tile_cells(spark, sf_dir) -> DataFrame:
     )
 
 
-def _tile_query(kernel):
+def _tile_query(kernel, num_tiers: int = 1):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .tiles import tile_pool
 
-        out = tile_pool(_tile_cells(spark, sf_dir), kernel=kernel)
+        out = tile_pool(
+            _tile_cells(spark, sf_dir), kernel=kernel, num_tiers=num_tiers
+        )
         return out.select(
             "tile_id",
             F.col("i").cast("long").alias("i"),
@@ -1238,6 +1240,47 @@ SELECT CAST(tile_id AS BIGINT) AS tile_id,
        CAST(c // 2 AS BIGINT) AS j,
        CAST(sum(tok) // 4 AS BIGINT) AS token
 FROM cells GROUP BY tile_id, r // 2, c // 2
+"""
+
+# tier 2 of the 2-D multi-mip accumulator: 4x4 block sum >> 4 (shift
+# 2(m+1), m=1 — no renorm before the shift-8 boundary)
+_TILE_AVG_T2 = _TILE_CTE + """
+SELECT CAST(tile_id AS BIGINT) AS tile_id,
+       CAST(r // 4 AS BIGINT) AS i,
+       CAST(c // 4 AS BIGINT) AS j,
+       CAST(sum(tok) // 16 AS BIGINT) AS token
+FROM cells GROUP BY tile_id, r // 4, c // 4
+"""
+
+# tier 2 mode-of-modes: countless over the tier-1 countless outputs
+# (downsample.py:215-217), scan order a=(0,0) b=(1,0) c=(0,1) d=(1,1)
+_TILE_MODE_T2 = _TILE_CTE + """
+, win AS (
+  SELECT tile_id, r // 2 AS i, c // 2 AS j,
+         max(CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN tok END) AS a,
+         max(CASE WHEN r % 2 = 1 AND c % 2 = 0 THEN tok END) AS b,
+         max(CASE WHEN r % 2 = 0 AND c % 2 = 1 THEN tok END) AS c_,
+         max(CASE WHEN r % 2 = 1 AND c % 2 = 1 THEN tok END) AS d
+  FROM cells GROUP BY tile_id, r // 2, c // 2
+), t1 AS (
+  SELECT tile_id, i, j,
+         CASE WHEN a = b OR a = c_ THEN a
+              WHEN b = c_ THEN b ELSE d END AS tok
+  FROM win
+), win2 AS (
+  SELECT tile_id, i // 2 AS i, j // 2 AS j,
+         max(CASE WHEN i % 2 = 0 AND j % 2 = 0 THEN tok END) AS a,
+         max(CASE WHEN i % 2 = 1 AND j % 2 = 0 THEN tok END) AS b,
+         max(CASE WHEN i % 2 = 0 AND j % 2 = 1 THEN tok END) AS c_,
+         max(CASE WHEN i % 2 = 1 AND j % 2 = 1 THEN tok END) AS d
+  FROM t1 GROUP BY tile_id, i // 2, j // 2
+)
+SELECT CAST(tile_id AS BIGINT) AS tile_id,
+       CAST(i AS BIGINT) AS i,
+       CAST(j AS BIGINT) AS j,
+       CAST(CASE WHEN a = b OR a = c_ THEN a
+                 WHEN b = c_ THEN b ELSE d END AS BIGINT) AS token
+FROM win2
 """
 
 # countless over the (x, y) scan order: a=(0,0) b=(1,0) c=(0,1) d=(1,1)
@@ -1561,6 +1604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
         "q_tile_avg_2d": _tile_query("avg"),
         "q_tile_mode_2d": _tile_query("mode"),
+        "q_tile_avg_2d_t2": _tile_query("avg", 2),
+        "q_tile_mode_2d_t2": _tile_query("mode", 2),
         # relational coverage
         "q_rollup_metrics": q_rollup_metrics,
         "q_running_sum": q_running_sum,
@@ -1637,6 +1682,8 @@ FROM win
         "q_stride_rollup_t1": _STRIDE_T1,
         "q_tile_avg_2d": _TILE_AVG,
         "q_tile_mode_2d": _TILE_MODE,
+        "q_tile_avg_2d_t2": _TILE_AVG_T2,
+        "q_tile_mode_2d_t2": _TILE_MODE_T2,
         "q_rollup_metrics": _ROLLUP_METRICS,
         "q_running_sum": _RUNNING_SUM,
         "q_topk_users": _TOPK_USERS,

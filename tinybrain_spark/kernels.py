@@ -462,6 +462,48 @@ def avg_pool_2d(tile: np.ndarray, dtype=np.int32) -> np.ndarray:
     return _render_int(acc, 2, dt)
 
 
+def avg_pool_2d_multi(
+    tile: np.ndarray, num_tiers: int, dtype=np.int32
+) -> list[np.ndarray]:
+    """Multi-mip 2x2 average over a 2-D tile with the shared widened
+    accumulator: render mip m as ``blocksum >> 2((m%4)+1)``, renorm the
+    accumulator at the shift-8 boundary — the accelerated pyramid
+    semantics (accelerated.pyx:197-263) in the true 2-D geometry."""
+    dt = np.dtype(dtype)
+    tile = np.asarray(tile)
+    if min(tile.shape[:2]) < 2**num_tiers:
+        raise ValueError(
+            f"tile {tile.shape} too small for {num_tiers} 2x2 tiers"
+        )
+
+    def block_sum(arr):
+        a, b, c, d = _tile_windows(arr)
+        return a + b + c + d
+
+    accum = block_sum(tile.astype(np.int64))
+    results: list[np.ndarray] = []
+    for m in range(num_tiers):
+        shift = 2 * ((m % 4) + 1)
+        results.append(_render_int(accum, shift, dt))
+        if m == num_tiers - 1:
+            break
+        if shift == 8:
+            accum = accum >> 8  # cycle-boundary renorm (pyx:240-241)
+        accum = block_sum(accum)
+    return results
+
+
+def mode_pool_2d_multi(tile: np.ndarray, num_tiers: int) -> list[np.ndarray]:
+    """Multi-mip 2x2 mode over a 2-D tile: mode-of-modes recursion
+    (downsample.py:215-217)."""
+    results: list[np.ndarray] = []
+    cur = np.asarray(tile)
+    for _ in range(num_tiers):
+        cur = mode_pool_2d(cur)
+        results.append(cur)
+    return results
+
+
 def mode_pool_2d(tile: np.ndarray) -> np.ndarray:
     """One 2x2 mode-pool tier over a 2-D tile: the countless-if chain
     a==b -> a; a==c -> a; b==c -> b; else d (hpp:1023-1042).  Float

@@ -38,9 +38,14 @@ TILE_OUT_SCHEMA = StructType(
 )
 
 
-def tile_pool(cells: DataFrame, kernel: str = "avg") -> DataFrame:
+def tile_pool(
+    cells: DataFrame, kernel: str = "avg", num_tiers: int = 1
+) -> DataFrame:
     """cells: (tile_id long, r int, c int, tok int) with dense even-sided
-    tiles.  Returns (tile_id, i, j, token) pooled 2x2."""
+    tiles.  Returns (tile_id, i, j, token) pooled 2x2 ``num_tiers``
+    times: AVG uses the shared multi-mip accumulator (render per tier,
+    renorm at the shift-8 boundary), MODE is mode-of-modes — the
+    reference's pyramid semantics in the true 2-D geometry."""
     if kernel not in ("avg", "mode"):
         raise ValueError(f"tile kernel must be avg or mode, got {kernel!r}")
 
@@ -52,9 +57,9 @@ def tile_pool(cells: DataFrame, kernel: str = "avg") -> DataFrame:
         mat = np.zeros((nr, nc), dtype=np.int64)
         mat[r, c] = tok
         if kernel == "avg":
-            out = K.avg_pool_2d(mat, dtype=np.int64)
+            out = K.avg_pool_2d_multi(mat, num_tiers, dtype=np.int64)[-1]
         else:
-            out = K.mode_pool_2d(mat)
+            out = K.mode_pool_2d_multi(mat, num_tiers)[-1]
         ii, jj = np.meshgrid(
             np.arange(out.shape[0]), np.arange(out.shape[1]), indexing="ij"
         )
