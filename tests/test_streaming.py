@@ -122,3 +122,35 @@ def test_stateful_running_rollup(spark, seq_dir, tmp_path):
     )
     want = {r["source"]: (r["d"], r["p"], r["s"]) for r in batch}
     assert got == want
+
+
+def test_stream_rollup_tier_equals_batch(spark, seq_dir, tmp_path):
+    """Rollup-on-ingest: the streaming pooling tier emits byte-identical
+    rows to the batch tier (pooling is stateless per-row, so the stream
+    needs no watermark or state store)."""
+    from tinybrain_spark.streaming import read_sequence_stream, stream_rollup_tier
+    from tinybrain_spark.udfs import pool_udf
+
+    stream = read_sequence_stream(spark, seq_dir)
+    tier = stream_rollup_tier(stream, kernel="avg", window=4, num_tiers=1)
+    q = (
+        tier.writeStream.format("memory")
+        .queryName("stream_tier")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tier"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: tuple(r["tokens"])
+        for r in spark.sql("SELECT doc_id, tokens FROM stream_tier").collect()
+    }
+    udf = pool_udf("avg", window=4, num_tiers=1)
+    want = {
+        r["doc_id"]: tuple(r["t"])
+        for r in spark.read.parquet(seq_dir)
+        .select("doc_id", udf("tokens").alias("t"))
+        .collect()
+    }
+    assert got == want

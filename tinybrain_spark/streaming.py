@@ -82,6 +82,36 @@ def read_sequence_stream(
     return reader.load(input_path)
 
 
+def stream_rollup_tier(
+    stream: DataFrame,
+    kernel: str = "avg",
+    window: int = 4,
+    num_tiers: int = 1,
+    sparse: bool = False,
+) -> DataFrame:
+    """A retention tier over a STREAM of sequence rows.
+
+    Pooling is per-row and stateless (every tokens array pools
+    independently), so the streaming plan needs no watermark, state
+    store, or shuffle: file scan -> one ArrowEvalPython projection ->
+    sink, and every row's output is byte-identical to the batch tier
+    (pinned by test).  At 10^12-sequence scale this is the
+    'rollup-on-ingest' path: new sequences land already downsampled,
+    and the batch engine's deeper tiers read from this stream's sink.
+    """
+    from .udfs import pool_udf
+
+    udf = pool_udf(
+        kernel, window=window, num_tiers=num_tiers, sparse=sparse
+    )
+    return stream.select(
+        "doc_id",
+        "source",
+        "time_bucket",
+        udf("tokens").alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
+
+
 def stateful_running_rollup(
     stream: DataFrame,
     timeout_conf: str = "NoTimeout",
