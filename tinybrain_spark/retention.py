@@ -22,6 +22,43 @@ from pyspark.sql import functions as F
 from .catalog import Catalog
 
 
+def _iter_parquet_files(catalog: Catalog, table: str):
+    import glob
+    import os
+
+    base = catalog.path(table)
+    for f in glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True):
+        yield f
+
+
+def _footer_column_max(catalog: Catalog, table: str, col: str):
+    """Exact max of a column from parquet footer statistics (no job)."""
+    import pyarrow.parquet as pq
+
+    best = None
+    for f in _iter_parquet_files(catalog, table):
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None  # stats missing -> caller must scan
+            best = st.max if best is None else max(best, st.max)
+    return best
+
+
+def _footer_row_counts(catalog: Catalog, table: str) -> dict:
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    for f in _iter_parquet_files(catalog, table):
+        counts[f] = pq.ParquetFile(f).metadata.num_rows
+    return counts
+
+
 @dataclass(frozen=True)
 class RetentionPolicy:
     """max_age[tier] = number of most-recent time buckets retained;
@@ -50,7 +87,11 @@ def enforce_retention(
     """
     df = catalog.read(table)
     if newest_bucket is None:
-        newest_bucket = df.agg(F.max("time_bucket")).first()[0]
+        # data horizon from parquet footer column statistics — exact,
+        # metadata-only, no Spark job (Iceberg manifests likewise)
+        newest_bucket = _footer_column_max(catalog, table, "time_bucket")
+        if newest_bucket is None:  # stats absent -> scan fallback
+            newest_bucket = df.agg(F.max("time_bucket")).first()[0]
         if newest_bucket is None:
             return {"cutoff": None, "rows_dropped": 0, "rows_kept": 0}
     cutoff = policy.cutoff(tier, int(newest_bucket))
@@ -58,28 +99,30 @@ def enforce_retention(
         return {
             "cutoff": None,
             "rows_dropped": 0,
-            "rows_kept": df.count(),
+            "rows_kept": sum(
+                _footer_row_counts(catalog, table).values()
+            ),
         }
 
-    counts = df.agg(
-        F.count("*").alias("total"),
-        F.count(F.when(F.col("time_bucket") < cutoff, 1)).alias("expired"),
-    ).first()
-    if counts["expired"] == 0:
-        return {
-            "cutoff": cutoff,
-            "rows_dropped": 0,
-            "rows_kept": counts["total"],
-        }
+    # one per-source aggregation yields totals AND the touched set
+    per_source = (
+        df.groupBy("source")
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("time_bucket") < cutoff, 1)).alias(
+                "expired"
+            ),
+        )
+        .collect()
+    )
+    total = sum(r["total"] for r in per_source)
+    expired = sum(r["expired"] for r in per_source)
+    counts = {"total": total, "expired": expired}
+    if expired == 0:
+        return {"cutoff": cutoff, "rows_dropped": 0, "rows_kept": total}
 
     # rewrite only the source partitions that contain expired buckets
-    touched = {
-        r["source"]
-        for r in df.where(F.col("time_bucket") < cutoff)
-        .select("source")
-        .distinct()
-        .collect()
-    }
+    touched = {r["source"] for r in per_source if r["expired"] > 0}
     kept_in_touched = df.where(
         F.col("source").isin(touched) & (F.col("time_bucket") >= cutoff)
     )
