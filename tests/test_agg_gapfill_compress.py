@@ -98,3 +98,30 @@ def test_gorilla_encode_in_spark(spark, base_df):
         total_raw += r["raw_bytes"]
         total_comp += len(r["blob"])
     assert total_comp < total_raw
+
+
+def test_encode_series_chunked_blobs(spark):
+    """A long series splits into bounded blobs (Gorilla block design):
+    each <= chunk_points, decode-concatenation equals the input."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tinybrain_spark.compress import decode_blob, encode_series_table
+
+    n = 1000
+    agg = spark.range(n).select(
+        F.lit("s0").alias("source"),
+        (F.col("id") * 3600 + 1_700_000_000).alias("time_bucket"),
+        (F.col("id") * 7 % 1000).alias("token_sum"),
+    )
+    blobs = encode_series_table(agg, chunk_points=256).orderBy("chunk").collect()
+    assert len(blobs) == 4  # ceil(1000/256)
+    assert all(r["n_points"] <= 256 for r in blobs)
+    got_b, got_v = [], []
+    for r in blobs:
+        b, v = decode_blob(r["blob"])
+        got_b.extend(b.tolist())
+        got_v.extend(v.tolist())
+    want_b = [i * 3600 + 1_700_000_000 for i in range(n)]
+    want_v = [i * 7 % 1000 for i in range(n)]
+    assert got_b == want_b and got_v == want_v

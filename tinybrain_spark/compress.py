@@ -24,18 +24,31 @@ from . import gorilla as G
 BLOB_SCHEMA = StructType(
     [
         StructField("source", StringType(), False),
+        StructField("chunk", LongType(), False),
         StructField("n_points", IntegerType(), False),
         StructField("raw_bytes", LongType(), False),
         StructField("blob", BinaryType(), False),
     ]
 )
 
+# One blob covers at most CHUNK_POINTS consecutive points — the
+# Gorilla paper's fixed-block design (§4.1 uses 2-hour blocks).
+# Bounds any series' pandas group to a constant task size: a source
+# with 10^9 buckets becomes 10^9/CHUNK blobs across many tasks, never
+# one single-task group.  Chunking is by per-series point INDEX (a
+# row_number window on the same key the groupBy uses — one exchange
+# total), so it is unit-agnostic over however callers number buckets.
+CHUNK_POINTS = 8192
+
 
 def encode_series_table(
     agg: DataFrame,
     value_col: str = "token_sum",
+    chunk_points: int = CHUNK_POINTS,
 ) -> DataFrame:
-    """(source, time_bucket, <value_col>) -> one Gorilla blob per source."""
+    """(source, time_bucket, <value_col>) -> one Gorilla blob per
+    (source, chunk) where each chunk holds <= chunk_points buckets in
+    time order."""
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("time_bucket")
@@ -45,16 +58,23 @@ def encode_series_table(
         return pd.DataFrame(
             {
                 "source": [pdf["source"].iloc[0]],
+                "chunk": [int(pdf["chunk"].iloc[0])],
                 "n_points": [len(vals)],
                 "raw_bytes": [16 * len(vals)],
                 "blob": [blob],
             }
         )
 
-    return (
-        agg.select("source", "time_bucket", value_col)
-        .groupBy("source")
-        .applyInPandas(_encode, BLOB_SCHEMA)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("source").orderBy("time_bucket")
+    chunked = agg.select("source", "time_bucket", value_col).withColumn(
+        "chunk",
+        ((F.row_number().over(w) - 1) / chunk_points).cast("long"),
+    )
+    return chunked.groupBy("source", "chunk").applyInPandas(
+        _encode, BLOB_SCHEMA
     )
 
 
