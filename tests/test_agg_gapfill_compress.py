@@ -125,3 +125,28 @@ def test_encode_series_chunked_blobs(spark):
     want_b = [i * 3600 + 1_700_000_000 for i in range(n)]
     want_v = [i * 7 % 1000 for i in range(n)]
     assert got_b == want_b and got_v == want_v
+
+
+def test_gapfill_wide_span_chunked_spine(spark):
+    """A bucket span far beyond SPINE_CHUNK must densify correctly —
+    the two-level explode keeps every sequence() array bounded."""
+    from pyspark.sql import functions as F
+
+    from tinybrain_spark.gapfill import SPINE_CHUNK, gap_fill
+
+    span = SPINE_CHUNK * 3 + 17
+    sparse_rows = spark.createDataFrame(
+        [("a", 0, 5), ("a", span - 1, 7), ("b", 100, 1)],
+        "source string, time_bucket long, n long",
+    )
+    filled = gap_fill(sparse_rows, ["source"], "time_bucket", ["n"], "zero")
+    assert filled.count() == 2 * span
+    got = {
+        (r["source"], r["time_bucket"]): r["n"]
+        for r in filled.where(
+            F.col("time_bucket").isin(0, 100, span - 1)
+        ).collect()
+    }
+    assert got[("a", 0)] == 5 and got[("a", span - 1)] == 7
+    assert got[("b", 100)] == 1 and got[("a", 100)] == 0
+    assert got[("b", 0)] == 0 and got[("b", span - 1)] == 0

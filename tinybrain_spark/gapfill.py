@@ -12,6 +12,13 @@ onto it.  Fill policies:
 The spine join broadcasts nothing and shuffles once on the group key;
 at 10^12-row scale the spine side is tiny (groups × buckets) so AQE
 plans it as a broadcast join automatically.
+
+Scale guards: spine bounds are a broadcast 1-row aggregate joined into
+the same job (no driver-side bounds pre-scan), and the spine explodes
+in two levels (chunk starts, then <=SPINE_CHUNK offsets) so no single
+``sequence()`` array ever exceeds SPINE_CHUNK elements — a
+decade-of-seconds bucket span cannot materialize a multi-GB array in
+one row.
 """
 
 from __future__ import annotations
@@ -20,6 +27,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FILL_POLICIES = ("zero", "null", "previous")
+
+SPINE_CHUNK = 4096  # max elements of any one sequence() array
 
 
 def gap_fill(
@@ -37,18 +46,47 @@ def gap_fill(
     if policy not in FILL_POLICIES:
         raise ValueError(f"unknown fill policy {policy!r}")
 
-    bounds = df.agg(
-        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
-    ).first()
-    lo = bucket_min if bucket_min is not None else bounds["lo"]
-    hi = bucket_max if bucket_max is not None else bounds["hi"]
-    if lo is None:
-        return df
-
     groups = df.select(*group_cols).distinct()
-    spine = groups.withColumn(
-        bucket_col,
-        F.explode(F.sequence(F.lit(lo).cast("long"), F.lit(hi).cast("long"))),
+    if bucket_min is not None and bucket_max is not None:
+        bounded = groups.withColumn(
+            "lo", F.lit(bucket_min).cast("long")
+        ).withColumn("hi", F.lit(bucket_max).cast("long"))
+    else:
+        bounds = df.agg(
+            (
+                F.lit(bucket_min).cast("long")
+                if bucket_min is not None
+                else F.min(bucket_col).cast("long")
+            ).alias("lo"),
+            (
+                F.lit(bucket_max).cast("long")
+                if bucket_max is not None
+                else F.max(bucket_col).cast("long")
+            ).alias("hi"),
+        ).where(F.col("lo").isNotNull())
+        bounded = groups.crossJoin(F.broadcast(bounds))
+
+    # two-level explode: chunk starts, then in-chunk offsets — bounds
+    # every sequence() array at SPINE_CHUNK elements for any span
+    spine = (
+        bounded.withColumn(
+            "chunk_start",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(SPINE_CHUNK))
+            ),
+        )
+        .withColumn(
+            bucket_col,
+            F.explode(
+                F.sequence(
+                    F.col("chunk_start"),
+                    F.least(
+                        F.col("chunk_start") + SPINE_CHUNK - 1, F.col("hi")
+                    ),
+                )
+            ),
+        )
+        .drop("lo", "hi", "chunk_start")
     )
 
     joined = spine.join(df, on=[*group_cols, bucket_col], how="left")
