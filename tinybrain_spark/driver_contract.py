@@ -1519,6 +1519,43 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 """
 
+_FRAME_SIZE = 64
+_FRAME_K = 4
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: video-like binary payloads fan out to
+    every-k-th fixed-size frame (real BinaryType rows, no shuffle);
+    the oracle checks the sampled-frame accounting per doc."""
+    from .multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    frames = sample_frames(docs, frame_size=_FRAME_SIZE, every_k=_FRAME_K)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum(F.octet_length("frame")).cast("long").alias("sampled_bytes"),
+        F.max("frame_idx").cast("long").alias("last_frame_idx"),
+    )
+
+
+_MULTIMODAL_FRAMES = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         octet_length(encode(text)) // {_FRAME_SIZE} AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST((n_frames + {_FRAME_K - 1}) // {_FRAME_K} AS BIGINT) AS n_sampled,
+       CAST(((n_frames + {_FRAME_K - 1}) // {_FRAME_K}) * {_FRAME_SIZE}
+            AS BIGINT) AS sampled_bytes,
+       CAST(((n_frames - 1) // {_FRAME_K}) * {_FRAME_K} AS BIGINT)
+         AS last_frame_idx
+FROM d WHERE n_frames > 0
+"""
+
 
 def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla encode the hourly continuous aggregate per source and
@@ -1633,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_nn_bucketed": q_ann_nn_bucketed,
         "q_embed_stats": q_embed_stats,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1708,4 +1746,5 @@ FROM win
         "q_ann_nn_bucketed": _ann_nn_bucketed_sql(),
         "q_embed_stats": _EMBED_STATS,
         "q_multimodal_meta": _MULTIMODAL,
+        "q_multimodal_frames": _MULTIMODAL_FRAMES,
     }
