@@ -80,3 +80,46 @@ def encode_series_table(
 
 def decode_blob(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     return G.decode_series(bytes(blob))
+
+
+def decode_series_table(
+    blobs: DataFrame,
+    value_col: str = "token_sum",
+) -> DataFrame:
+    """The read side: (source, blob) -> (source, time_bucket, value)
+    point rows, batch-decoded with the vectorized decoder (1.5M pts/s
+    single-thread) — serving tier data back out of compact blobs."""
+    from typing import Iterator
+
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField("source", StringType(), False),
+            StructField("time_bucket", LongType(), False),
+            StructField(value_col, LongType(), False),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, buckets, vals = [], [], []
+            for source, blob in zip(pdf["source"], pdf["blob"]):
+                b, v = G.decode_series(bytes(blob))
+                srcs.extend([source] * len(b))
+                buckets.append(b)
+                vals.append(v)
+            if not srcs:
+                yield pd.DataFrame(
+                    {"source": [], "time_bucket": [], value_col: []}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "source": srcs,
+                    "time_bucket": np.concatenate(buckets),
+                    value_col: np.concatenate(vals),
+                }
+            )
+
+    return blobs.select("source", "blob").mapInPandas(_decode, schema)

@@ -1557,6 +1557,33 @@ FROM d WHERE n_frames > 0
 """
 
 
+def q_gorilla_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla under the HARD oracle gate: encode the hourly continuous
+    aggregate into blobs, decode the blobs back into point rows —
+    the result must value-hash-match the plain aggregate the oracle
+    computes directly.  Exercises encoder + vectorized decoder + the
+    chunked blob layout end-to-end."""
+    from .compress import decode_series_table, encode_series_table
+
+    agg = q_continuous_agg(spark, sf_dir).select(
+        "source", "time_bucket", "token_sum"
+    )
+    blobs = encode_series_table(agg, value_col="token_sum")
+    return decode_series_table(blobs, value_col="token_sum").select(
+        "source",
+        F.col("time_bucket").cast("long").alias("time_bucket"),
+        F.col("token_sum").cast("long").alias("token_sum"),
+    )
+
+
+_GORILLA_DECODE = """
+SELECT event_type AS source,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS time_bucket,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_sum
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla encode the hourly continuous aggregate per source and
     verify decode==input inside the job (rows-only driver check: the
@@ -1652,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gapfill_zero": q_gapfill_zero,
         "q_gapfill_locf": q_gapfill_locf,
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
+        "q_gorilla_decode": q_gorilla_decode,
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_keep": q_dedup_keep,
@@ -1728,7 +1756,9 @@ FROM win
         "q_continuous_agg": _CONT_AGG,
         "q_gapfill_zero": _GAPFILL,
         "q_gapfill_locf": _GAPFILL_LOCF,
-        # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible)
+        # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible);
+        # q_gorilla_decode puts the encode->decode path under the hard gate
+        "q_gorilla_decode": _GORILLA_DECODE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
