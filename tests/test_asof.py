@@ -1,0 +1,37 @@
+"""as-of join unit semantics (DuckDB's native ASOF JOIN is the oracle
+for the driver query; these pin the tricky edges directly)."""
+
+from pyspark.sql import functions as F
+
+from tinybrain_spark.asof import asof_join
+
+
+def _run(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "k string, lt long, id long")
+    right = spark.createDataFrame(right_rows, "k string, rt long, v long")
+    out = asof_join(left, right, ["k"], "lt", "rt", ["v"])
+    return {r["id"]: r["v"] for r in out.collect()}
+
+
+def test_asof_basic(spark):
+    got = _run(
+        spark,
+        [("a", 10, 1), ("a", 25, 2), ("a", 4, 3), ("b", 100, 4)],
+        [("a", 5, 50), ("a", 20, 51), ("b", 7, 52)],
+    )
+    assert got == {1: 50, 2: 51, 3: None, 4: 52}
+
+
+def test_asof_equal_timestamp_matches(spark):
+    # at-or-before INCLUDES equality: right row at the same instant wins
+    got = _run(spark, [("a", 20, 1)], [("a", 5, 50), ("a", 20, 51)])
+    assert got == {1: 51}
+
+
+def test_asof_carries_across_gaps(spark):
+    got = _run(
+        spark,
+        [("a", 1_000_000, 1)],
+        [("a", 3, 50)],
+    )
+    assert got == {1: 50}

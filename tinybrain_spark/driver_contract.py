@@ -627,6 +627,57 @@ FROM hourly
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event picks up the most recent
+    BUSY-hour state row (hourly count >= 3) for its event_type at or
+    before its timestamp — a real as-of lookup that must carry state
+    across quiet hours.  Verified against DuckDB's native ASOF JOIN."""
+    from .asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 3)
+    )
+    joined = asof_join(
+        ev, hourly, keys=["event_type"], left_time="ts_s",
+        right_time="hb", value_cols=["hb", "n"],
+    )
+    return joined.where(F.col("hb").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.col("hb").cast("long").alias("state_bucket"),
+        F.col("n").cast("long").alias("state_events"),
+    )
+
+
+_ASOF_JOIN = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         count(*) AS n
+  FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       l.event_type,
+       CAST(r.hb AS BIGINT) AS state_bucket,
+       CAST(r.n AS BIGINT) AS state_events
+FROM events l ASOF JOIN hourly r
+  ON l.event_type = r.event_type
+  AND CAST(floor(epoch(l.ts)) AS BIGINT) >= r.hb
+"""
+
+
 def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by event count, deterministic tie-break on user_id."""
     ev = load_table(spark, sf_dir, "events")
@@ -1674,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_metrics": q_rollup_metrics,
         "q_running_sum": q_running_sum,
         "q_topk_users": q_topk_users,
+        "q_asof_join": q_asof_join,
         # engine features
         "q_continuous_agg": q_continuous_agg,
         "q_gapfill_zero": q_gapfill_zero,
@@ -1753,6 +1805,7 @@ FROM win
         "q_rollup_metrics": _ROLLUP_METRICS,
         "q_running_sum": _RUNNING_SUM,
         "q_topk_users": _TOPK_USERS,
+        "q_asof_join": _ASOF_JOIN,
         "q_continuous_agg": _CONT_AGG,
         "q_gapfill_zero": _GAPFILL,
         "q_gapfill_locf": _GAPFILL_LOCF,
