@@ -80,3 +80,34 @@ def test_append_accumulates(spark, catalog):
     catalog.write(_mk(spark, [("a", 2, "y")]), "t",
                   partition_by=("source",), mode="append")
     assert _rows(catalog.read("t")) == [("a", 1, "x"), ("a", 2, "y")]
+
+
+def test_bucketed_join_is_exchange_free(spark, catalog):
+    """Two tables bucketed on the same key must sort-merge join with NO
+    exchange on either side — the co-located-join strategy for
+    repeatedly-joined fact tables."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("va")
+    )
+    b = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 31).alias("vb")
+    )
+    catalog.write_bucketed(a, "tb_bucket_a", ("doc_id",), 8, ("doc_id",))
+    catalog.write_bucketed(b, "tb_bucket_b", ("doc_id",), 8, ("doc_id",))
+    try:
+        # hint sort-merge (tiny test tables would otherwise broadcast —
+        # at real fact-table sizes SMJ is what the planner picks anyway)
+        joined = catalog.read_table("tb_bucket_a").hint("merge").join(
+            catalog.read_table("tb_bucket_b").hint("merge"), "doc_id"
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # no shuffle on either side
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS tb_bucket_b")

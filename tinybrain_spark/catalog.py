@@ -66,6 +66,32 @@ class Catalog:
             writer = writer.mode(mode)
         writer.save(self.path(name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table_name: str,
+        bucket_cols: tuple[str, ...],
+        n_buckets: int = 32,
+        sort_cols: tuple[str, ...] = (),
+    ) -> None:
+        """Persist a bucketed (pre-shuffled) table: joins and
+        aggregations on ``bucket_cols`` between tables bucketed the same
+        way need NO exchange — the co-located-join strategy for
+        repeatedly-joined 100TB fact tables (SURVEY.md §4).  Bucketing
+        requires the session catalog (``saveAsTable``), so these live
+        in spark.sql.warehouse.dir rather than under base_path."""
+        writer = (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table_name)
+
+    def read_table(self, table_name: str) -> DataFrame:
+        return self.spark.table(table_name)
+
     def drop(self, name: str) -> None:
         import shutil
 
