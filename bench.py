@@ -32,7 +32,9 @@ HEADLINE = [
     "q_max_rollup_t1",
     "q_continuous_agg",
     "q_gapfill_zero",
+    "q_asof_join",
     "q_gorilla_roundtrip",
+    "q_gorilla_decode",
     "q_dedup_exact",
     "q_token_count",
     "q_quality_score",

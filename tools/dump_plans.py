@@ -47,6 +47,12 @@ BLURBS = {
         "Grouped 2-D tile pooling: one hash exchange on tile_id, "
         "FlatMapGroupsInPandas, no further shuffle."
     ),
+    "q_asof_join": (
+        "Point-in-time enrichment WITHOUT a range join: both sides union "
+        "into one per-key window (right rows sort first at equal "
+        "timestamps), so the whole as-of lookup is one hash exchange + "
+        "one sort — no candidate blow-up however wide the time gaps."
+    ),
     "q_ngram_jaccard": (
         "Bounded near-dup join: per-doc dedup AND the document-frequency cap "
         "(df <= 64) run as two window functions over ONE sh-partitioned "
