@@ -1190,15 +1190,63 @@ WHERE inter * 100 // (sa.n + sb.n - inter) >= 50
 """
 
 
+_MINHASH_AGREE = 6  # verified near-dup: >= 6 of 8 sigs agree (J >= 0.75)
+
+
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from LSH banding, VERIFIED by full-signature
+    agreement (>= _MINHASH_AGREE of 8 minhashes equal — an unbiased
+    Jaccard estimate).  The banding recalls candidates cheaply; the
+    verification keeps the near-dup graph from collapsing into one
+    giant component (raw band-candidates are deliberately permissive)."""
+    sig = q_minhash_signature(spark, sf_dir)
+    cand = q_minhash_pairs(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        for i in range(_MINHASH_K)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_agree", agree)
+        .where(F.col("n_agree") >= _MINHASH_AGREE)
+        .select("doc_a", "doc_b", "n_agree")
+    )
+
+
+def _minhash_verified_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K)
+    )
+    return f"""
+WITH cand AS ({_minhash_pairs_sql()}),
+sig AS ({_minhash_sql()})
+SELECT cand.doc_a, cand.doc_b, CAST({agree} AS BIGINT) AS n_agree
+FROM cand
+JOIN sig a ON a.doc_id = cand.doc_a
+JOIN sig b ON b.doc_id = cand.doc_b
+WHERE {agree} >= {_MINHASH_AGREE}
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components (hash-min label
-    propagation, tinybrain_spark.clusters) over the MinHash band-pair
-    candidate graph.  cluster_id = min doc_id in the component;
-    singletons map to themselves.  The step after pair generation that
-    a dedup pipeline actually consumes."""
+    propagation, tinybrain_spark.clusters) over the VERIFIED near-dup
+    graph.  cluster_id = min doc_id in the component; singletons map to
+    themselves.  The step after pair generation that a dedup pipeline
+    actually consumes."""
     from .clusters import connected_components
 
-    pairs = q_minhash_pairs(spark, sf_dir).select(
+    pairs = q_minhash_verified_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     nodes = load_table(spark, sf_dir, "documents").select(
@@ -1212,7 +1260,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_clusters_sql() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+WITH RECURSIVE pairs AS ({_minhash_verified_sql()}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
@@ -1741,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_minhash_signature": q_minhash_signature,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_minhash_verified_pairs": q_minhash_verified_pairs,
         "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -1820,6 +1869,7 @@ FROM win
         "q_lang_id": _lang_sql(),
         "q_minhash_signature": _minhash_sql(),
         "q_minhash_pairs": _minhash_pairs_sql(),
+        "q_minhash_verified_pairs": _minhash_verified_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_simhash": _SIMHASH,
         "q_ngram_jaccard": _NGRAM_JACCARD,
