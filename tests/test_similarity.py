@@ -62,3 +62,33 @@ def test_multiband_deterministic(spark):
     a = multiband_nn(emb, 16, n_vecs=1000).orderBy("vec_id").collect()
     b = multiband_nn(emb, 16, n_vecs=1000).orderBy("vec_id").collect()
     assert a == b
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with n_probe cells must recover most of the exact top-10 on
+    the clustered corpus, and all of it when probing every cell."""
+    from tinybrain_spark.similarity import brute_force_topk_blocked, ivf_topk
+
+    emb = generate_embeddings(spark, 4000, n_dims=32, n_clusters=128)
+    probes = [
+        (r["vec_id"], np.asarray(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    ]
+    exact = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk_blocked(emb, probes, k=10).collect()
+    }
+    # probing ALL cells must equal exact brute force
+    full = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(
+            emb, probes, k=10, n_centroids=32, n_probe=32
+        ).collect()
+    }
+    assert full == exact
+    # probing a quarter of the cells keeps high recall on clustered data
+    approx = ivf_topk(emb, probes, k=10, n_centroids=32, n_probe=8).collect()
+    got = {(r["probe_id"], r["neighbor_id"]) for r in approx}
+    want = {(p, n) for (p, _rk), n in exact.items()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.7, recall

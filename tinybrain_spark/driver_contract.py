@@ -1562,6 +1562,23 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_blocked(emb, probes, k=_ANN_TOPK)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer path at full probe width: must equal the
+    exact top-k oracle (cell assignment + per-probe masking + blocked
+    GEMM verified end-to-end; partial-probe recall is pinned by
+    tests/test_similarity.py)."""
+    from .similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    probes = [
+        (r["vec_id"], np.asarray(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < _ANN_PROBES).collect()
+    ]
+    return ivf_topk(emb, probes, k=_ANN_TOPK, n_centroids=16, n_probe=16)
+
+
 def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.sqrt(
@@ -1795,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_blocked": q_ann_topk_blocked,
+        "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_lsh_buckets": q_lsh_buckets,
         "q_ann_nn_bucketed": q_ann_nn_bucketed,
         "q_embed_stats": q_embed_stats,
@@ -1875,6 +1893,7 @@ FROM win
         "q_ngram_jaccard": _NGRAM_JACCARD,
         "q_ann_topk": _ANN_TOPK_SQL,
         "q_ann_topk_blocked": _ANN_TOPK_SQL,
+        "q_ann_topk_ivf": _ANN_TOPK_SQL,
         "q_lsh_buckets": _lsh_buckets_sql(),
         "q_ann_nn_bucketed": _ann_nn_bucketed_sql(),
         "q_embed_stats": _EMBED_STATS,

@@ -339,6 +339,95 @@ def multiband_nn(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    probes: list[tuple[int, "np.ndarray"]],
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF approximate top-k: a coarse quantizer (cosine-nearest
+    centroid) partitions the corpus into cells; each probe searches
+    only its ``n_probe`` nearest cells — scanning ~n_probe/n_centroids
+    of the data instead of all of it (the inverted-file scale path,
+    complementing the LSH-sketch path).
+
+    Centroids default to the embeddings of the ``n_centroids`` lowest
+    vec_ids (deterministic sampling-based quantizer — a k-means refiner
+    would slot in here without changing the plan shape).  Assignment is
+    one GEMM per Arrow batch; scoring reuses the blocked-GEMM partial
+    top-k shape with per-probe cell masks, so the only shuffle is the
+    ~k-per-probe final rank.
+    """
+    probe_ids = np.array([p[0] for p in probes], dtype=np.int64)
+    pmat = np.stack([np.asarray(p[1], dtype=np.float64) for p in probes])
+    pnorm = np.linalg.norm(pmat, axis=1)
+
+    if centroids is None:
+        head = (
+            emb.orderBy("vec_id").limit(n_centroids).collect()
+        )
+        centroids = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in head]
+        )
+    cmat = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300
+    )
+
+    # each probe's n_probe nearest cells (driver-side: P x C tiny GEMM)
+    probe_cells = np.argsort(-(pmat / pnorm[:, None]) @ cmat.T, axis=1)[
+        :, :n_probe
+    ]
+    allowed = [set(map(int, cells)) for cells in probe_cells]
+    union_cells = sorted(set().union(*allowed))
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+            cells = ((mat / norms[:, None]) @ cmat.T).argmax(axis=1)
+            keep = np.isin(cells, union_cells)
+            if not keep.any():
+                continue
+            ids, mat, norms, cells = ids[keep], mat[keep], norms[keep], cells[keep]
+            scores = (mat @ pmat.T) / np.outer(norms, pnorm)  # (n, P)
+            # mask vectors outside each probe's cell set + self-matches
+            for pi in range(len(probe_ids)):
+                mask = ~np.isin(cells, list(allowed[pi]))
+                scores[mask, pi] = -np.inf
+            scores[ids[:, None] == probe_ids[None, :]] = -np.inf
+            kk = min(k, len(ids))
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            out = pd.DataFrame(
+                {
+                    "probe_id": np.repeat(probe_ids[None, :], kk, axis=0).ravel(),
+                    "neighbor_id": ids[top].ravel(),
+                    "cos": np.take_along_axis(scores, top, axis=0).ravel(),
+                }
+            )
+            yield out[np.isfinite(out["cos"])]
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(_score, TOPK_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+        )
+    )
+
+
 def bucketed_nn(emb_buckets: DataFrame) -> DataFrame:
     """1-nearest-neighbor within each LSH bucket (embedding-cosine
     near-dup detection, bucket-local join).
