@@ -815,6 +815,39 @@ FROM t GROUP BY source
 """
 
 
+# BPE-ish pre-tokenizer pieces: letter runs, digit runs, single
+# non-alphanumeric marks (the GPT-2-style split, minus unicode classes —
+# the same simple classes behave identically in Java regex and RE2)
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish regex mode: pieces are letter runs,
+    digit runs, and single punctuation marks — the pre-tokenization a
+    byte-pair tokenizer applies before merges.  Complements the
+    whitespace mode in q_token_count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN))
+        .cast("long")
+        .alias("n_pieces"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+"))
+        .cast("long")
+        .alias("n_digit_runs"),
+    )
+
+
+_TOKEN_COUNT_BPE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+         AS n_pieces,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+         AS n_digit_runs
+FROM documents
+"""
+
+
 def _occurrences(col, word):
     # number of occurrences of `word` as a substring, via length arithmetic
     return (
@@ -1802,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_keep": q_dedup_keep,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_token_count": q_token_count,
+        "q_token_count_bpe": q_token_count_bpe,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_minhash_signature": q_minhash_signature,
@@ -1883,6 +1917,7 @@ FROM win
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
         "q_token_count": _TOKEN_COUNT,
+        "q_token_count_bpe": _TOKEN_COUNT_BPE,
         "q_quality_score": _QUALITY,
         "q_lang_id": _lang_sql(),
         "q_minhash_signature": _minhash_sql(),
