@@ -678,6 +678,66 @@ FROM events l ASOF JOIN hourly r
 """
 
 
+_SESSION_GAP_S = 1800  # 30 min of inactivity starts a new session
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event runs split on >30min inactivity
+    gaps (lag + running sum of session starts — the batch equivalent of
+    a streaming session window).  Emits per-session stats."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(w) > _SESSION_GAP_S, 1
+        ).otherwise(
+            F.when(F.lag("ts_s").over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("ts_s") - F.min("ts_s")).cast("long").alias("duration_s"),
+        F.min("ts_s").cast("long").alias("started_at"),
+    )
+
+
+_SESSIONIZE = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), flagged AS (
+  SELECT user_id, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts_s) > {_SESSION_GAP_S}
+              THEN 1
+              WHEN lag(ts_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s) IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM ev
+), sess AS (
+  SELECT user_id, ts_s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s,
+       CAST(min(ts_s) AS BIGINT) AS started_at
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by event count, deterministic tie-break on user_id."""
     ev = load_table(spark, sf_dir, "events")
@@ -1824,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_sum": q_running_sum,
         "q_topk_users": q_topk_users,
         "q_asof_join": q_asof_join,
+        "q_sessionize": q_sessionize,
         # engine features
         "q_continuous_agg": q_continuous_agg,
         "q_gapfill_zero": q_gapfill_zero,
@@ -1907,6 +1968,7 @@ FROM win
         "q_running_sum": _RUNNING_SUM,
         "q_topk_users": _TOPK_USERS,
         "q_asof_join": _ASOF_JOIN,
+        "q_sessionize": _SESSIONIZE,
         "q_continuous_agg": _CONT_AGG,
         "q_gapfill_zero": _GAPFILL,
         "q_gapfill_locf": _GAPFILL_LOCF,
