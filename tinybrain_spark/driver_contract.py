@@ -1025,6 +1025,44 @@ FROM s
 """
 
 
+_SAMPLE_QUOTA = 50
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive of
+    a training pipeline: at most _SAMPLE_QUOTA docs per source, chosen
+    by md5(doc_id) order.  Hash-ordered rank is reproducible across
+    engines, partitionings, and runs (a random() sample is none of
+    those), so the curated mixture is auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _SAMPLE_QUOTA)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("rk").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+_STRATIFIED_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(rk AS BIGINT) AS sample_rank
+FROM ranked WHERE rk <= {_SAMPLE_QUOTA}
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup: minhash + simhash + n-gram jaccard (documents)
 # ---------------------------------------------------------------------------
@@ -1899,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count_bpe": q_token_count_bpe,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
+        "q_stratified_sample": q_stratified_sample,
         "q_minhash_signature": q_minhash_signature,
         "q_minhash_pairs": q_minhash_pairs,
         "q_minhash_verified_pairs": q_minhash_verified_pairs,
@@ -1982,6 +2021,7 @@ FROM win
         "q_token_count_bpe": _TOKEN_COUNT_BPE,
         "q_quality_score": _QUALITY,
         "q_lang_id": _lang_sql(),
+        "q_stratified_sample": _STRATIFIED_SAMPLE,
         "q_minhash_signature": _minhash_sql(),
         "q_minhash_pairs": _minhash_pairs_sql(),
         "q_minhash_verified_pairs": _minhash_verified_sql(),
