@@ -64,3 +64,35 @@ def test_rollup_then_retention_job_cli(spark, workdir, capsys):
     t1 = engine.catalog.read(cfg.name(1))
     newest = t1.agg(F.max("time_bucket")).first()[0]
     assert t1.where(F.col("time_bucket") < newest - 4).count() == 0
+
+
+def test_pipeline_job_end_to_end(spark, workdir, capsys):
+    """The full engine story in one entry point: pyramid -> continuous
+    aggregate -> gap-fill -> Gorilla blobs (decode-verified) ->
+    retention, with real drops under a tight policy."""
+    import json
+    import sys
+
+    import tinybrain_spark.session as sess
+    from jobs.pipeline_job import main as pipeline_main
+
+    argv = sys.argv
+    sys.argv = [
+        "pipeline_job.py", "--output", workdir, "--gen-docs", "512",
+        "--gen-ntok", "64", "--tiers", "2", "--keep-buckets", "16",
+    ]
+    orig = sess.get_spark
+    spark.stop = lambda: None  # CLI calls stop(); keep the fixture alive
+    try:
+        sess.get_spark = lambda *a, **k: spark
+        assert pipeline_main() == 0
+    finally:
+        sess.get_spark = orig
+        del spark.stop
+        sys.argv = argv
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = json.loads(out)
+    assert stats["pyramid"]["1"]["rows_out"] == 512
+    assert stats["filled_rows"] >= stats["cagg_rows"]
+    assert stats["blob_bytes"] < stats["raw_bytes"]  # compression won
+    assert stats["retention"]["rows_dropped"] > 0  # tight policy bites
