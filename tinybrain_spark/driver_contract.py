@@ -746,6 +746,40 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of the integer value distribution per
+    event_type.  Quartiles of integers interpolate at dyadic fractions
+    (g in {0, .25, .5, .75}), so both engines compute bit-exact doubles
+    and x*4 is an integer — hash-stable without approximation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).alias("v")
+    )
+    pct = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("percentile(v, array(0.25, 0.5, 0.75))").alias("p"),
+    )
+    return pct.select(
+        "event_type",
+        "n",
+        (F.element_at("p", 1) * 4).cast("long").alias("p25_x4"),
+        (F.element_at("p", 2) * 4).cast("long").alias("p50_x4"),
+        (F.element_at("p", 3) * 4).cast("long").alias("p75_x4"),
+    )
+
+
+_VALUE_PERCENTILES = """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_cont(v, 0.25) * 4 AS BIGINT) AS p25_x4,
+       CAST(quantile_cont(v, 0.5) * 4 AS BIGINT) AS p50_x4,
+       CAST(quantile_cont(v, 0.75) * 4 AS BIGINT) AS p75_x4
+FROM t GROUP BY event_type
+"""
+
+
 def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by event count, deterministic tie-break on user_id."""
     ev = load_table(spark, sf_dir, "events")
@@ -1931,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_users": q_topk_users,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
+        "q_value_percentiles": q_value_percentiles,
         # engine features
         "q_continuous_agg": q_continuous_agg,
         "q_gapfill_zero": q_gapfill_zero,
@@ -2016,6 +2051,7 @@ FROM win
         "q_topk_users": _TOPK_USERS,
         "q_asof_join": _ASOF_JOIN,
         "q_sessionize": _SESSIONIZE,
+        "q_value_percentiles": _VALUE_PERCENTILES,
         "q_continuous_agg": _CONT_AGG,
         "q_gapfill_zero": _GAPFILL,
         "q_gapfill_locf": _GAPFILL_LOCF,
