@@ -206,6 +206,10 @@ class RollupEngine:
         pending = src
         completed: set[str] = set()
         if resume:
+            # the set is collected once for lineage-row exclusion (source
+            # cardinality is low by design); the DATA filter is a
+            # broadcast LEFT ANTI join, not an isin literal — correct
+            # even if a future deployment keys partitions more finely
             completed = {
                 r["source"]
                 for r in self.checkpoints.completed_sources(
@@ -213,7 +217,9 @@ class RollupEngine:
                 ).collect()
             }
             if completed:
-                pending = src.where(~F.col("source").isin(completed))
+                pending = self.checkpoints.filter_pending(
+                    src, run_kind, tier
+                )
 
         # Cluster BEFORE pooling: repartitionByRange samples its child to
         # pick range bounds — with the UDF upstream that would execute the
