@@ -296,7 +296,31 @@ def _mode8_one(
     a window with NO repeated value yields its LAST element
     (downsample.py:456 ``lor(reduce(lor, results), sections[-1])``),
     whereas the accelerated kernel yields the first.
+
+    Instant-majority fast path (reference O4, hpp:1106-1115 — "~4x on
+    real connectomics"): uniform windows skip counting entirely.  Label
+    data is heavily run-length (the kernel's actual use case); the path
+    engages only when sampling shows enough uniform windows, so random
+    data keeps the plain vectorized counting (result identical either
+    way — a uniform window's mode is its value under every tie-break).
     """
+    first = win[..., :1]
+    uniform = (win == first).all(axis=-1)
+    if uniform.size and uniform.mean() > 0.2:
+        out = np.empty(win.shape[:-1], dtype=win.dtype)
+        out[uniform] = first[..., 0][uniform]
+        rest = ~uniform
+        if rest.any():
+            out[rest] = _mode8_count(
+                win[rest][np.newaxis], sparse, fallback_last
+            )[0]
+        return out
+    return _mode8_count(win, sparse, fallback_last)
+
+
+def _mode8_count(
+    win: np.ndarray, sparse: bool, fallback_last: bool = False
+) -> np.ndarray:
     w = win.shape[-1]
     counts = np.zeros(win.shape, dtype=np.int8)
     for t in range(w):
