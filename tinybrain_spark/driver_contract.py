@@ -596,6 +596,37 @@ FROM events GROUP BY ROLLUP(event_type)
 """
 
 
+def q_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping sets in
+    one pass — the full grouping-sets surface next to q_rollup_metrics'
+    hierarchical ROLLUP."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hod"), "value"
+    )
+    return (
+        ev.cube("event_type", "hod")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).cast("long").alias("value_c"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hod"), F.lit(-1)).alias("hod"),
+            "n_events",
+            "value_c",
+        )
+    )
+
+
+_CUBE_METRICS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(coalesce(hour(ts), -1) AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY CUBE(event_type, hour(ts))
+"""
+
+
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running event count over hour buckets (window
     functions over the continuous-aggregate shape)."""
@@ -1961,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_mode_2d_t2": _tile_query("mode", 2),
         # relational coverage
         "q_rollup_metrics": q_rollup_metrics,
+        "q_cube_metrics": q_cube_metrics,
         "q_running_sum": q_running_sum,
         "q_topk_users": q_topk_users,
         "q_asof_join": q_asof_join,
@@ -2047,6 +2079,7 @@ FROM win
         "q_tile_avg_2d_t2": _TILE_AVG_T2,
         "q_tile_mode_2d_t2": _TILE_MODE_T2,
         "q_rollup_metrics": _ROLLUP_METRICS,
+        "q_cube_metrics": _CUBE_METRICS,
         "q_running_sum": _RUNNING_SUM,
         "q_topk_users": _TOPK_USERS,
         "q_asof_join": _ASOF_JOIN,
