@@ -717,6 +717,70 @@ FROM events l ASOF JOIN hourly r
 """
 
 
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: users active in both halves of the
+    data's time range vs only the first half, tagged and unioned."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.unix_timestamp("ts") < F.col("mid")).alias("first_half"),
+    )
+    a = tagged.where("first_half").select("user_id").distinct()
+    b = tagged.where(~F.col("first_half")).select("user_id").distinct()
+    both = a.intersect(b).withColumn("cohort", F.lit("both"))
+    only_a = a.exceptAll(b).withColumn("cohort", F.lit("first_only"))
+    return both.unionByName(only_a)
+
+
+_USER_SET_OPS = """
+WITH bounds AS (
+  SELECT CAST((min(floor(epoch(ts))) + max(floor(epoch(ts)))) / 2 AS BIGINT)
+    AS mid FROM events
+), a AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id
+  FROM events, bounds WHERE floor(epoch(ts)) < mid
+), b AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id
+  FROM events, bounds WHERE floor(epoch(ts)) >= mid
+)
+SELECT user_id, 'both' AS cohort FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT user_id, 'first_only' AS cohort FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+"""
+
+
+def q_unique_docs_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join surface: documents with NO verified near-dup
+    (the complement of the dedup clusters — what survives curation
+    untouched)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    pairs = q_minhash_verified_pairs(spark, sf_dir)
+    dupped = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    return docs.join(dupped, "doc_id", "left_anti")
+
+
+def _unique_docs_anti_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_verified_sql()}),
+dupped AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION SELECT doc_b AS doc_id FROM pairs
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d LEFT JOIN dupped p ON d.doc_id = p.doc_id
+WHERE p.doc_id IS NULL
+"""
+
+
 _SESSION_GAP_S = 1800  # 30 min of inactivity starts a new session
 
 
@@ -1998,6 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
         "q_value_percentiles": q_value_percentiles,
+        "q_user_set_ops": q_user_set_ops,
+        "q_unique_docs_anti": q_unique_docs_anti,
         # engine features
         "q_continuous_agg": q_continuous_agg,
         "q_gapfill_zero": q_gapfill_zero,
@@ -2085,6 +2151,8 @@ FROM win
         "q_asof_join": _ASOF_JOIN,
         "q_sessionize": _SESSIONIZE,
         "q_value_percentiles": _VALUE_PERCENTILES,
+        "q_user_set_ops": _USER_SET_OPS,
+        "q_unique_docs_anti": _unique_docs_anti_sql(),
         "q_continuous_agg": _CONT_AGG,
         "q_gapfill_zero": _GAPFILL,
         "q_gapfill_locf": _GAPFILL_LOCF,
