@@ -36,9 +36,13 @@ def connected_components(
     sym = sym.repartition("src").persist()
     sym.count()
 
+    # localCheckpoint (not just persist): each round's plan must be CUT,
+    # or the iterative lineage grows a tree that eventually OOMs the
+    # driver just STRINGIFYING the plan (observed at ~10 rounds on the
+    # sf0.1 graph) — the standard Spark iterative-algorithm requirement
     labels = nodes.select(
         F.col("node"), F.col("node").alias("label")
-    ).persist()
+    ).localCheckpoint()
     # labels only ever decrease, so sum(label) is a strictly-decreasing
     # convergence witness: one cheap aggregate per round instead of a
     # changed-rows join
@@ -53,7 +57,7 @@ def connected_components(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()

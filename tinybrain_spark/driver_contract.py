@@ -1260,7 +1260,10 @@ FROM words GROUP BY doc_id
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing any band (2 consecutive sigs) become
     candidate near-dup pairs."""
-    sig = q_minhash_signature(spark, sf_dir)
+    return _minhash_pairs_from(q_minhash_signature(spark, sf_dir))
+
+
+def _minhash_pairs_from(sig: DataFrame) -> DataFrame:
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1467,8 +1470,10 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard estimate).  The banding recalls candidates cheaply; the
     verification keeps the near-dup graph from collapsing into one
     giant component (raw band-candidates are deliberately permissive)."""
-    sig = q_minhash_signature(spark, sf_dir)
-    cand = q_minhash_pairs(spark, sf_dir)
+    # the signature subplan would otherwise execute three times in this
+    # one job (banding + both sides of the verification join)
+    sig = q_minhash_signature(spark, sf_dir).persist()
+    cand = _minhash_pairs_from(sig)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"sig{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
