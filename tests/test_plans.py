@@ -65,3 +65,16 @@ def test_ngram_jaccard_df_cap_bounds_self_join(spark):
     assert "count(1)" in plan and "windowspecdefinition(sh" in plan
     cap_str = str(dc._NGRAM_DF_CAP)
     assert f"<= {cap_str}" in plan or f"(df_#" in plan
+
+
+def test_topk_users_is_distributed_partial_topk(spark):
+    """Top-k must plan TakeOrderedAndProject (per-partition partial
+    top-k merged on the driver), never a global row_number() window
+    sorting every group's count row in one task."""
+    plan = _plan(dc.q_topk_users(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # exactly one Window node is allowed: the rank() over the 10 rows
+    # TakeOrderedAndProject already collected (formatted explain names
+    # each node once in the tree summary)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
