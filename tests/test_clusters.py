@@ -30,3 +30,39 @@ def test_long_path_converges(spark):
 def test_cycle_and_self_edge(spark):
     got = _cc(spark, [(4, 5), (5, 6), (6, 4), (8, 8)], [4, 5, 6, 8])
     assert got == {4: 4, 5: 4, 6: 4, 8: 8}
+
+
+def test_adversarial_chain_raises_past_budget(spark):
+    """A path graph with diameter > max_iter must FAIL LOUDLY (the
+    DuckDB recursive-CTE oracle always converges, so a silent partial
+    result would surface as an undiagnosable hash mismatch), and the
+    same graph must converge with a diameter+1 round budget."""
+    import pytest
+
+    from tinybrain_spark.clusters import ConvergenceError
+
+    n = 12  # path 0-1-...-11, diameter 11
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+
+    with pytest.raises(ConvergenceError):
+        connected_components(edges, nodes, max_iter=4)
+
+    # strict=False: partial labels come back (label 0 has walked exactly
+    # max_iter hops down the chain), with a warning instead of a raise
+    partial = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            edges, nodes, max_iter=4, strict=False
+        ).collect()
+    }
+    assert partial[4] == 0 and partial[11] > 0
+
+    # hash-min needs diameter rounds of change + 1 confirming round
+    full = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, nodes, max_iter=n).collect()
+    }
+    assert all(v == 0 for v in full.values())

@@ -92,3 +92,63 @@ def test_ivf_topk_recall_vs_exact(spark):
     want = {(p, n) for (p, _rk), n in exact.items()}
     recall = len(got & want) / len(want)
     assert recall >= 0.7, recall
+
+
+def test_kmeans_quantizer_beats_degenerate_centroids(spark):
+    """Quantizer quality on BLOCK-assigned clusters (vec_id // 64 ->
+    cluster, so the N lowest vec_ids all live in cluster 0): head-N
+    'centroids' collapse onto one cluster and partial-probe recall
+    craters; the deterministic spherical k-means over the hash-ordered
+    sample recovers the true cluster structure."""
+    from tinybrain_spark.similarity import (
+        brute_force_topk_blocked,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 0]))
+    n_clusters, per, dim = 8, 64, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = [
+        (
+            i,
+            [float(x) for x in centers[i // per] + 0.05 * rng.normal(size=dim)],
+        )
+        for i in range(n_clusters * per)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = [
+        (r["vec_id"], np.asarray(r["embedding"]))
+        for r in emb.where(F.col("vec_id").isin([0, 100, 300, 500])).collect()
+    ]
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk_blocked(emb, probes, k=10).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, probes, k=10, n_centroids=8, n_probe=2, centroids=cents
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    head = emb.orderBy("vec_id").limit(8).collect()
+    head_c = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in head]
+    )
+    km = kmeans_centroids(emb, 8, sample_n=512)
+    r_km, r_head = recall(km), recall(head_c)
+    assert r_km > r_head, (r_km, r_head)
+    assert r_km >= 0.9, r_km
+
+
+def test_kmeans_centroids_deterministic(spark):
+    from tinybrain_spark.similarity import kmeans_centroids
+
+    emb = generate_embeddings(spark, 800, n_dims=16, n_clusters=32)
+    a = kmeans_centroids(emb, 16, sample_n=256)
+    b = kmeans_centroids(emb.repartition(7), 16, sample_n=256)
+    assert np.array_equal(a, b)

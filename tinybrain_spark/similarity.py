@@ -339,6 +339,50 @@ def multiband_nn(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    sample_n: int = 4096,
+    n_iter: int = 8,
+) -> "np.ndarray":
+    """Deterministic spherical k-means coarse quantizer for ``ivf_topk``.
+
+    A fixed number of Lloyd iterations over a deterministic pseudo-random
+    sample (ordered by md5(vec_id) — reproducible at any partitioning,
+    unbiased w.r.t. insertion order, and planned as a distributed partial
+    top-k, never a full sort).  The sample and the Lloyd loop are
+    driver-side numpy on ≤ sample_n × dim doubles — kilobytes-to-
+    megabytes even for 4096 × 4096-dim — while the corpus itself is only
+    ever touched by the distributed assignment GEMM inside ``ivf_topk``.
+
+    Init is an even stride over the hash-ordered sample (k-means++ would
+    add seed-sensitivity for little gain on a hash-shuffled sample);
+    empty cells keep their previous centroid.  Assignment is by cosine
+    (all rows L2-normalized), matching the quantizer ``ivf_topk`` uses.
+    """
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    n_centroids = min(n_centroids, len(x))
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(np.int64)
+    cent = x[idx].copy()
+    for _ in range(n_iter):
+        assign = (x @ cent.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                mean = members.sum(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    cent[j] = mean / norm
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     probes: list[tuple[int, "np.ndarray"]],
@@ -353,24 +397,21 @@ def ivf_topk(
     of the data instead of all of it (the inverted-file scale path,
     complementing the LSH-sketch path).
 
-    Centroids default to the embeddings of the ``n_centroids`` lowest
-    vec_ids (deterministic sampling-based quantizer — a k-means refiner
-    would slot in here without changing the plan shape).  Assignment is
-    one GEMM per Arrow batch; scoring reuses the blocked-GEMM partial
-    top-k shape with per-probe cell masks, so the only shuffle is the
-    ~k-per-probe final rank.
+    Centroids default to a deterministic spherical k-means over a
+    hash-ordered sample (``kmeans_centroids``) — quantizer quality
+    decides partial-probe recall, but NOT full-probe correctness: with
+    n_probe == n_centroids every cell is allowed and the result equals
+    exact brute force regardless of the centroids (the property the
+    oracle pins).  Assignment is one GEMM per Arrow batch; scoring
+    reuses the blocked-GEMM partial top-k shape with per-probe cell
+    masks, so the only shuffle is the ~k-per-probe final rank.
     """
     probe_ids = np.array([p[0] for p in probes], dtype=np.int64)
     pmat = np.stack([np.asarray(p[1], dtype=np.float64) for p in probes])
     pnorm = np.linalg.norm(pmat, axis=1)
 
     if centroids is None:
-        head = (
-            emb.orderBy("vec_id").limit(n_centroids).collect()
-        )
-        centroids = np.stack(
-            [np.asarray(r["embedding"], dtype=np.float64) for r in head]
-        )
+        centroids = kmeans_centroids(emb, n_centroids)
     cmat = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300
     )
