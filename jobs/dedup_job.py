@@ -49,9 +49,21 @@ def main() -> int:
             "source",
             F.col("n_chars").cast("long").alias("n_chars"),
         )
-        labeled = docs.join(clusters, "doc_id")
+        from pyspark.sql import Observation
+
+        # observe() collects both counts DURING the survivors write —
+        # one job instead of two extra count() actions (CollectMetrics
+        # is a pushdown barrier, so the survivor filter above it cannot
+        # starve the n_docs count)
+        obs = Observation("dedup_stats")
+        labeled = docs.join(clusters, "doc_id").observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+            ).alias("n_survivors"),
+        )
         survivors = labeled.where(F.col("doc_id") == F.col("cluster_id"))
-        dropped = labeled.where(F.col("doc_id") != F.col("cluster_id"))
 
         survivors.write.mode("overwrite").parquet(
             os.path.join(args.output, "survivors")
@@ -59,8 +71,9 @@ def main() -> int:
         clusters.write.mode("overwrite").parquet(
             os.path.join(args.output, "clusters")
         )
-        n_docs = docs.count()
-        n_survivors = survivors.count()
+        got = obs.get
+        n_docs = int(got["n_docs"])
+        n_survivors = int(got["n_survivors"])
         print(
             json.dumps(
                 {

@@ -111,3 +111,105 @@ def test_bucketed_join_is_exchange_free(spark, catalog):
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_bucket_a")
         spark.sql("DROP TABLE IF EXISTS tb_bucket_b")
+
+
+# ---------------------------------------------------------------------------
+# remote-FS catalog (file:// scheme exercises every non-local branch —
+# Hadoop FileSystem API + Spark-scan metadata fallbacks — on local disk)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def remote_catalog(spark, workdir):
+    return Catalog(spark, f"file://{workdir}/remote")
+
+
+def test_remote_scheme_catalog_roundtrip(spark, remote_catalog):
+    cat = remote_catalog
+    assert not cat.is_local
+    assert not cat.exists("t")
+    cat.write(_mk(spark, [("a", 1, "x"), ("b", 1, "y")]), "t",
+              partition_by=("source",), mode="overwrite")
+    assert cat.exists("t")
+    assert _rows(cat.read("t")) == [("a", 1, "x"), ("b", 1, "y")]
+    delta = _mk(spark, [("b", 1, "b-new"), ("c", 1, "c1")])
+    cat.write(delta, "t", partition_by=("source",),
+              mode="overwrite_partitions")
+    assert _rows(cat.read("t")) == sorted(
+        [("a", 1, "x"), ("b", 1, "b-new"), ("c", 1, "c1")]
+    )
+    cat.drop("t")
+    assert not cat.exists("t")
+
+
+def test_remote_retention_swap_and_metadata_fallbacks(spark, remote_catalog):
+    """On a URI-scheme catalog the footer shortcuts must fall back to
+    Spark scans (NOT silently return {} / rows_kept=0), and the staging
+    swap must go through dynamic partition overwrite — including
+    dropping a touched partition whose every row expired."""
+    from tinybrain_spark.retention import (
+        RetentionPolicy,
+        _footer_column_max,
+        _footer_row_counts,
+        enforce_retention,
+    )
+
+    cat = remote_catalog
+    rows = (
+        [("a", b, f"a{b}") for b in range(10)]
+        + [("b", b, f"b{b}") for b in range(5)]
+        + [("c", 9, "c9")]
+    )
+    df = spark.createDataFrame(rows, "source string, time_bucket long, v string")
+    cat.write(df, "tier", partition_by=("source",), mode="overwrite")
+
+    assert _footer_column_max(cat, "tier", "time_bucket") is None
+    assert sum(_footer_row_counts(cat, "tier").values()) == 16
+
+    stats = enforce_retention(cat, "tier", 1, RetentionPolicy({1: 3}))
+    spark.catalog.clearCache()
+    assert stats == {"cutoff": 7, "rows_dropped": 12, "rows_kept": 4}
+    got = sorted(
+        (r["source"], r["time_bucket"]) for r in cat.read("tier").collect()
+    )
+    # a partially expired (keeps 7-9), b FULLY expired (partition gone),
+    # c untouched
+    assert got == [("a", 7), ("a", 8), ("a", 9), ("c", 9)]
+    assert not cat.exists("tier__retention_staging")
+
+
+def test_retention_stale_staging_from_crashed_run_is_ignored(spark, catalog):
+    """Crash-safety of the parquet-fallback swap: a stale staging table
+    left by a run that died between the staging write and the swap must
+    be dropped by the next run, never merged into the live table."""
+    from tinybrain_spark.retention import RetentionPolicy, enforce_retention
+
+    df = spark.createDataFrame(
+        [("a", b, f"a{b}") for b in range(10)],
+        "source string, time_bucket long, v string",
+    )
+    catalog.write(df, "tier", partition_by=("source",), mode="overwrite")
+    junk = spark.createDataFrame(
+        [("zzz", 999, "junk")], "source string, time_bucket long, v string"
+    )
+    catalog.write(junk, "tier__retention_staging",
+                  partition_by=("source",), mode="overwrite")
+
+    enforce_retention(catalog, "tier", 1, RetentionPolicy({1: 2}))
+    spark.catalog.clearCache()
+    got = sorted(
+        (r["source"], r["time_bucket"])
+        for r in catalog.read("tier").collect()
+    )
+    assert got == [("a", 8), ("a", 9)]
+    assert not catalog.exists("tier__retention_staging")
+
+
+def test_remote_compact_swap(spark, remote_catalog):
+    cat = remote_catalog
+    df = _mk(spark, [("a", i, f"v{i}") for i in range(64)]).repartition(8)
+    cat.write(df, "t", partition_by=("source",), mode="overwrite")
+    n = cat.compact("t", partition_by=("source",), target_partitions=1)
+    spark.catalog.clearCache()
+    assert n == 1
+    assert cat.read("t").count() == 64

@@ -199,3 +199,28 @@ def test_segmentation_float_bit_view():
     img3[1, 1, 1] = 9.0
     out = tb.downsample_segmentation(img3, (2, 2, 2))[0]
     assert out.ravel()[0] == 3.5
+
+
+def test_segmentation_float16_raises_like_reference():
+    """The reference's mode_pooling dispatch lists float32/float64/
+    csingle only (accelerated.pyx:1214,1222); float16 has no case and
+    raises ValueError.  Non-fast factors route float16 to striding via
+    the planner (downsample.py:253-254) — both pinned here."""
+    import numpy as np
+    import pytest
+
+    from tinybrain_spark import compat as tb
+
+    img = np.arange(16, dtype=np.float16).reshape(4, 4)
+    with pytest.raises(ValueError, match="not supported"):
+        tb.downsample_segmentation(img, (2, 2))
+    with pytest.raises(ValueError, match="not supported"):
+        tb.downsample_segmentation(
+            np.zeros((2, 2, 2), dtype=np.float16), (2, 2, 2)
+        )
+    # sparse 2d + non-fast factors bypass the accelerated dispatch and
+    # stride, exactly like the reference planner
+    got = tb.downsample_segmentation(img, (2, 2), sparse=True)[0]
+    np.testing.assert_array_equal(got, img[::2, ::2])
+    got = tb.downsample_segmentation(img, (4, 4))[0]
+    np.testing.assert_array_equal(got, img[::4, ::4])

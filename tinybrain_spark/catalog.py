@@ -14,6 +14,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def is_local_path(path: str) -> bool:
+    """True when ``path`` is a plain local filesystem path safe for
+    os.* / shutil metadata shortcuts.  Anything with a URI scheme —
+    file://, hdfs://, s3a:// — goes through the Hadoop FileSystem API
+    or a Spark scan instead (a local glob on those SILENTLY matches
+    nothing, which used to zero out lineage row counts and retention's
+    rows_kept).  One-letter schemes are Windows drive letters."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    return scheme == "" or len(scheme) == 1
+
+
 def _has_iceberg(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(
@@ -29,13 +42,31 @@ class Catalog:
         self.spark = spark
         self.base_path = base_path
         self.use_iceberg = _has_iceberg(spark)
-        os.makedirs(base_path, exist_ok=True)
+        self.is_local = is_local_path(base_path)
+        if self.is_local:
+            os.makedirs(base_path, exist_ok=True)
 
     def path(self, name: str) -> str:
         return os.path.join(self.base_path, name)
 
+    def _hadoop_fs(self, p: str):
+        """(FileSystem, Path) for a URI via the JVM Hadoop client — the
+        FS-agnostic route for file://, hdfs://, s3a:// catalogs."""
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
     def exists(self, name: str) -> bool:
         p = self.path(name)
+        if not self.is_local:
+            fs, jp = self._hadoop_fs(p)
+            if not fs.exists(jp):
+                return False
+            it = fs.listFiles(jp, True)
+            while it.hasNext():
+                if it.next().getPath().getName().endswith(".parquet"):
+                    return True
+            return False
         if not os.path.isdir(p):
             return False
         for root, _dirs, files in os.walk(p):
@@ -93,9 +124,14 @@ class Catalog:
         return self.spark.table(table_name)
 
     def drop(self, name: str) -> None:
+        p = self.path(name)
+        if not self.is_local:
+            fs, jp = self._hadoop_fs(p)
+            if fs.exists(jp):
+                fs.delete(jp, True)
+            return
         import shutil
 
-        p = self.path(name)
         if os.path.isdir(p):
             shutil.rmtree(p)
 
@@ -120,10 +156,25 @@ class Catalog:
         self.write(df, staging, partition_by=partition_by, mode="overwrite")
         live, staged = self.path(name), self.path(staging)
         backup = live + "__pre_compact"
-        shutil.move(live, backup)
-        shutil.move(staged, live)
-        shutil.rmtree(backup)
+        if self.is_local:
+            shutil.move(live, backup)
+            shutil.move(staged, live)
+            shutil.rmtree(backup)
+            n = 0
+            for _root, _dirs, files in os.walk(live):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+            return n
+        # remote FS: same crash-safe swap via Hadoop rename (atomic on
+        # HDFS; object stores get the Iceberg catalog instead)
+        fs, jlive = self._hadoop_fs(live)
+        jstaged = self._hadoop_fs(staged)[1]
+        jbackup = self._hadoop_fs(backup)[1]
+        fs.rename(jlive, jbackup)
+        fs.rename(jstaged, jlive)
+        fs.delete(jbackup, True)
         n = 0
-        for _root, _dirs, files in os.walk(live):
-            n += sum(1 for f in files if f.endswith(".parquet"))
+        it = fs.listFiles(jlive, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
         return n

@@ -350,14 +350,18 @@ def downsample_segmentation(img, factor, sparse=False, num_mips=1):
     if all(f == 1 for f in factor):
         return [img] * num_mips
 
-    # the accelerated mode kernels pool ANY 8/16/32/64-bit dtype on its
-    # raw bits (accelerated.pyx:1198-1231, 1271-1296): NaN windows
-    # compare bit-equal, -0.0 != +0.0.  Only the fast factors take this
-    # path — the numpy planner routes floats to striding (downsample.py:
-    # 253-254), matching the reference.
+    # the accelerated mode kernels pool float32/float64/csingle on their
+    # raw bits (accelerated.pyx:1214,1222 and the 2x2x2 dispatch): NaN
+    # windows compare bit-equal, -0.0 != +0.0.  Any OTHER float/complex
+    # dtype (float16, complex128) has no dispatch case and raises
+    # ValueError in the reference — do the same rather than silently
+    # pooling it.  Only the fast factors take this path; the numpy
+    # planner routes floats to striding (downsample.py:253-254).
     if img.dtype.kind in "fc" and factor in (
         (2, 2), (2, 2, 1), (2, 2, 1, 1), (2, 2, 2), (2, 2, 2, 1)
     ) and not (sparse and factor in ((2, 2), (2, 2, 1), (2, 2, 1, 1))):
+        if img.dtype not in (np.float32, np.float64, np.csingle):
+            raise ValueError("{} not supported.".format(img.dtype))
         mips = downsample_segmentation(
             K._bit_view(img), factor, sparse=sparse, num_mips=num_mips
         )

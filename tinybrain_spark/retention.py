@@ -26,15 +26,21 @@ def _iter_parquet_files(catalog: Catalog, table: str):
     import glob
     import os
 
+    assert catalog.is_local, "parquet-footer shortcut is local-FS only"
     base = catalog.path(table)
     for f in glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True):
         yield f
 
 
 def _footer_column_max(catalog: Catalog, table: str, col: str):
-    """Exact max of a column from parquet footer statistics (no job)."""
+    """Exact max of a column from parquet footer statistics (no job).
+    On a remote-FS catalog (file://, hdfs://, s3a://) footers aren't
+    os.path-reachable — return None so the caller scans, instead of the
+    local glob silently matching nothing."""
     import pyarrow.parquet as pq
 
+    if not catalog.is_local:
+        return None  # stats unreachable -> caller must scan
     best = None
     for f in _iter_parquet_files(catalog, table):
         md = pq.ParquetFile(f).metadata
@@ -53,6 +59,10 @@ def _footer_column_max(catalog: Catalog, table: str, col: str):
 def _footer_row_counts(catalog: Catalog, table: str) -> dict:
     import pyarrow.parquet as pq
 
+    if not catalog.is_local:
+        # remote FS: one Spark count instead of a local glob that would
+        # silently return {} (and report rows_kept=0)
+        return {catalog.path(table): catalog.read(table).count()}
     counts: dict[str, int] = {}
     for f in _iter_parquet_files(catalog, table):
         counts[f] = pq.ParquetFile(f).metadata.num_rows
@@ -137,13 +147,32 @@ def enforce_retention(
     catalog.write(
         kept_in_touched, staging, partition_by=("source",), mode="overwrite"
     )
-    for source in touched:
-        live = os.path.join(catalog.path(table), f"source={source}")
-        staged = os.path.join(catalog.path(staging), f"source={source}")
-        if os.path.isdir(live):
-            shutil.rmtree(live)
-        if os.path.isdir(staged):
-            shutil.move(staged, live)
+    if catalog.is_local:
+        for source in touched:
+            live = os.path.join(catalog.path(table), f"source={source}")
+            staged = os.path.join(catalog.path(staging), f"source={source}")
+            if os.path.isdir(live):
+                shutil.rmtree(live)
+            if os.path.isdir(staged):
+                shutil.move(staged, live)
+    else:
+        # remote FS: dynamic partition overwrite from a FRESH scan of the
+        # staging table (never reads the files it is overwriting), then
+        # explicitly drop touched partitions that kept NO survivors —
+        # dynamic overwrite only rewrites partitions present in the data
+        staged_sources: set = set()
+        if catalog.exists(staging):
+            staged = catalog.read(staging)
+            catalog.write(
+                staged, table, partition_by=("source",),
+                mode="overwrite_partitions",
+            )
+            staged_sources = {
+                r["source"]
+                for r in staged.select("source").distinct().collect()
+            }
+        for source in touched - staged_sources:
+            catalog.drop(f"{table}/source={source}")
     catalog.drop(staging)
     return {
         "cutoff": cutoff,

@@ -292,12 +292,25 @@ class RollupEngine:
 
     def _partition_row_counts(self, table: str, key: str = "source") -> dict:
         """Exact per-partition row counts from parquet footers (metadata
-        only — kilobytes even for a 10^9-row tier)."""
+        only — kilobytes even for a 10^9-row tier).  On a remote-FS
+        catalog the footers aren't os.path-reachable: fall back to one
+        Spark per-partition count (partition-pruned scan) rather than a
+        local glob that silently returns {} and re-runs every source on
+        resume."""
         import glob
         import os
         from urllib.parse import unquote
 
         import pyarrow.parquet as pq
+
+        if not self.catalog.is_local:
+            return {
+                r[key]: r["n"]
+                for r in self.catalog.read(table)
+                .groupBy(key)
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
 
         counts: dict[str, int] = {}
         base = self.catalog.path(table)
