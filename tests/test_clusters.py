@@ -66,3 +66,34 @@ def test_adversarial_chain_raises_past_budget(spark):
         for r in connected_components(edges, nodes, max_iter=n).collect()
     }
     assert all(v == 0 for v in full.values())
+
+
+def _star(spark, edge_list, node_list, **kw):
+    from tinybrain_spark.clusters import connected_components_star
+
+    edges = spark.createDataFrame(edge_list, "a long, b long")
+    nodes = spark.createDataFrame([(n,) for n in node_list], "node long")
+    out = connected_components_star(edges, nodes, **kw)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_star_matches_hashmin_on_mixed_graph(spark):
+    edges = [(2, 1), (2, 3), (3, 7), (5, 6), (4, 5), (8, 8), (10, 11)]
+    nodes = list(range(1, 13))
+    assert _star(spark, edges, nodes) == _cc(spark, edges, nodes)
+
+
+def test_star_long_chain_logarithmic_rounds(spark):
+    """A 64-node path (diameter 63) must converge within a LOG round
+    budget — the case that exhausts hash-min's diameter budget."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _star(spark, edges, list(range(n)), max_iter=14)
+    assert all(v == 0 for v in got.values())
+
+
+def test_star_singletons_and_dense(spark):
+    # clique 0-4 + singleton 9 + pair (7,8)
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)] + [(7, 8)]
+    got = _star(spark, edges, [0, 1, 2, 3, 4, 7, 8, 9])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 7: 7, 8: 7, 9: 9}

@@ -95,7 +95,7 @@ def connected_components(
         msg = (
             f"connected_components did not converge in {max_iter} rounds "
             f"(component diameter exceeds the budget); raise max_iter or "
-            f"switch to large-star/small-star for long-chain graphs"
+            f"switch to connected_components_star for long-chain graphs"
         )
         if strict:
             raise ConvergenceError(msg)
@@ -103,3 +103,94 @@ def connected_components(
 
         logging.getLogger(__name__).warning(msg)
     return labels
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected edges as (u, v) with u > v, self-loops dropped."""
+    return (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): the
+    diameter-independent upgrade path ``connected_components``'s
+    docstring points at.  Converges in O(log^2 n) rounds on ANY graph
+    shape — a million-node path graph is ~15 rounds here vs a million
+    hash-min rounds — at ~2 shuffles per star op.
+
+    Same contract as ``connected_components``: edges (a, b) undirected,
+    nodes (node) incl. singletons, returns (node, label) with
+    label = min node id in the component.
+
+    Per round:
+      large-star: every strictly-larger neighbor of u re-hooks onto
+        min(N(u) ∪ {u})  — breaks long chains in half;
+      small-star: u and its strictly-smaller neighbors all hook onto
+        their minimum — flattens local trees into stars.
+    Converged when the edge multiset is stable (count + bit_xor of
+    xxhash64 fingerprint — the XOR aggregate cannot overflow under ANSI
+    mode, unlike a sum).  The converged graph is a forest of stars
+    rooted at each component minimum, so labels are one left join.
+    """
+    e = _canonical(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    ).localCheckpoint()
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = fingerprint(e)
+    converged = False
+    for _ in range(max_iter):
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_large = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = _canonical(
+            sym.where(F.col("v") > F.col("u"))
+            .join(m_large, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint()
+
+        # canonical edges already orient child > parent, so N<(u) is
+        # exactly large's v-side for each u
+        m_small = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = _canonical(
+            large.join(m_small, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_small.select("u", F.col("m").alias("v")))
+        ).localCheckpoint()
+
+        e = small
+        cur = fingerprint(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components_star did not converge in {max_iter} "
+            f"rounds — not expected for any graph below ~2^{max_iter // 2} "
+            f"nodes; check for label-width overflow or raise max_iter"
+        )
+    parents = e.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+    return nodes.join(parents, "node", "left").select(
+        "node", F.coalesce("lbl", F.col("node")).alias("label")
+    )

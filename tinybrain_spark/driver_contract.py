@@ -1516,6 +1516,66 @@ WHERE inter * 100 // (sa.n + sb.n - inter) >= 50
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline op): flag training documents
+    sharing any word-3-gram with the EVAL set (docs with doc_id % 20 ==
+    0 stand in for the benchmark corpus).  Emits (doc_id, n_shared) =
+    distinct contaminated shingles per flagged doc.
+
+    Scale shape: the eval side is tiny in production, so the LEFT SEMI
+    join broadcasts it and the candidate side never fans out — a
+    candidate shingle matches at most once regardless of how many eval
+    docs contain it (the semi-join IS the n-gram-containment test;
+    contrast with the capped self-join that near-dup Jaccard needs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("ws", i + 1),
+                    F.element_at("ws", i + 2),
+                    F.element_at("ws", i + 3),
+                ),
+            )
+        ).alias("sh"),
+    ).distinct()
+    bench = (
+        sh.where(F.col("doc_id") % 20 == 0).select("sh").distinct()
+    )
+    cand = sh.where(F.col("doc_id") % 20 != 0)
+    return (
+        cand.join(F.broadcast(bench), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+_DECONTAMINATE = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  WHERE i <= len(ws) - 2
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh c
+WHERE c.doc_id % 20 <> 0
+  AND EXISTS (SELECT 1 FROM sh b WHERE b.doc_id % 20 = 0 AND b.sh = c.sh)
+GROUP BY c.doc_id
+"""
+
+
 _MINHASH_AGREE = 6  # verified near-dup: >= 6 of 8 sigs agree (J >= 0.75)
 
 
@@ -1589,6 +1649,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("node")
     )
     cc = connected_components(pairs, nodes)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as q_dedup_clusters, via the DIAMETER-INDEPENDENT
+    large-star/small-star algorithm (clusters.connected_components_star,
+    Kiveris et al. SoCC'14): O(log^2 n) rounds on any graph shape — the
+    scale path for adversarial chain-shaped near-dup graphs that exhaust
+    hash-min's diameter budget.  Oracle: the identical recursive CTE."""
+    from .clusters import connected_components_star
+
+    pairs = q_minhash_verified_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("node")
+    )
+    cc = connected_components_star(pairs, nodes)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -2138,17 +2218,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_keep": q_dedup_keep,
         "q_doc_fingerprint": q_doc_fingerprint,
-        "q_token_count": q_token_count,
         "q_token_count_bpe": q_token_count_bpe,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_stratified_sample": q_stratified_sample,
         "q_minhash_signature": q_minhash_signature,
-        "q_minhash_pairs": q_minhash_pairs,
         "q_minhash_verified_pairs": q_minhash_verified_pairs,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_decontaminate": q_decontaminate,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_blocked": q_ann_topk_blocked,
         "q_ann_topk_ivf": q_ann_topk_ivf,
@@ -2168,6 +2248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode_rollup_t2": _pool_query("mode", 4, 2, False),
         "q_tile_avg_2d_t2": _tile_query("avg", 2),
         "q_tile_mode_2d_t2": _tile_query("mode", 2),
+        # distinct-but-lower-value: sub-steps / stat variants of green
+        # head queries (q_minhash_pairs feeds q_minhash_verified_pairs;
+        # q_token_count's whitespace stats pair with q_token_count_bpe)
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_token_count": q_token_count,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -2250,6 +2335,9 @@ FROM win
         "q_minhash_pairs": _minhash_pairs_sql(),
         "q_minhash_verified_pairs": _minhash_verified_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),
+        # same components, diameter-independent algorithm, same oracle
+        "q_dedup_clusters_star": _dedup_clusters_sql(),
+        "q_decontaminate": _DECONTAMINATE,
         "q_simhash": _SIMHASH,
         "q_ngram_jaccard": _NGRAM_JACCARD,
         "q_ann_topk": _ANN_TOPK_SQL,
