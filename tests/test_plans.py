@@ -78,3 +78,13 @@ def test_topk_users_is_distributed_partial_topk(spark):
     # each node once in the tree summary)
     tree = plan.split("\n\n")[0]
     assert tree.count("Window") == 1
+
+
+def test_word_sketch_queries_single_exchange(spark):
+    """array_distinct dedups words/shingles in-row, so the sketch
+    queries need exactly ONE exchange each (their final groupBy) —
+    a global distinct would add a second full-width shuffle."""
+    for q in ("q_simhash", "q_minhash_signature"):
+        plan = _plan(dc.queries()[q](spark, SF_DIR))
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1, (q, tree)

@@ -1283,10 +1283,16 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures over the distinct-word set of each doc
     (pipeline op: MinHash near-dup, signature stage)."""
     docs = load_table(spark, sf_dir, "documents")
+    # in-row dedup (array_distinct) — min() is duplicate-insensitive,
+    # but deduping before the 8 hash chains avoids re-hashing repeats
+    # AND drops the global distinct's exchange; the groupBy is the one
+    # shuffle, shipping ~1 partially-aggregated row per doc
     words = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), " +"))
+        ).alias("word"),
+    )
     hm = _word_hash_expr(F.col("word")) % _MINHASH_P
     aggs = [
         F.min((hm * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"sig{i}")
@@ -1364,10 +1370,16 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over distinct words (pipeline op: SimHash)."""
     docs = load_table(spark, sf_dir, "documents")
+    # per-doc word dedup INSIDE the row (array_distinct) instead of a
+    # global distinct: same (doc, word) set, one less full-width
+    # exchange — the groupBy below is then the only shuffle, and its
+    # map-side partial agg ships ~1 row per doc
     words = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), " +"))
+        ).alias("word"),
+    )
     h = _word_hash_expr(F.col("word"))
     wh = words.select("doc_id", h.alias("h"))
     # one shuffle, 32 aggregate columns — instead of exploding 32x rows
@@ -1532,20 +1544,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.trim(F.col("text")), " +").alias("ws"),
     )
+    # per-doc shingle dedup in-row (array_distinct) — no global
+    # distinct exchange; the only shuffles left are the tiny eval-side
+    # distinct and the final per-doc count
     sh = w.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("ws", i + 1),
-                    F.element_at("ws", i + 2),
-                    F.element_at("ws", i + 3),
-                ),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                        F.element_at("ws", i + 3),
+                    ),
+                )
             )
         ).alias("sh"),
-    ).distinct()
+    )
     bench = (
         sh.where(F.col("doc_id") % 20 == 0).select("sh").distinct()
     )
