@@ -1528,6 +1528,81 @@ WHERE inter * 100 // (sa.n + sb.n - inter) >= 50
 """
 
 
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: the permille of word
+    2-grams that are repeats of an earlier 2-gram in the same doc.
+    Pure Catalyst, zero shuffles (per-row arithmetic on the shingle
+    array); high scores flag boilerplate/spam for the quality gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)
+        ),
+    )
+    # filter BEFORE building grams: sequence(0, size-2) REVERSES when
+    # size == 1 (Spark auto-steps -1) and element_at(ws, 0) throws
+    with_g = w.where(F.size("ws") >= 2).select("doc_id", grams.alias("g"))
+    rep = (
+        (F.size("g") - F.size(F.array_distinct("g")))
+        * 1000
+        / F.size("g")
+    )
+    return with_g.select(
+        "doc_id", F.floor(rep).cast("long").alias("rep_pm")
+    )
+
+
+_REPETITION = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         ws[i] || ' ' || ws[i+1] AS sh
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) t
+  WHERE i <= len(ws) - 1
+), agg AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT sh) AS nd FROM g
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST((n - nd) * 1000 // n AS BIGINT) AS rep_pm
+FROM agg WHERE n > 0
+"""
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 words by DOCUMENT frequency
+    (array_distinct in-row, so a word counts once per doc), planned as
+    TakeOrderedAndProject — per-partition partial top-k, no global
+    sort.  The vocabulary-inspection primitive of a data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), " +"))
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    return counts.orderBy(F.col("df").desc(), F.col("word").asc()).limit(20)
+
+
+_TOP_TOKENS = """
+WITH words AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS df
+FROM words GROUP BY word
+ORDER BY df DESC, word ASC LIMIT 20
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (pipeline op): flag training documents
     sharing any word-3-gram with the EVAL set (docs with doc_id % 20 ==
@@ -2270,6 +2345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_token_count's whitespace stats pair with q_token_count_bpe)
         "q_minhash_pairs": q_minhash_pairs,
         "q_token_count": q_token_count,
+        # r03 additions past the 50-row driver window (oracle-gated by
+        # tools/check_oracle.py)
+        "q_repetition_score": q_repetition_score,
+        "q_top_tokens": q_top_tokens,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -2355,6 +2434,8 @@ FROM win
         # same components, diameter-independent algorithm, same oracle
         "q_dedup_clusters_star": _dedup_clusters_sql(),
         "q_decontaminate": _DECONTAMINATE,
+        "q_repetition_score": _REPETITION,
+        "q_top_tokens": _TOP_TOKENS,
         "q_simhash": _SIMHASH,
         "q_ngram_jaccard": _NGRAM_JACCARD,
         "q_ann_topk": _ANN_TOPK_SQL,
