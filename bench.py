@@ -62,7 +62,7 @@ def main() -> int:
     from tinybrain_spark import driver_contract as dc
     from tinybrain_spark.datagen import generate
     from tinybrain_spark.session import get_spark
-    from tinybrain_spark.udfs import pool_all_tiers_udf
+    from tinybrain_spark.udfs import pool_tiers_map_in_arrow
 
     spark = get_spark("tinybrain-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(32, cpus))
@@ -107,11 +107,14 @@ def main() -> int:
             # the sandbox VM's noise windows inflate single runs 2-3x;
             # each repeat costs <1s.
             # Rebuild the DataFrame each run — pyspark 4.1 memoizes
-            # execution per DataFrame object.
-            udf = pool_all_tiers_udf(kind, window=4, num_tiers=tiers,
-                                     sparse=sparse)
+            # execution per DataFrame object.  mapInArrow fast path:
+            # the pyramid is Arrow-boundary-bound, not kernel-bound
+            # (bit-equality with the pandas-UDF path pinned by
+            # test_rollup_e2e); uniform n_tok batches stay zero-copy.
+            pool = pool_tiers_map_in_arrow(kind, window=4,
+                                           num_tiers=tiers, sparse=sparse)
             src = seq if table is None else table
-            df = src.select(F.explode(udf("tokens")).alias("t")).select(
+            df = pool(src).select(F.explode("tiers").alias("t")).select(
                 F.sum(F.size("t")).alias("points")
             )
             t0 = time.time()

@@ -207,3 +207,32 @@ def test_run_tier_issues_no_stats_rescan_jobs(spark, base_df, workdir):
     # added a stats groupBy-collect over the written tier and a
     # pyramid-level min(n_tok) scan on top.
     assert n_jobs <= 6, f"run_tier launched {n_jobs} jobs"
+
+
+def test_map_in_arrow_pooling_equals_pandas_udf(spark):
+    """pool_tiers_map_in_arrow (the uniform-batch zero-copy fast path)
+    must be BIT-IDENTICAL to the pandas-UDF path on uniform batches,
+    ragged batches (fallback), and across kernels incl. sparse."""
+    from pyspark.sql import functions as F
+
+    from tinybrain_spark.udfs import pool_all_tiers_udf, pool_tiers_map_in_arrow
+
+    uniform = generate(spark, n_docs=400, n_tok=64, seed=9, num_partitions=4)
+    ragged = uniform.withColumn(
+        "tokens",
+        F.slice("tokens", 1, (16 + (F.crc32("doc_id") % 4) * 16).cast("int")),
+    )
+    for df in (uniform, ragged):
+        for kind, sparse in (("avg", False), ("avg", True), ("mode", False),
+                             ("max", False)):
+            udf = pool_all_tiers_udf(kind, window=4, num_tiers=2, sparse=sparse)
+            want = sorted(
+                str(r["t"])
+                for r in df.select(udf("tokens").alias("t")).collect()
+            )
+            amap = pool_tiers_map_in_arrow(kind, window=4, num_tiers=2,
+                                           sparse=sparse)
+            got = sorted(
+                str(r["tiers"]) for r in amap(df).collect()
+            )
+            assert got == want, (kind, sparse)
