@@ -236,3 +236,24 @@ def test_map_in_arrow_pooling_equals_pandas_udf(spark):
                 str(r["tiers"]) for r in amap(df).collect()
             )
             assert got == want, (kind, sparse)
+
+
+@pytest.mark.parametrize("kernel,sparse", [
+    ("avg", False), ("avg", True), ("mode", False),
+])
+def test_pyramid_ragged_inputs_through_engine(spark, workdir, kernel, sparse):
+    """Ragged n_tok (mixed lengths in one batch) drives the Arrow tier
+    mappers' per-length-group FALLBACK end to end; every tier must
+    still equal the per-row numpy kernels."""
+    df = generate(spark, n_docs=96, n_tok=256, seed=13, num_partitions=3)
+    df = df.withColumn(
+        "tokens",
+        F.slice("tokens", 1, (64 * (1 + F.crc32("doc_id") % 4)).cast("int")),
+    ).withColumn("n_tok", F.size("tokens"))
+    cfg = RollupConfig(kernel=kernel, window=4, num_tiers=3, sparse=sparse,
+                       run_kind=f"rag_{kernel}_{int(sparse)}")
+    engine = RollupEngine(spark, workdir)
+    engine.run_pyramid(df, cfg, resume=False)
+    base = _tokens_by_doc(df)
+    assert len({len(t) for t in base.values()}) == 4  # genuinely ragged
+    _assert_tier_matches(engine, cfg, base, 3)

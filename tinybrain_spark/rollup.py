@@ -27,7 +27,7 @@ from . import kernels as K
 from .catalog import Catalog
 from .checkpoint import CheckpointStore
 from .partitioning import cluster_for_write
-from .udfs import avg_step_udf, pool_udf
+from .udfs import avg_step_map_in_arrow, pool_tier_map_in_arrow
 
 TIER_KEY_COLS = ("doc_id", "source", "time_bucket")
 
@@ -336,36 +336,24 @@ class RollupEngine:
     ) -> DataFrame:
         w = config.window
         guard = config.num_tiers if tier == 1 else None
+        # mapInArrow tier mappers: zero-copy dense view per uniform
+        # batch, key passthrough, no pandas object Series (semantics
+        # shared with the pandas UDFs via _avg_step_matrices / K.pool,
+        # pinned by test_rollup_e2e equality tests)
         if config.kernel == "avg":
-            step = avg_step_udf(
-                window=w, sparse=config.sparse, tier=tier, guard_tiers=guard
-            )
-            if tier == 1:
-                stepped = src.withColumn(
-                    "step", step(F.col("tokens"), F.col("tokens").cast("array<long>"))
+            if tier > 1 and not prev_has_accum:
+                raise ValueError(
+                    f"tier {tier - 1} table lacks the persisted accumulator"
                 )
-            else:
-                if not prev_has_accum:
-                    raise ValueError(
-                        f"tier {tier - 1} table lacks the persisted accumulator"
-                    )
-                stepped = src.withColumn(
-                    "step", step(F.col("accum"), F.col("denom"))
-                )
-            return stepped.select(
-                *TIER_KEY_COLS,
-                F.col("step.rendered").alias("tokens"),
-                F.size("step.rendered").alias("n_tok"),
-                F.col("step.accum").alias("accum"),
-                F.col("step.denom").alias("denom"),
+            step = avg_step_map_in_arrow(
+                window=w, sparse=config.sparse, tier=tier,
+                guard_tiers=guard, key_cols=TIER_KEY_COLS,
             )
+            return step(src)
 
         # mode/max/min/stride: recursive pooling of rendered values
-        udf = pool_udf(
-            config.kernel, window=w, num_tiers=1, sparse=config.sparse,
-            guard_tiers=guard,
+        pool = pool_tier_map_in_arrow(
+            config.kernel, window=w, sparse=config.sparse,
+            guard_tiers=guard, key_cols=TIER_KEY_COLS,
         )
-        return src.select(
-            *TIER_KEY_COLS,
-            udf(F.col("tokens")).alias("tokens"),
-        ).withColumn("n_tok", F.size("tokens"))
+        return pool(src)

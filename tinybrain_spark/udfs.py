@@ -33,7 +33,9 @@ __all__ = [
     "float_pool_udf",
     "pool_all_tiers_udf",
     "pool_tiers_map_in_arrow",
+    "pool_tier_map_in_arrow",
     "avg_step_udf",
+    "avg_step_map_in_arrow",
     "batch_apply",
 ]
 
@@ -247,6 +249,192 @@ def pool_tiers_map_in_arrow(
     return apply
 
 
+def _uniform_matrix(col, dtype):
+    """(n, L) dense view of a pyarrow ListArray when every row has the
+    same length and no nulls; None otherwise (caller falls back)."""
+    offs = col.offsets.to_numpy()
+    lengths = np.diff(offs)
+    if len(lengths) == 0 or col.null_count or not (lengths == lengths[0]).all():
+        return None
+    n = len(col)
+    return (
+        col.values.to_numpy()[offs[0]: offs[-1]]
+        .reshape(n, int(lengths[0]))
+        .astype(dtype, copy=False)
+    )
+
+
+def _list_from_matrix(mat: np.ndarray, pa_type):
+    """ListArray from a dense (n, L) matrix — two vectorized buffers."""
+    import pyarrow as pa
+
+    n, length = mat.shape
+    offsets = pa.array(
+        np.arange(0, (n + 1) * length, length, dtype=np.int32),
+        type=pa.int32(),
+    )
+    return pa.ListArray.from_arrays(offsets, pa.array(mat.ravel(), type=pa_type))
+
+
+def pool_tier_map_in_arrow(
+    kind: str,
+    window: int = 4,
+    sparse: bool = False,
+    guard_tiers: int | None = None,
+    key_cols: tuple[str, ...] = ("doc_id", "source", "time_bucket"),
+):
+    """One rollup tier (mode/max/min/stride or single-tier avg) as a
+    mapInArrow projection with key-column passthrough: the production
+    tier path for uniform-length sequence batches (see
+    ``pool_tiers_map_in_arrow`` for why this beats the pandas UDF).
+    Returns ``f(df) -> df`` with columns ``key_cols + (tokens, n_tok)``
+    — the exact schema rollup's ``_pool_tier`` emits."""
+    import pyarrow as pa
+
+    def kernel(mat: np.ndarray) -> np.ndarray:
+        if guard_tiers is not None:
+            K.validate_pool_args(mat.shape[1], window, guard_tiers,
+                                 pot_only=False)
+        return K.pool(kind, mat, window=window, num_tiers=1,
+                      sparse=sparse, dtype=np.int32)[0]
+
+    def _batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index("tokens"))
+            mat = _uniform_matrix(col, np.int32)
+            if mat is not None:
+                pooled = kernel(mat)
+                tok = _list_from_matrix(pooled, pa.int32())
+                ntok = pa.array(
+                    np.full(n, pooled.shape[1], dtype=np.int32),
+                    type=pa.int32(),
+                )
+            else:
+                out = np.empty(n, dtype=object)
+                for idx, stacked in _stack_by_length(col.to_pandas(), np.int32):
+                    r = kernel(stacked)
+                    for j, i in enumerate(idx):
+                        out[i] = r[j]
+                tok = pa.array(list(out), type=pa.list_(pa.int32()))
+                ntok = pa.array(
+                    [len(x) for x in out], type=pa.int32()
+                )
+            keys = [
+                batch.column(batch.schema.get_field_index(k))
+                for k in key_cols
+            ]
+            yield pa.RecordBatch.from_arrays(
+                keys + [tok, ntok], names=[*key_cols, "tokens", "n_tok"]
+            )
+
+    def apply(df):
+        out = StructType(
+            [df.schema[k] for k in key_cols]
+            + [
+                StructField("tokens", ArrayType(IntegerType()), True),
+                StructField("n_tok", IntegerType(), True),
+            ]
+        )
+        return df.select(*key_cols, "tokens").mapInArrow(_batches, out)
+
+    return apply
+
+
+def avg_step_map_in_arrow(
+    window: int = 4,
+    sparse: bool = False,
+    tier: int = 1,
+    guard_tiers: int | None = None,
+    key_cols: tuple[str, ...] = ("doc_id", "source", "time_bucket"),
+):
+    """The AVG persisted-accumulator tier step as a mapInArrow
+    projection (key passthrough + tokens/n_tok/accum/denom) — identical
+    semantics to ``avg_step_udf`` via the shared ``_avg_step_matrices``
+    (pinned by test), minus the pandas object-Series round trip."""
+    import pyarrow as pa
+
+    in_cols = ("tokens",) if tier == 1 else ("accum", "denom")
+
+    def _batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index(in_cols[0]))
+            dcol = (
+                batch.column(batch.schema.get_field_index("denom"))
+                if tier > 1 and sparse
+                else None
+            )
+            mat = _uniform_matrix(col, np.int64)
+            dmat = _uniform_matrix(dcol, np.int64) if dcol is not None else None
+            if mat is not None and (dcol is None or dmat is not None):
+                acc, den, r = _avg_step_matrices(
+                    mat, dmat, window, sparse, tier, guard_tiers
+                )
+                accum = _list_from_matrix(acc, pa.int64())
+                denom = (
+                    _list_from_matrix(den, pa.int64())
+                    if sparse
+                    else pa.nulls(n, type=pa.list_(pa.int64()))
+                )
+                tok = _list_from_matrix(r, pa.int32())
+                ntok = pa.array(
+                    np.full(n, r.shape[1], dtype=np.int32), type=pa.int32()
+                )
+            else:
+                values = col.to_pandas()
+                denoms = dcol.to_pandas() if dcol is not None else None
+                acc_o = np.empty(n, dtype=object)
+                den_o = np.empty(n, dtype=object)
+                r_o = np.empty(n, dtype=object)
+                for idx, stacked in _stack_by_length(values, np.int64):
+                    dstack = None
+                    if tier > 1 and sparse:
+                        dstack = np.empty_like(stacked)
+                        for j, i in enumerate(idx):
+                            dstack[j] = denoms.iloc[i]
+                    acc, den, r = _avg_step_matrices(
+                        stacked, dstack, window, sparse, tier, guard_tiers
+                    )
+                    for j, i in enumerate(idx):
+                        acc_o[i] = acc[j]
+                        den_o[i] = den[j] if sparse else None
+                        r_o[i] = r[j]
+                accum = pa.array(list(acc_o), type=pa.list_(pa.int64()))
+                denom = pa.array(list(den_o), type=pa.list_(pa.int64()))
+                tok = pa.array(list(r_o), type=pa.list_(pa.int32()))
+                ntok = pa.array([len(x) for x in r_o], type=pa.int32())
+            keys = [
+                batch.column(batch.schema.get_field_index(k))
+                for k in key_cols
+            ]
+            yield pa.RecordBatch.from_arrays(
+                keys + [tok, ntok, accum, denom],
+                names=[*key_cols, "tokens", "n_tok", "accum", "denom"],
+            )
+
+    def apply(df):
+        out = StructType(
+            [df.schema[k] for k in key_cols]
+            + [
+                StructField("tokens", ArrayType(IntegerType()), True),
+                StructField("n_tok", IntegerType(), True),
+                StructField("accum", ArrayType(LongType()), True),
+                StructField("denom", ArrayType(LongType()), True),
+            ]
+        )
+        cols = [*key_cols, *in_cols]
+        if tier > 1 and not sparse:
+            cols = [*key_cols, "accum"]
+        return df.select(*cols).mapInArrow(_batches, out)
+
+    return apply
+
+
 # -- incremental tier stepping (the persisted-accumulator fast path) ----
 
 _STEP_SCHEMA = StructType(
@@ -256,6 +444,63 @@ _STEP_SCHEMA = StructType(
         StructField("rendered", ArrayType(IntegerType()), False),
     ]
 )
+
+
+def _avg_step_params(window: int, tier: int) -> tuple[int, int, bool]:
+    """(shift, prev_shift, renorm) for one tier step (pyx:224,240-241)."""
+    log2w = K._LOG2[window]
+    cycle = K._cycle(window, np.dtype(np.int32))
+    m = tier - 1
+    shift = log2w * ((m % cycle) + 1)
+    prev_shift = log2w * (((m - 1) % cycle) + 1) if m > 0 else 0
+    renorm = m > 0 and prev_shift == log2w * cycle
+    return shift, prev_shift, renorm
+
+
+def _avg_step_matrices(
+    stacked: np.ndarray,
+    dstack: "np.ndarray | None",
+    window: int,
+    sparse: bool,
+    tier: int,
+    guard_tiers: int | None,
+):
+    """One dense length-group of the AVG tier step: returns
+    (acc int64 (n, L/w), den int64|None, rendered int32).  Shared by the
+    pandas and mapInArrow flavors so the cycle-renorm / sparse-denom
+    semantics live in exactly one place."""
+    shift, prev_shift, renorm = _avg_step_params(window, tier)
+    if tier == 1:
+        if guard_tiers is not None:
+            # pyramid-depth guard per batch (pyx:89-90) — no
+            # driver-side pre-scan needed
+            K.validate_pool_args(
+                stacked.shape[1], window, guard_tiers, pot_only=False
+            )
+        acc = K._windows(stacked, window).sum(axis=2, dtype=np.int64)
+        den = (
+            K._windows((stacked != 0).astype(np.int64), window).sum(
+                axis=2, dtype=np.int64
+            )
+            if sparse
+            else None
+        )
+    else:
+        prev = stacked
+        if renorm:
+            prev = prev >> prev_shift  # pyx:240-241 boundary renorm
+        acc = K._windows(prev, window).sum(axis=2, dtype=np.int64)
+        den = None
+        if sparse:
+            if renorm and window == 8:
+                dstack = dstack >> prev_shift  # pyx:758-761 quirk
+            den = K._windows(dstack, window).sum(axis=2, dtype=np.int64)
+
+    if sparse:
+        r = np.where(den == 0, 0, K._trunc_div(acc, np.maximum(den, 1)))
+    else:
+        r = K._render_int(acc, shift, np.dtype(np.int64))
+    return acc, den, r.astype(np.int32)
 
 
 def avg_step_udf(
@@ -272,12 +517,6 @@ def avg_step_udf(
     223-259, SURVEY.md O2).  ``tier`` is 1-based; tier 1 initializes the
     accumulator from raw tokens.
     """
-    log2w = K._LOG2[window]
-    cycle = K._cycle(window, np.dtype(np.int32))
-    m = tier - 1
-    shift = log2w * ((m % cycle) + 1)
-    prev_shift = log2w * (((m - 1) % cycle) + 1) if m > 0 else 0
-    renorm = m > 0 and prev_shift == log2w * cycle
 
     @F.pandas_udf(_STEP_SCHEMA)
     def _step(values: pd.Series, denoms: pd.Series) -> pd.DataFrame:
@@ -287,41 +526,14 @@ def avg_step_udf(
         rendered = np.empty(n, dtype=object)
 
         for idx, stacked in _stack_by_length(values, np.int64):
-            if tier == 1:
-                if guard_tiers is not None:
-                    # pyramid-depth guard per batch (pyx:89-90) — no
-                    # driver-side pre-scan needed
-                    K.validate_pool_args(
-                        stacked.shape[1], window, guard_tiers, pot_only=False
-                    )
-                acc = K._windows(stacked, window).sum(axis=2, dtype=np.int64)
-                den = (
-                    K._windows((stacked != 0).astype(np.int64), window).sum(
-                        axis=2, dtype=np.int64
-                    )
-                    if sparse
-                    else None
-                )
-            else:
-                prev = stacked
-                if renorm:
-                    prev = prev >> prev_shift  # pyx:240-241 boundary renorm
-                acc = K._windows(prev, window).sum(axis=2, dtype=np.int64)
-                den = None
-                if sparse:
-                    dstack = np.empty_like(stacked)
-                    for j, i in enumerate(idx):
-                        dstack[j] = denoms.iloc[i]
-                    if renorm and window == 8:
-                        dstack = dstack >> prev_shift  # pyx:758-761 quirk
-                    den = K._windows(dstack, window).sum(axis=2, dtype=np.int64)
-
-            if sparse:
-                r = np.where(den == 0, 0, K._trunc_div(acc, np.maximum(den, 1)))
-            else:
-                r = K._render_int(acc, shift, np.dtype(np.int64))
-            r = r.astype(np.int32)
-
+            dstack = None
+            if tier > 1 and sparse:
+                dstack = np.empty_like(stacked)
+                for j, i in enumerate(idx):
+                    dstack[j] = denoms.iloc[i]
+            acc, den, r = _avg_step_matrices(
+                stacked, dstack, window, sparse, tier, guard_tiers
+            )
             for j, i in enumerate(idx):
                 accum_out[i] = acc[j]
                 denom_out[i] = den[j] if sparse else None
