@@ -60,6 +60,20 @@ BLURBS = {
         "join key can fan out past CAP^2 rows regardless of corpus size — "
         "the skew bound that survives web-scale stop-phrase shingles."
     ),
+    "q_topk_users": (
+        "Distributed partial top-k: TakeOrderedAndProject (every partition "
+        "keeps its own 10, the driver merges) — never a global row_number "
+        "window; the only Window node ranks the 10 already-collected rows."
+    ),
+    "q_simhash": (
+        "In-row word dedup (array_distinct) then 32 vote sums in ONE "
+        "exchange; map-side partial aggregation ships ~1 row per doc."
+    ),
+    "q_decontaminate": (
+        "Eval-set n-gram containment as a broadcast LEFT SEMI join: a "
+        "candidate shingle matches at most once however many eval docs "
+        "hold it — no fan-out, unlike a near-dup self-join."
+    ),
 }
 
 
