@@ -1603,6 +1603,113 @@ ORDER BY df DESC, word ASC LIMIT 20
 """
 
 
+PACK_CAPACITY = 2048  # tokens per packed training sequence (doc-level)
+PACK_BUCKET = 64  # docs per prefix-sum bucket (small: exercises 2-level)
+PACK_TOK_CAPACITY = 1024  # tokens per packed sequence (materialized)
+PACK_TOK_BUCKET = 512  # users per prefix-sum bucket
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, assignment level (pipeline op): concatenate
+    each source's documents in doc_id order and cut the token stream at
+    PACK_CAPACITY boundaries; emit every doc's global token offset, the
+    training sequence it starts in, its offset within it, and how many
+    sequences it spans.  Token count = BPE-ish pre-tokenization pieces
+    (same regex as q_token_count_bpe).
+
+    Scale shape: the exclusive prefix sum is two-level (per-bucket
+    partial sums -> tiny bucket-table window -> broadcast back +
+    within-bucket window), so no task ever sorts more than
+    PACK_BUCKET rows of a source — the 10^12-doc-safe form of the
+    naive one-task Window.partitionBy(source).orderBy(doc_id).
+    """
+    from .packing import pack_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_n = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    out = pack_offsets(
+        with_n,
+        n_col="n_tok",
+        order_col="doc_id",
+        source_col="source",
+        capacity=PACK_CAPACITY,
+        bucket_size=PACK_BUCKET,
+    )
+    return out.select(
+        "doc_id", "source", "n_tok", "tok_start", "seq_id", "seq_offset",
+        "n_spans",
+    )
+
+
+_PACK_SEQUENCES = f"""
+WITH n AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+           AS n_tok
+  FROM documents
+), o AS (
+  SELECT doc_id, source, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_start
+  FROM n
+)
+SELECT doc_id, source, n_tok, CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // {PACK_CAPACITY} AS BIGINT) AS seq_id,
+       CAST(tok_start % {PACK_CAPACITY} AS BIGINT) AS seq_offset,
+       CAST(CASE WHEN n_tok <= 0 THEN 0
+            ELSE (tok_start + n_tok - 1) // {PACK_CAPACITY}
+                 - tok_start // {PACK_CAPACITY} + 1
+            END AS BIGINT) AS n_spans
+FROM o
+"""
+
+
+def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, materialized (pipeline op): per-user token
+    streams (the engine's standard events-derived sequences) are
+    concatenated in user_id order and re-cut into PACK_TOK_CAPACITY
+    sequences; one output row per token, relabeled (seq_id, pos).
+    Grouping this by seq_id yields the actual packed training batches
+    — the relabel IS the distributed work, the collect is one more
+    exchange callers pay only when materializing arrays."""
+    from .packing import pack_tokens
+
+    seqs = token_table(spark, sf_dir)
+    return pack_tokens(
+        seqs,
+        tokens_col="tokens",
+        order_col="user_id",
+        capacity=PACK_TOK_CAPACITY,
+        bucket_size=PACK_TOK_BUCKET,
+    )
+
+
+_PACK_TOKENS = SEQ_CTE + f"""
+, ulen AS (
+  SELECT user_id, count(*) AS n FROM seq GROUP BY user_id
+), uoff AS (
+  SELECT user_id,
+         COALESCE(SUM(n) OVER (ORDER BY user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS ustart
+  FROM ulen
+)
+SELECT CAST((uoff.ustart + seq.pos) // {PACK_TOK_CAPACITY} AS BIGINT)
+         AS seq_id,
+       CAST((uoff.ustart + seq.pos) % {PACK_TOK_CAPACITY} AS BIGINT)
+         AS pos,
+       CAST(seq.tok AS BIGINT) AS token
+FROM seq JOIN uoff USING (user_id)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (pipeline op): flag training documents
     sharing any word-3-gram with the EVAL set (docs with doc_id % 20 ==
@@ -2286,7 +2393,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode_sparse_t1": _pool_query("mode", 4, 1, True),
         "q_mode8_rollup_t1": _pool_query("mode", 8, 1, False),
         "q_max_rollup_t1": _pool_query("max", 4, 1, False),
-        "q_min_rollup_t1": _pool_query("min", 4, 1, False),
         "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
         "q_tile_avg_2d": _tile_query("avg"),
         "q_tile_mode_2d": _tile_query("mode"),
@@ -2316,11 +2422,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_minhash_signature": q_minhash_signature,
         "q_minhash_verified_pairs": q_minhash_verified_pairs,
-        "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_pack_tokens": q_pack_tokens,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_blocked": q_ann_topk_blocked,
         "q_ann_topk_ivf": q_ann_topk_ivf,
@@ -2330,6 +2437,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_frames": q_multimodal_frames,
         # --- tail: redundant kernel variants, all green in r02 ---------
+        # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
+        # the reference; q_dedup_clusters: hash-min CC — same output +
+        # oracle as q_dedup_clusters_star above, which is the scale path)
+        "q_min_rollup_t1": _pool_query("min", 4, 1, False),
+        "q_dedup_clusters": q_dedup_clusters,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
         "q_avg_sparse_t5": _long_pool_query("avg", 4, 5, True, LONG_UNIT),
@@ -2434,6 +2546,8 @@ FROM win
         # same components, diameter-independent algorithm, same oracle
         "q_dedup_clusters_star": _dedup_clusters_sql(),
         "q_decontaminate": _DECONTAMINATE,
+        "q_pack_sequences": _PACK_SEQUENCES,
+        "q_pack_tokens": _PACK_TOKENS,
         "q_repetition_score": _REPETITION,
         "q_top_tokens": _TOP_TOKENS,
         "q_simhash": _SIMHASH,
