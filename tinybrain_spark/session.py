@@ -19,7 +19,9 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # tokens arrays are ~256 int32 ≈ 1 KB/row plus an int64 accumulator
 # column (~2 KB); 4096 rows/batch ≈ 12 MB per Arrow batch per core —
 # bounded python-worker memory even at 10^12-row scale (SURVEY.md §4).
-ARROW_BATCH_ROWS = 4096
+# Env-overridable: smaller batches shrink the per-core working set
+# (cache locality under memory-bus pressure at high core counts).
+ARROW_BATCH_ROWS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH_ROWS", "4096"))
 
 
 def get_spark(
