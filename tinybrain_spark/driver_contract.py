@@ -1603,6 +1603,77 @@ ORDER BY df DESC, word ASC LIMIT 20
 """
 
 
+TFIDF_SCALE = 1000000  # integer TF-IDF scale (tf * N * SCALE // df)
+TFIDF_TOPK = 3  # terms kept per document
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by integer-scaled
+    TF-IDF (score = tf * n_docs * SCALE // df — exact integer
+    arithmetic, so rankings match any engine bit-for-bit; ties broken
+    by word).  The keyword/topic primitive of a data pipeline.
+
+    Scale shape: tf is one explode + (doc, word) count; df reuses the
+    in-row array_distinct trick (one count per word, no global distinct
+    exchange); the df side joins on word — at web scale that's a
+    shuffle join on a vocabulary table orders of magnitude smaller
+    than the corpus, and the per-doc top-k window sorts only one
+    document's vocabulary per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    tf = (
+        words.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tab = (
+        words.select(F.explode(F.array_distinct("ws")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    scored = tf.join(df_tab, "word").withColumn(
+        "score",
+        F.expr(f"tf * {n_docs}L * {TFIDF_SCALE}L DIV df").cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "rk", "word", "tf", "df", "score")
+    )
+
+
+_TFIDF_TERMS = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM w GROUP BY word
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs * {TFIDF_SCALE} // df.df AS BIGINT) AS score
+  FROM tf JOIN df USING (word), n
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, word ASC) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, word, tf, df, score FROM ranked WHERE rk <= {TFIDF_TOPK}
+"""
+
+
 PACK_CAPACITY = 2048  # tokens per packed training sequence (doc-level)
 PACK_BUCKET = 64  # docs per prefix-sum bucket (small: exercises 2-level)
 PACK_TOK_CAPACITY = 1024  # tokens per packed sequence (materialized)
@@ -2396,8 +2467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
         "q_tile_avg_2d": _tile_query("avg"),
         "q_tile_mode_2d": _tile_query("mode"),
-        # relational coverage
-        "q_rollup_metrics": q_rollup_metrics,
+        # relational coverage (q_rollup_metrics demoted: grouping-sets
+        # machinery fully covered by the CUBE superset below)
         "q_cube_metrics": q_cube_metrics,
         "q_running_sum": q_running_sum,
         "q_topk_users": q_topk_users,
@@ -2428,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
         "q_pack_tokens": q_pack_tokens,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_blocked": q_ann_topk_blocked,
         "q_ann_topk_ivf": q_ann_topk_ivf,
@@ -2442,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle as q_dedup_clusters_star above, which is the scale path)
         "q_min_rollup_t1": _pool_query("min", 4, 1, False),
         "q_dedup_clusters": q_dedup_clusters,
+        "q_rollup_metrics": q_rollup_metrics,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
         "q_avg_sparse_t5": _long_pool_query("avg", 4, 5, True, LONG_UNIT),
@@ -2548,6 +2621,7 @@ FROM win
         "q_decontaminate": _DECONTAMINATE,
         "q_pack_sequences": _PACK_SEQUENCES,
         "q_pack_tokens": _PACK_TOKENS,
+        "q_tfidf_terms": _TFIDF_TERMS,
         "q_repetition_score": _REPETITION,
         "q_top_tokens": _TOP_TOKENS,
         "q_simhash": _SIMHASH,

@@ -182,6 +182,28 @@ def stateful_running_rollup(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    watermark: str = "24 hours",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming ingestion dedup (pipeline op): drop re-ingested
+    duplicate documents by content fingerprint (md5 over the token
+    array) within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-fingerprint state only
+    for the horizon, so state size is bounded by the window's unique
+    ingest volume, not the corpus — the streaming complement of batch
+    ``q_dedup_exact``; global dedup at rest stays a batch job."""
+    with_fp = with_event_time(stream, bucket_seconds).withColumn(
+        "fingerprint",
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>"))),
+    )
+    return with_fp.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
+
+
 def run_incremental_stream(
     spark: SparkSession,
     input_path: str,
