@@ -44,6 +44,8 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_ann_topk",
     "q_multimodal_meta",
+    "q_pack_tokens",
+    "q_tfidf_terms",
 ]
 
 

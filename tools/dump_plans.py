@@ -74,6 +74,17 @@ BLURBS = {
         "candidate shingle matches at most once however many eval docs "
         "hold it — no fan-out, unlike a near-dup self-join."
     ),
+    "q_pack_sequences": (
+        "Two-level prefix sum: per-bucket partial agg, unbounded window "
+        "only over the tiny bucket table, broadcast join back, bounded "
+        "within-bucket window — no one-task per-source sort at any "
+        "corpus size."
+    ),
+    "q_tfidf_terms": (
+        "tf from one explode+count; df via in-row array_distinct (no "
+        "global distinct exchange); vocabulary-side shuffle join; the "
+        "top-k window sorts one document's vocabulary per task."
+    ),
 }
 
 
