@@ -54,8 +54,25 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
+def _fault_in_mbps(mb: int = 64) -> float:
+    """First-touch page-fault throughput: the sandbox VM health probe.
+
+    Healthy first-touch is >1 GB/s; lazily-backed guest memory has been
+    observed at 6-120 MB/s (host re-faults every fresh page), which
+    depresses every fresh JVM/Arrow allocation.  Reported alongside the
+    timings so cross-round comparisons can be read in context."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.ones(mb * 1024 * 1024 // 8)
+    dt = time.time() - t0
+    del a
+    return round(mb / dt, 1)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    fault_mbps = _fault_in_mbps()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 
@@ -145,6 +162,7 @@ def main() -> int:
                 "bench_docs": n_rows,
                 "rolled_up_points": p_avg + p_mode + p_cat,
                 "points_per_sec": round(points_per_sec, 1),
+                "vm_fault_in_mbps": fault_mbps,
             }
         )
     )
