@@ -1,0 +1,120 @@
+"""Serving layer: resolution routing reads the coarsest usable tier and
+the residual in-flight extension is byte-identical to a deeper
+materialized pyramid (the reference's serve-the-right-mip contract,
+downsample.py multi-mip semantics, recast)."""
+
+import numpy as np
+import pytest
+
+from tinybrain_spark import kernels as K
+from tinybrain_spark.datagen import generate
+from tinybrain_spark.rollup import RollupConfig, RollupEngine
+from tinybrain_spark.serving import ServingPlan, plan_read, read_series
+
+N_DOCS = 48
+N_TOK = 256  # 4^4 divides it: resolutions 1..256 all valid for w=4
+
+
+@pytest.fixture(scope="module")
+def base_df(spark):
+    df = generate(spark, n_docs=N_DOCS, n_tok=N_TOK, seed=7,
+                  num_partitions=4).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def served(spark, base_df, tmp_path_factory):
+    """One 2-tier pyramid per kernel flavor under test."""
+    work = str(tmp_path_factory.mktemp("serving"))
+    engine = RollupEngine(spark, work)
+    cfgs = {
+        ("avg", False): RollupConfig(kernel="avg", window=4, num_tiers=2,
+                                     run_kind="srv_avg"),
+        ("avg", True): RollupConfig(kernel="avg", window=4, num_tiers=2,
+                                    sparse=True, run_kind="srv_avg_sp"),
+        ("mode", False): RollupConfig(kernel="mode", window=4, num_tiers=2,
+                                      run_kind="srv_mode"),
+    }
+    for cfg in cfgs.values():
+        engine.run_pyramid(base_df, cfg)
+    return engine, cfgs
+
+
+def _tokens_by_doc(df):
+    return {r["doc_id"]: np.array(r["tokens"], dtype=np.int32)
+            for r in df.select("doc_id", "tokens").collect()}
+
+
+def test_plan_read_routing():
+    cfg = RollupConfig(kernel="avg", window=4, num_tiers=2)
+    assert plan_read(cfg, 1) == ServingPlan(0, 0)
+    assert plan_read(cfg, 4) == ServingPlan(1, 0)
+    assert plan_read(cfg, 16) == ServingPlan(2, 0)
+    # beyond the materialized pyramid: deepest tier + in-flight steps
+    assert plan_read(cfg, 64) == ServingPlan(2, 1)
+    assert plan_read(cfg, 256) == ServingPlan(2, 2)
+    with pytest.raises(ValueError):
+        plan_read(cfg, 8)  # not a power of the window
+    with pytest.raises(ValueError):
+        plan_read(cfg, 0)
+
+
+@pytest.mark.parametrize("kernel,sparse,resolution,depth", [
+    ("avg", False, 16, 2),   # exact tier hit
+    ("avg", False, 64, 3),   # tier 2 + one residual step
+    ("avg", False, 256, 4),  # tier 2 + two residual steps
+    ("avg", True, 64, 3),    # sparse accumulator survives the extension
+    ("mode", False, 64, 3),  # mode-of-modes extension
+])
+def test_served_equals_deeper_pyramid(spark, base_df, served,
+                                      kernel, sparse, resolution, depth):
+    engine, cfgs = served
+    cfg = cfgs[(kernel, sparse)]
+    got = _tokens_by_doc(
+        read_series(engine, cfg, base_df, resolution)
+    )
+    base = {r["doc_id"]: np.array(r["tokens"], dtype=np.int32)
+            for r in base_df.select("doc_id", "tokens").collect()}
+    assert set(got) == set(base)
+    for doc_id, toks in base.items():
+        want = K.pool(kernel, toks, window=4, num_tiers=depth,
+                      sparse=sparse)[depth - 1]
+        assert np.array_equal(got[doc_id], want), f"doc {doc_id}"
+
+
+def test_resolution_one_serves_raw(spark, base_df, served):
+    engine, cfgs = served
+    got = _tokens_by_doc(
+        read_series(engine, cfgs[("avg", False)], base_df, 1)
+    )
+    want = _tokens_by_doc(base_df)
+    assert set(got) == set(want)
+    for d in want:
+        assert np.array_equal(got[d], want[d])
+
+
+def test_predicates_prune_the_tier_scan(spark, base_df, served):
+    """source is the tier table's partition key: a sources= filter must
+    land in PartitionFilters (directory pruning), and the time filter
+    must be pushed to the scan — both BEFORE any Python stage."""
+    engine, cfgs = served
+    one_src = base_df.select("source").first()["source"]
+    df = read_series(engine, cfgs[("avg", False)], base_df, 64,
+                     sources=[one_src], bucket_range=(0, 5))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    part = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert one_src in part
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "time_bucket" in pushed
+
+
+def test_served_rows_match_predicates(spark, base_df, served):
+    engine, cfgs = served
+    one_src = base_df.select("source").first()["source"]
+    rows = read_series(engine, cfgs[("avg", False)], base_df, 16,
+                       sources=[one_src]).collect()
+    assert rows
+    assert {r["source"] for r in rows} == {one_src}
