@@ -118,3 +118,45 @@ def test_served_rows_match_predicates(spark, base_df, served):
                        sources=[one_src]).collect()
     assert rows
     assert {r["source"] for r in rows} == {one_src}
+
+
+def test_serve_job_cli(spark, base_df, served, tmp_path, capsys):
+    """Drive jobs/serve_job.py main() against the materialized pyramid:
+    plan fields and served counts come back in the JSON line."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import serve_job
+
+    import tinybrain_spark.session as sess
+
+    engine, cfgs = served
+    raw_dir = str(tmp_path / "raw")
+    base_df.write.parquet(raw_dir)
+
+    orig = sess.get_spark
+    spark.stop = lambda: None  # CLI calls stop(); keep the fixture alive
+    try:
+        sess.get_spark = lambda *a, **k: spark
+        rc = serve_job.main([
+            "--warehouse", engine.catalog.base_path
+            if hasattr(engine.catalog, "base_path") else engine.base_path,
+            "--run-kind", "srv_avg",
+            "--kernel", "avg", "--window", "4", "--tiers", "2",
+            "--resolution", "64",
+            "--input", raw_dir,
+        ])
+    finally:
+        sess.get_spark = orig
+        del spark.stop
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["tier_scanned"] == 2
+    assert stats["residual_steps"] == 1
+    assert stats["rows"] == N_DOCS
+    assert stats["points"] == N_DOCS * N_TOK // 64
