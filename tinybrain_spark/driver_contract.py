@@ -1603,6 +1603,40 @@ ORDER BY df DESC, word ASC LIMIT 20
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/validation/test split (pipeline
+    op): the assignment hashes the TEXT, not the id, so byte-identical
+    documents always land in the same split — the split itself cannot
+    leak duplicates across train/test.  900/50/50 permille; pure
+    Catalyst, zero shuffles, reproducible across engines/partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 14), 16, 10).cast("long")
+        % 1000
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        b.alias("bucket"),
+        F.when(b < 900, F.lit("train"))
+        .when(b < 950, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+_HASH_SPLIT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) % 1000
+            AS BIGINT) AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) % 1000
+                 < 900 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) % 1000
+                 < 950 THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 TFIDF_SCALE = 1000000  # integer TF-IDF scale (tf * N * SCALE // df)
 TFIDF_TOPK = 3  # terms kept per document
 
@@ -2534,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py)
         "q_repetition_score": q_repetition_score,
         "q_top_tokens": q_top_tokens,
+        "q_hash_split": q_hash_split,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -2622,6 +2657,7 @@ FROM win
         "q_pack_sequences": _PACK_SEQUENCES,
         "q_pack_tokens": _PACK_TOKENS,
         "q_tfidf_terms": _TFIDF_TERMS,
+        "q_hash_split": _HASH_SPLIT,
         "q_repetition_score": _REPETITION,
         "q_top_tokens": _TOP_TOKENS,
         "q_simhash": _SIMHASH,
