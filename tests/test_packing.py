@@ -189,3 +189,44 @@ def test_nosplit_bin_invariants(spark):
         for r in rs:
             assert r.bin_fill == acc
             acc += r.n_tok
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+
+if _HAS_HYP:
+
+    @st.composite
+    def _doc_tables(draw):
+        n = draw(st.integers(1, 24))
+        rows, seen = [], set()
+        for _ in range(n):
+            did = draw(st.integers(0, 400))
+            src = draw(st.sampled_from(["a", "b", "c"]))
+            if (did, src) in seen:
+                continue
+            seen.add((did, src))
+            rows.append((did, src, draw(st.integers(0, 700))))
+        return rows
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(rows=_doc_tables(), capacity=st.integers(1, 97),
+           bucket_size=st.sampled_from([1, 3, 17, 4096]))
+    def test_pack_offsets_hypothesis(spark, rows, capacity, bucket_size):
+        """Random doc tables (dup-free per source, zero-size and
+        giant docs included): two-level == naive single window."""
+        docs = _docs(spark, rows)
+        got = pack_offsets(
+            docs, capacity=capacity, bucket_size=bucket_size
+        ).orderBy("source", "doc_id").collect()
+        want = _naive(docs, capacity=capacity).orderBy(
+            "source", "doc_id"
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in want]
