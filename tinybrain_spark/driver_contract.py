@@ -1637,6 +1637,54 @@ FROM documents
 """
 
 
+def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived tokenizer application (pipeline op): build a
+    frequency-ranked vocabulary (token_id = rank by term frequency,
+    ties by word) and encode every document as (pos, token_id) — the
+    bridge from raw text to the engine's pre-tokenized input schema
+    (collect (doc_id → sort by pos) to materialize the arrays).
+
+    Scale shape: the corpus side never leaves (doc, pos); the vocab is
+    corpus-scale-independent and broadcasts into the encode join.  The
+    rank window runs one task over vocab-sized input — fine to ~10^7
+    words; a 10^8+ vocab would rank with the same two-level pattern as
+    packing.pack_offsets (bucketed counts -> tiny bucket window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col("text")), " +")).alias(
+            "pos", "word"
+        ),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+    vocab = toks.groupBy("word").agg(F.count("*").alias("n"))
+    wv = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    ranked = vocab.select(
+        "word", F.row_number().over(wv).cast("long").alias("token_id")
+    )
+    return toks.join(F.broadcast(ranked), "word").select(
+        "doc_id", "pos", "token_id"
+    )
+
+
+_TOKENIZE_VOCAB = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+  FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+), vocab AS (
+  SELECT word,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, word ASC) AS BIGINT)
+           AS token_id
+  FROM tok GROUP BY word
+)
+SELECT tok.doc_id, tok.pos, vocab.token_id
+FROM tok JOIN vocab USING (word)
+"""
+
+
 TFIDF_SCALE = 1000000  # integer TF-IDF scale (tf * N * SCALE // df)
 TFIDF_TOPK = 3  # terms kept per document
 
@@ -2569,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_score": q_repetition_score,
         "q_top_tokens": q_top_tokens,
         "q_hash_split": q_hash_split,
+        "q_tokenize_vocab": q_tokenize_vocab,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -2658,6 +2707,7 @@ FROM win
         "q_pack_tokens": _PACK_TOKENS,
         "q_tfidf_terms": _TFIDF_TERMS,
         "q_hash_split": _HASH_SPLIT,
+        "q_tokenize_vocab": _TOKENIZE_VOCAB,
         "q_repetition_score": _REPETITION,
         "q_top_tokens": _TOP_TOKENS,
         "q_simhash": _SIMHASH,
