@@ -1637,6 +1637,91 @@ FROM documents
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled quality GATE (pipeline op): combines the length,
+    stopword-ratio, and repetition signals into a keep/drop decision
+    with the first-failing-rule reason — the actual filter step a
+    pipeline applies, not just the features.  One scan, per-row
+    arithmetic only, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.trim(F.col("text")), F.lit(" "))
+    ws = F.split(F.trim(F.col("text")), " +")
+    words = F.size(ws).cast("long")
+    stop = sum(
+        _occurrences(padded, f" {w} ") for w in ("the", "a", "and", "of")
+    )
+    stop_ppt = (stop * 1000 / F.greatest(words, F.lit(1))).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    # guard BEFORE sequence(): size==1 docs reverse the range (F.sequence
+    # auto-steps -1) — same gotcha as q_repetition_score
+    n_grams = F.when(words >= 2, F.size(grams)).otherwise(F.lit(0))
+    n_rep = F.when(
+        words >= 2, F.size(grams) - F.size(F.array_distinct(grams))
+    ).otherwise(F.lit(0))
+    rep_pm = F.floor(
+        n_rep * 1000 / F.greatest(n_grams, F.lit(1))
+    ).cast("long")
+    reason = (
+        F.when(words < 30, F.lit("short"))
+        .when(stop_ppt < 20, F.lit("low_stopword"))
+        .when(stop_ppt > 400, F.lit("high_stopword"))
+        .when(rep_pm >= 150, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        words.alias("n_words"),
+        stop_ppt.alias("stop_ppt"),
+        rep_pm.alias("rep_pm"),
+        reason.alias("reason"),
+        (reason == "ok").cast("long").alias("keep"),
+    )
+
+
+_QUALITY_FILTER = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         ' ' || trim(text) || ' ' AS padded,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST((length(padded) - length(replace(padded, ' the ', ''))) // 5
+            + (length(padded) - length(replace(padded, ' a ', ''))) // 3
+            + (length(padded) - length(replace(padded, ' and ', ''))) // 5
+            + (length(padded) - length(replace(padded, ' of ', ''))) // 4
+            AS BIGINT) AS n_stop,
+         CAST(len(ws) - 1 AS BIGINT) AS n_grams,
+         (SELECT count(*) - count(DISTINCT ws[i] || ' ' || ws[i+1])
+          FROM unnest(generate_series(1, len(ws) - 1)) AS u(i))
+           AS n_rep
+  FROM t
+), s AS (
+  SELECT doc_id, n_words,
+         CAST(n_stop * 1000 // greatest(n_words, 1) AS BIGINT) AS stop_ppt,
+         CAST(CASE WHEN n_words >= 2
+              THEN n_rep * 1000 // greatest(n_grams, 1) ELSE 0 END
+              AS BIGINT) AS rep_pm
+  FROM f
+)
+SELECT doc_id, n_words, stop_ppt, rep_pm,
+       CASE WHEN n_words < 30 THEN 'short'
+            WHEN stop_ppt < 20 THEN 'low_stopword'
+            WHEN stop_ppt > 400 THEN 'high_stopword'
+            WHEN rep_pm >= 150 THEN 'repetitive'
+            ELSE 'ok' END AS reason,
+       CAST(CASE WHEN n_words >= 30 AND stop_ppt >= 20 AND stop_ppt <= 400
+                 AND rep_pm < 150 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
+
 def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-derived tokenizer application (pipeline op): build a
     frequency-ranked vocabulary (token_id = rank by term frequency,
@@ -2618,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_tokens": q_top_tokens,
         "q_hash_split": q_hash_split,
         "q_tokenize_vocab": q_tokenize_vocab,
+        "q_quality_filter": q_quality_filter,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -2708,6 +2794,7 @@ FROM win
         "q_tfidf_terms": _TFIDF_TERMS,
         "q_hash_split": _HASH_SPLIT,
         "q_tokenize_vocab": _TOKENIZE_VOCAB,
+        "q_quality_filter": _QUALITY_FILTER,
         "q_repetition_score": _REPETITION,
         "q_top_tokens": _TOP_TOKENS,
         "q_simhash": _SIMHASH,
