@@ -2628,12 +2628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_float_t2": q_avg_float_t2,
         "q_avg_rollup_w3": q_avg_rollup_w3,
         "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
-        "q_mode_sparse_t1": _pool_query("mode", 4, 1, True),
         "q_mode8_rollup_t1": _pool_query("mode", 8, 1, False),
         "q_max_rollup_t1": _pool_query("max", 4, 1, False),
         "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
         "q_tile_avg_2d": _tile_query("avg"),
-        "q_tile_mode_2d": _tile_query("mode"),
         # relational coverage (q_rollup_metrics demoted: grouping-sets
         # machinery fully covered by the CUBE superset below)
         "q_cube_metrics": q_cube_metrics,
@@ -2647,14 +2645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine features
         "q_continuous_agg": q_continuous_agg,
         "q_stream_cagg_equiv": q_stream_cagg_equiv,
-        "q_gapfill_zero": q_gapfill_zero,
         "q_gapfill_locf": q_gapfill_locf,
         "q_gorilla_decode": q_gorilla_decode,
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
-        "q_dedup_keep": q_dedup_keep,
         "q_doc_fingerprint": q_doc_fingerprint,
-        "q_token_count_bpe": q_token_count_bpe,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_stratified_sample": q_stratified_sample,
@@ -2667,6 +2662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_pack_tokens": q_pack_tokens,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_repetition_score": q_repetition_score,
+        "q_top_tokens": q_top_tokens,
+        "q_hash_split": q_hash_split,
+        "q_tokenize_vocab": q_tokenize_vocab,
+        "q_quality_filter": q_quality_filter,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_blocked": q_ann_topk_blocked,
         "q_ann_topk_ivf": q_ann_topk_ivf,
@@ -2682,6 +2682,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_min_rollup_t1": _pool_query("min", 4, 1, False),
         "q_dedup_clusters": q_dedup_clusters,
         "q_rollup_metrics": q_rollup_metrics,
+        "q_mode_sparse_t1": _pool_query("mode", 4, 1, True),
+        "q_tile_mode_2d": _tile_query("mode"),
+        "q_gapfill_zero": q_gapfill_zero,
+        "q_dedup_keep": q_dedup_keep,
+        "q_token_count_bpe": q_token_count_bpe,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
         "q_avg_sparse_t5": _long_pool_query("avg", 4, 5, True, LONG_UNIT),
@@ -2699,11 +2704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         # r03 additions past the 50-row driver window (oracle-gated by
         # tools/check_oracle.py)
-        "q_repetition_score": q_repetition_score,
-        "q_top_tokens": q_top_tokens,
-        "q_hash_split": q_hash_split,
-        "q_tokenize_vocab": q_tokenize_vocab,
-        "q_quality_filter": q_quality_filter,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
