@@ -85,6 +85,16 @@ BLURBS = {
         "global distinct exchange); vocabulary-side shuffle join; the "
         "top-k window sorts one document's vocabulary per task."
     ),
+    "q_tokenize_vocab": (
+        "Corpus side stays exploded-flat; the rank window runs over "
+        "vocab-sized input only and the ranked vocab broadcasts into "
+        "the encode join."
+    ),
+    "q_quality_filter": (
+        "The assembled keep/drop gate: length, stopword-ratio, and "
+        "repetition signals as per-row array arithmetic in ONE scan — "
+        "zero exchanges anywhere in the plan."
+    ),
 }
 
 
