@@ -35,3 +35,41 @@ def test_asof_carries_across_gaps(spark):
         [("a", 3, 50)],
     )
     assert got == {1: 50}
+
+
+def _run_opts(spark, left_rows, right_rows, **kw):
+    left = spark.createDataFrame(left_rows, "k string, lt long, id long")
+    right = spark.createDataFrame(right_rows, "k string, rt long, v long")
+    out = asof_join(left, right, ["k"], "lt", "rt", ["v"], **kw)
+    return {r["id"]: r["v"] for r in out.collect()}
+
+
+def test_asof_forward(spark):
+    # earliest right row at-or-AFTER, including equality
+    got = _run_opts(
+        spark,
+        [("a", 10, 1), ("a", 25, 2), ("a", 4, 3), ("a", 51, 4),
+         ("b", 100, 5)],
+        [("a", 5, 50), ("a", 20, 51), ("a", 51, 52), ("b", 7, 53)],
+        direction="forward",
+    )
+    assert got == {1: 51, 2: 52, 3: 50, 4: 52, 5: None}
+
+
+def test_asof_backward_tolerance(spark):
+    # match at distance 5 kept with tolerance 5, nulled with tolerance 4
+    rows_l = [("a", 10, 1), ("a", 100, 2)]
+    rows_r = [("a", 5, 50), ("a", 90, 51)]
+    assert _run_opts(spark, rows_l, rows_r, tolerance=10) == {1: 50, 2: 51}
+    assert _run_opts(spark, rows_l, rows_r, tolerance=4) == {1: None, 2: None}
+    assert _run_opts(spark, rows_l, rows_r, tolerance=5) == {1: 50, 2: None}
+
+
+def test_asof_forward_tolerance(spark):
+    got = _run_opts(
+        spark,
+        [("a", 10, 1), ("a", 30, 2)],
+        [("a", 12, 50), ("a", 90, 51)],
+        direction="forward", tolerance=3,
+    )
+    assert got == {1: 50, 2: None}

@@ -25,23 +25,43 @@ def asof_join(
     left_time: str,
     right_time: str,
     value_cols: list[str],
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Return ``left`` with, for each row, the most recent
-    ``value_cols`` from ``right`` where ``right_time <= left_time``
-    (per ``keys``); NULLs where no right row precedes the left row."""
+    """Return ``left`` with, for each row, the matched ``value_cols``
+    from ``right`` per ``keys``; NULLs where nothing matches.
+
+    * ``direction="backward"`` (default): most recent right row with
+      ``right_time <= left_time``.
+    * ``direction="forward"``: earliest right row with
+      ``right_time >= left_time``.
+    * ``tolerance``: maximum allowed |gap| in time units — a match
+      farther away comes back NULL (pandas ``merge_asof`` semantics).
+
+    Either direction stays one shuffle + one sort: right rows sort just
+    BEFORE left rows at equal times for backward (running ``last``),
+    just AFTER for forward (running ``first`` over the following
+    frame), so at-or-equal matches are included without a range join.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
     lcols = [c for c in left.columns]
+    probe_vals = [f"_v_{c}" for c in value_cols] + ["_vt"]
     l_tagged = left.select(
         *lcols,
         F.col(left_time).cast("long").alias("_t"),
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
           for c in value_cols],
+        F.lit(None).cast("long").alias("_vt"),
     )
     r_tagged = right.select(
         *keys,
         F.col(right_time).cast("long").alias("_t"),
-        F.lit(0).alias("_side"),
+        F.lit(2 if fwd else 0).alias("_side"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.col(right_time).cast("long").alias("_vt"),
     )
     for c in lcols:
         if c not in keys:
@@ -49,17 +69,43 @@ def asof_join(
                 c, F.lit(None).cast(left.schema[c].dataType)
             )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if fwd:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_t", "_side")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        picked = {
+            v: F.first(F.col(v), ignorenulls=True).over(w)
+            for v in probe_vals
+        }
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        picked = {
+            v: F.last(F.col(v), ignorenulls=True).over(w)
+            for v in probe_vals
+        }
     filled = unioned.select(
         *lcols,
         "_side",
-        *[
-            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        "_t",
+        *[picked[f"_v_{c}"].alias(c) for c in value_cols],
+        picked["_vt"].alias("_mt"),
     )
-    return filled.where(F.col("_side") == 1).drop("_side")
+    out = filled.where(F.col("_side").isin(1)).drop("_side")
+    if tolerance is not None:
+        gap = F.abs(F.col("_mt") - F.col("_t"))
+        out = out.select(
+            *lcols,
+            *[
+                F.when(gap <= tolerance, F.col(c)).alias(c)
+                for c in value_cols
+            ],
+        )
+    else:
+        out = out.drop("_t", "_mt")
+    return out

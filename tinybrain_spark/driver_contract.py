@@ -746,6 +746,107 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_state_inputs(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 3)
+    )
+    return ev, hourly
+
+
+def q_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks up the EARLIEST busy-hour
+    state row at or after its timestamp (the 'next scheduled state'
+    lookup).  Same one-shuffle sort-merge shape as backward — right
+    rows sort just after left rows at equal times, running first()
+    over the following frame.  Verified against DuckDB's native
+    forward ASOF JOIN (l.ts <= r.hb)."""
+    from .asof import asof_join
+
+    ev, hourly = _asof_state_inputs(spark, sf_dir)
+    joined = asof_join(
+        ev, hourly, keys=["event_type"], left_time="ts_s",
+        right_time="hb", value_cols=["hb", "n"], direction="forward",
+    )
+    return joined.where(F.col("hb").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.col("hb").cast("long").alias("next_bucket"),
+        F.col("n").cast("long").alias("next_events"),
+    )
+
+
+_ASOF_FWD = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         count(*) AS n
+  FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       l.event_type,
+       CAST(r.hb AS BIGINT) AS next_bucket,
+       CAST(r.n AS BIGINT) AS next_events
+FROM events l ASOF JOIN hourly r
+  ON l.event_type = r.event_type
+ AND CAST(floor(epoch(l.ts)) AS BIGINT) <= r.hb
+"""
+
+
+ASOF_TOLERANCE_S = 7200  # 2 hours
+
+
+def q_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a tolerance horizon: the matched state
+    row must be within 2 hours, else the event is dropped (pandas
+    merge_asof tolerance semantics) — stale state is worse than no
+    state.  Tolerance is a post-match filter on the matched timestamp,
+    so the plan is unchanged: one shuffle, one sort, no range join."""
+    from .asof import asof_join
+
+    ev, hourly = _asof_state_inputs(spark, sf_dir)
+    joined = asof_join(
+        ev, hourly, keys=["event_type"], left_time="ts_s",
+        right_time="hb", value_cols=["hb", "n"],
+        tolerance=ASOF_TOLERANCE_S,
+    )
+    return joined.where(F.col("hb").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.col("hb").cast("long").alias("state_bucket"),
+        F.col("n").cast("long").alias("state_events"),
+    )
+
+
+_ASOF_TOL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         count(*) AS n
+  FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       l.event_type,
+       CAST(r.hb AS BIGINT) AS state_bucket,
+       CAST(r.n AS BIGINT) AS state_events
+FROM events l ASOF JOIN hourly r
+  ON l.event_type = r.event_type
+ AND CAST(floor(epoch(l.ts)) AS BIGINT) >= r.hb
+WHERE CAST(floor(epoch(l.ts)) AS BIGINT) - r.hb <= {ASOF_TOLERANCE_S}
+"""
+
+
 _ASOF_JOIN = """
 WITH hourly AS (
   SELECT event_type,
@@ -2687,6 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gapfill_zero": q_gapfill_zero,
         "q_dedup_keep": q_dedup_keep,
         "q_token_count_bpe": q_token_count_bpe,
+        "q_asof_fwd": q_asof_fwd,
+        "q_asof_tol": q_asof_tol,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
         "q_avg_sparse_t5": _long_pool_query("avg", 4, 5, True, LONG_UNIT),
@@ -2762,6 +2865,8 @@ FROM win
         "q_running_sum": _RUNNING_SUM,
         "q_topk_users": _TOPK_USERS,
         "q_asof_join": _ASOF_JOIN,
+        "q_asof_fwd": _ASOF_FWD,
+        "q_asof_tol": _ASOF_TOL,
         "q_sessionize": _SESSIONIZE,
         "q_value_percentiles": _VALUE_PERCENTILES,
         "q_user_set_ops": _USER_SET_OPS,
