@@ -746,6 +746,67 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULAR samples (the timeseries-DB
+    `time_weight` op): per (event_type, hour), each point holds its
+    value until the next sample (LOCF integral), the last until the
+    bucket edge; twa = integral / covered-time.  Exact integer
+    arithmetic throughout (centi-scaled values, second weights,
+    milli-scaled result), so the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: one lead() window per (event_type, hour) — the sort
+    is bounded by a bucket's samples — feeding a groupBy that reuses
+    the window's hash partitioning; one exchange total."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        F.unix_timestamp("ts").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "hb").orderBy("t", "event_id")
+    with_dt = ev.withColumn(
+        "dt",
+        F.coalesce(F.lead("t").over(w), F.col("hb") + 3600) - F.col("t"),
+    )
+    agg = with_dt.groupBy("event_type", "hb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("dt")).cast("long").alias("wsum"),
+        F.sum("dt").cast("long").alias("covered_s"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("hb").cast("long").alias("hb"),
+        "n",
+        "wsum",
+        "covered_s",
+        F.expr("wsum * 1000 DIV covered_s").cast("long").alias("twa_milli"),
+    )
+
+
+_TIME_WEIGHTED_AVG = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         event_id
+  FROM events
+), d AS (
+  SELECT event_type, hb, v,
+         COALESCE(lead(t) OVER (PARTITION BY event_type, hb
+                                ORDER BY t, event_id), hb + 3600) - t AS dt
+  FROM ev
+)
+SELECT event_type, hb,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v * dt) AS BIGINT) AS wsum,
+       CAST(sum(dt) AS BIGINT) AS covered_s,
+       CAST(sum(v * dt) * 1000 // sum(dt) AS BIGINT) AS twa_milli
+FROM d GROUP BY event_type, hb
+"""
+
+
 def _asof_state_inputs(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").cast("long").alias("event_id"),
@@ -2790,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count_bpe": q_token_count_bpe,
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
+        "q_time_weighted_avg": q_time_weighted_avg,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
         "q_avg_sparse_t5": _long_pool_query("avg", 4, 5, True, LONG_UNIT),
@@ -2867,6 +2929,7 @@ FROM win
         "q_asof_join": _ASOF_JOIN,
         "q_asof_fwd": _ASOF_FWD,
         "q_asof_tol": _ASOF_TOL,
+        "q_time_weighted_avg": _TIME_WEIGHTED_AVG,
         "q_sessionize": _SESSIONIZE,
         "q_value_percentiles": _VALUE_PERCENTILES,
         "q_user_set_ops": _USER_SET_OPS,
