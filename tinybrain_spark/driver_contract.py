@@ -2797,7 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational coverage (q_rollup_metrics demoted: grouping-sets
         # machinery fully covered by the CUBE superset below)
         "q_cube_metrics": q_cube_metrics,
-        "q_running_sum": q_running_sum,
+        "q_time_weighted_avg": q_time_weighted_avg,
         "q_topk_users": q_topk_users,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
@@ -2851,7 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count_bpe": q_token_count_bpe,
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
-        "q_time_weighted_avg": q_time_weighted_avg,
+        "q_running_sum": q_running_sum,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
         "q_avg_sparse_t5": _long_pool_query("avg", 4, 5, True, LONG_UNIT),
