@@ -807,6 +807,77 @@ FROM d GROUP BY event_type, hb
 """
 
 
+M4_ID_BITS = 24  # event_id fits 24 bits to sf>=1 (16.7M events/table)
+
+
+def q_m4_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (event_type, hour) keep the four extremal samples — first, last,
+    min-value, max-value — the error-free decimation for line-chart
+    rendering.  Selection is encoded as integer min/max over
+    ``key = ord * 2^24 + event_id`` (deterministic tie-break by id,
+    id bounded 24 bits), so the WHOLE op is one map-side-combinable
+    groupBy: no window, no sort, one exchange — the cheapest possible
+    shape at any scale.  Encoded keys assume a non-negative value
+    domain (events.value >= 0); signed series would first add a
+    constant offset (DIV/% disagree across engines below zero)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        F.unix_timestamp("ts").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    shift = 1 << M4_ID_BITS
+    tkey = F.col("t") * shift + F.col("event_id")
+    vkey = F.col("v") * shift + F.col("event_id")
+    agg = ev.groupBy("event_type", "hb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(tkey).alias("_fk"),
+        F.max(tkey).alias("_lk"),
+        F.min(vkey).alias("_mink"),
+        F.max(vkey).alias("_maxk"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("hb").cast("long").alias("hb"),
+        "n",
+        (F.col("_fk") % shift).cast("long").alias("first_id"),
+        (F.col("_lk") % shift).cast("long").alias("last_id"),
+        (F.col("_mink") % shift).cast("long").alias("min_id"),
+        (F.col("_maxk") % shift).cast("long").alias("max_id"),
+        F.expr(f"_mink DIV {shift}").cast("long").alias("v_min"),
+        F.expr(f"_maxk DIV {shift}").cast("long").alias("v_max"),
+    )
+
+
+_M4_DECIMATE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         CAST(event_id AS BIGINT) AS event_id
+  FROM events
+)
+SELECT event_type, hb,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(t * {1 << M4_ID_BITS} + event_id) % {1 << M4_ID_BITS}
+            AS BIGINT) AS first_id,
+       CAST(max(t * {1 << M4_ID_BITS} + event_id) % {1 << M4_ID_BITS}
+            AS BIGINT) AS last_id,
+       CAST(min(v * {1 << M4_ID_BITS} + event_id) % {1 << M4_ID_BITS}
+            AS BIGINT) AS min_id,
+       CAST(max(v * {1 << M4_ID_BITS} + event_id) % {1 << M4_ID_BITS}
+            AS BIGINT) AS max_id,
+       CAST(min(v * {1 << M4_ID_BITS} + event_id) // {1 << M4_ID_BITS}
+            AS BIGINT) AS v_min,
+       CAST(max(v * {1 << M4_ID_BITS} + event_id) // {1 << M4_ID_BITS}
+            AS BIGINT) AS v_max
+FROM ev GROUP BY event_type, hb
+"""
+
+
 def _asof_state_inputs(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").cast("long").alias("event_id"),
@@ -2851,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count_bpe": q_token_count_bpe,
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
+        "q_m4_decimate": q_m4_decimate,
         "q_running_sum": q_running_sum,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
@@ -2930,6 +3002,7 @@ FROM win
         "q_asof_fwd": _ASOF_FWD,
         "q_asof_tol": _ASOF_TOL,
         "q_time_weighted_avg": _TIME_WEIGHTED_AVG,
+        "q_m4_decimate": _M4_DECIMATE,
         "q_sessionize": _SESSIONIZE,
         "q_value_percentiles": _VALUE_PERCENTILES,
         "q_user_set_ops": _USER_SET_OPS,
