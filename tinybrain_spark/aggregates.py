@@ -92,3 +92,65 @@ def update_continuous_aggregate(
         merged, table, partition_by=("source",), mode="overwrite_partitions"
     )
     return catalog.read(table)
+
+
+# -- approximate-distinct state (HLL sketch, mergeable) -----------------
+
+HLL_LGK = 12  # ~0.8% relative standard error, 4 KB dense registers
+
+
+def aggregate_batch_distinct(
+    df: DataFrame, salt_buckets: int = 16, lgk: int = HLL_LGK
+) -> DataFrame:
+    """Per-(source, time_bucket) approximate-distinct state: a
+    Datasketches HLL sketch of ``doc_id`` as a mergeable binary column.
+
+    HLL registers are max-merged, so state is union-mergeable exactly
+    like the sum-mergeable columns — incremental folds, salt groups,
+    and partition-wise partials all converge to the identical registers
+    regardless of grouping or order (estimates are bit-equal, pinned by
+    test).  The salted two-phase shape mirrors aggregate_batch."""
+    partial = (
+        with_salt(df.select("source", "time_bucket", "doc_id"), salt_buckets)
+        .groupBy("source", "time_bucket", "salt")
+        .agg(F.hll_sketch_agg("doc_id", F.lit(lgk)).alias("doc_hll"))
+    )
+    return combine_distinct_states(partial.drop("salt"))
+
+
+def combine_distinct_states(states: DataFrame) -> DataFrame:
+    """Union-merge HLL states by key."""
+    return states.groupBy(*AGG_KEY).agg(
+        F.hll_union_agg("doc_hll").alias("doc_hll")
+    )
+
+
+def update_continuous_distinct(
+    catalog: Catalog,
+    table: str,
+    new_batch: DataFrame,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Incrementally fold a batch into the stored distinct-doc sketch
+    table — the same touched-partition merge as
+    update_continuous_aggregate, with union-merge instead of sums."""
+    delta = aggregate_batch_distinct(new_batch, salt_buckets)
+    if catalog.exists(table):
+        existing = catalog.read(table)
+        touched = delta.select("source").distinct()
+        relevant = existing.join(F.broadcast(touched), "source", "left_semi")
+        merged = combine_distinct_states(relevant.unionByName(delta))
+    else:
+        merged = delta
+    catalog.write(
+        merged, table, partition_by=("source",), mode="overwrite_partitions"
+    )
+    return catalog.read(table)
+
+
+def estimate_distinct(states: DataFrame) -> DataFrame:
+    """Render sketch states to (source, time_bucket, n_docs_approx)."""
+    return states.select(
+        *AGG_KEY,
+        F.hll_sketch_estimate("doc_hll").cast("long").alias("n_docs_approx"),
+    )
