@@ -1,0 +1,88 @@
+"""LTTB decimation vs a literal reference implementation + invariants."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tinybrain_spark.decimate import lttb_decimate, lttb_indices
+
+
+def _lttb_reference(t, v, n_out):
+    """Straight transcription of Steinarsson's algorithm (loops, no
+    vectorization) — the independent check for the module's version."""
+    n = len(t)
+    if n_out >= n:
+        return list(range(n))
+    if n_out <= 2:
+        return [0, n - 1] if n_out == 2 else [0]
+    edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+    sel = [0]
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        nlo = edges[b + 1]
+        nhi = edges[b + 2] if b + 2 < len(edges) else n
+        if nhi <= nlo:
+            nlo, nhi = n - 1, n
+        ct = float(np.mean(t[nlo:nhi]))
+        cv = float(np.mean(v[nlo:nhi]))
+        pa_t, pa_v = float(t[sel[-1]]), float(v[sel[-1]])
+        best, best_area = lo, -1.0
+        for i in range(lo, hi):
+            area = abs(
+                (float(t[i]) - pa_t) * (cv - pa_v)
+                - (ct - pa_t) * (float(v[i]) - pa_v)
+            )
+            if area > best_area:
+                best, best_area = i, area
+        sel.append(best)
+    sel.append(n - 1)
+    return sel
+
+
+def test_lttb_matches_reference_random_series():
+    rng = np.random.default_rng(5)
+    for n, n_out in [(100, 10), (57, 12), (500, 50), (10, 10), (10, 3)]:
+        t = np.sort(rng.choice(100000, size=n, replace=False)).astype(
+            np.int64
+        )
+        v = rng.integers(0, 10000, size=n).astype(np.int64)
+        got = lttb_indices(t, v, n_out).tolist()
+        assert got == _lttb_reference(t, v, n_out), (n, n_out)
+
+
+def test_lttb_keeps_endpoints_and_spikes():
+    # flat series with one big spike: the spike must survive
+    t = np.arange(200, dtype=np.int64)
+    v = np.zeros(200, dtype=np.int64)
+    v[137] = 10000
+    idx = lttb_indices(t, v, 20)
+    assert idx[0] == 0 and idx[-1] == 199
+    assert 137 in idx
+    assert len(idx) == 20
+    assert np.all(np.diff(idx) > 0)  # strictly increasing
+
+
+def test_lttb_decimate_spark(spark):
+    rng = np.random.default_rng(9)
+    rows = []
+    for key in ("a", "b"):
+        t = np.sort(rng.choice(50000, size=300, replace=False))
+        v = rng.integers(0, 5000, size=300)
+        rows += [(key, int(ti), int(vi)) for ti, vi in zip(t, v)]
+    df = spark.createDataFrame(rows, "k string, t long, v long").repartition(5)
+    out = lttb_decimate(df, ["k"], "t", "v", 40)
+    got = {
+        key: [(r["t"], r["v"]) for r in sorted(g, key=lambda r: r["t"])]
+        for key, g in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: r["k"]), key=lambda r: r["k"]
+        )
+    }
+    by_key = {}
+    for k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    for key, pts in by_key.items():
+        pts.sort()
+        t = np.array([p[0] for p in pts], dtype=np.int64)
+        v = np.array([p[1] for p in pts], dtype=np.int64)
+        idx = _lttb_reference(t, v, 40)
+        want = [(int(t[i]), int(v[i])) for i in idx]
+        assert got[key] == want, key
