@@ -1964,9 +1964,12 @@ def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus side never leaves (doc, pos); the vocab is
     corpus-scale-independent and broadcasts into the encode join.  The
-    rank window runs one task over vocab-sized input — fine to ~10^7
-    words; a 10^8+ vocab would rank with the same two-level pattern as
-    packing.pack_offsets (bucketed counts -> tiny bucket window)."""
+    vocab ranking uses ranking.global_rank (range partition + offset
+    broadcast + bounded per-partition sort), so even a 10^8-word vocab
+    never sorts in one task — no unpartitioned window anywhere in the
+    plan (pinned by test_plans)."""
+    from .ranking import global_rank
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1975,10 +1978,10 @@ def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
     vocab = toks.groupBy("word").agg(F.count("*").alias("n"))
-    wv = Window.orderBy(F.col("n").desc(), F.col("word").asc())
-    ranked = vocab.select(
-        "word", F.row_number().over(wv).cast("long").alias("token_id")
-    )
+    ranked = global_rank(
+        vocab, [F.col("n").desc(), F.col("word").asc()],
+        rank_col="token_id", num_partitions=8,
+    ).select("word", "token_id")
     return toks.join(F.broadcast(ranked), "word").select(
         "doc_id", "pos", "token_id"
     )
