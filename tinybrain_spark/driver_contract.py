@@ -807,6 +807,111 @@ FROM d GROUP BY event_type, hb
 """
 
 
+COUNTER_WRAP = 100000  # synthetic counter modulus (forces resets)
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter `increase()` with reset handling: a
+    monotone counter that occasionally resets contributes its raw value
+    after a reset (the restart heuristic) and its delta otherwise;
+    per-(type, hour) increase is the sum.  The fixture synthesizes the
+    counter deterministically (running centi-value sum mod 10^5, so
+    wraps ARE resets) — reset detection and the increase sum are the
+    operator under test, bit-exact vs the oracle.
+
+    Scale shape: both cumulative windows share one (type)-partitioned
+    sort; the hourly groupBy reuses that hash partitioning — one
+    exchange, bounded sorts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        F.unix_timestamp("ts").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    with_c = ev.withColumn("c", F.sum("v").over(wc) % COUNTER_WRAP)
+    with_prev = with_c.withColumn("prev", F.lag("c").over(w))
+    inc = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.when(F.col("c") >= F.col("prev"), F.col("c") - F.col("prev"))
+        .otherwise(F.col("c"))  # reset: counter restarted below prev
+    )
+    return (
+        with_prev.select("event_type", "hb", inc.alias("inc"))
+        .groupBy("event_type", "hb")
+        .agg(
+            F.sum("inc").cast("long").alias("increase"),
+            F.sum((F.col("inc") == 0).cast("long")).cast("long").alias(
+                "n_flat"
+            ),
+        )
+        .select(
+            "event_type", F.col("hb").cast("long").alias("hb"),
+            "increase", "n_flat",
+        )
+    )
+
+
+_COUNTER_RATE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         event_id
+  FROM events
+), cum AS (
+  SELECT event_type, hb, t, event_id,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) % {COUNTER_WRAP} AS c
+  FROM ev
+), c AS (
+  SELECT event_type, hb, c,
+         lag(c) OVER (PARTITION BY event_type ORDER BY t, event_id) AS prev
+  FROM cum
+), i AS (
+  SELECT event_type, hb,
+         CASE WHEN prev IS NULL THEN 0
+              WHEN c >= prev THEN c - prev
+              ELSE c END AS inc
+  FROM c
+)
+SELECT event_type, hb,
+       CAST(sum(inc) AS BIGINT) AS increase,
+       CAST(sum(CASE WHEN inc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+FROM i GROUP BY event_type, hb
+"""
+
+
+HIST_BIN = 1000  # centi-value bin width (10.00 per bin)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram aggregation: fixed-width value bins per event_type —
+    the distribution primitive behind latency/size dashboards.  Pure
+    integer binning (floor of centi-value over the bin width), one
+    map-side-combinable groupBy, one exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"CAST(floor(value * 100) AS BIGINT) DIV {HIST_BIN}").alias(
+            "bin"
+        ),
+    )
+    return ev.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+_VALUE_HISTOGRAM = f"""
+SELECT event_type,
+       CAST(CAST(floor(value * 100) AS BIGINT) // {HIST_BIN} AS BIGINT)
+         AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, bin
+"""
+
+
 M4_ID_BITS = 24  # event_id fits 24 bits to sf>=1 (16.7M events/table)
 
 
@@ -2926,6 +3031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
         "q_m4_decimate": q_m4_decimate,
+        "q_counter_rate": q_counter_rate,
+        "q_value_histogram": q_value_histogram,
         "q_running_sum": q_running_sum,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
@@ -3006,6 +3113,8 @@ FROM win
         "q_asof_tol": _ASOF_TOL,
         "q_time_weighted_avg": _TIME_WEIGHTED_AVG,
         "q_m4_decimate": _M4_DECIMATE,
+        "q_counter_rate": _COUNTER_RATE,
+        "q_value_histogram": _VALUE_HISTOGRAM,
         "q_sessionize": _SESSIONIZE,
         "q_value_percentiles": _VALUE_PERCENTILES,
         "q_user_set_ops": _USER_SET_OPS,
