@@ -46,6 +46,9 @@ HEADLINE = [
     "q_multimodal_meta",
     "q_pack_tokens",
     "q_tfidf_terms",
+    "q_time_weighted_avg",
+    "q_m4_decimate",
+    "q_counter_rate",
 ]
 
 
