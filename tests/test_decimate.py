@@ -86,3 +86,40 @@ def test_lttb_decimate_spark(spark):
         idx = _lttb_reference(t, v, 40)
         want = [(int(t[i]), int(v[i])) for i in idx]
         assert got[key] == want, key
+
+
+def test_ewma_matches_reference_and_is_partition_invariant(spark):
+    from tinybrain_spark.decimate import ewma_smooth
+
+    rng = np.random.default_rng(3)
+    rows = []
+    series = {}
+    for key in ("a", "b"):
+        t = np.sort(rng.choice(9999, size=120, replace=False))
+        v = rng.integers(0, 5000, size=120)
+        series[key] = (t, v)
+        rows += [(key, int(ti), int(vi)) for ti, vi in zip(t, v)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    for parts in (1, 7):
+        out = ewma_smooth(df.repartition(parts), ["k"], "t", "v",
+                          alpha_ppt=300)
+        got = {(r["k"], r["t"]): r["smoothed"] for r in out.collect()}
+        for key, (t, v) in series.items():
+            s = v[0]
+            assert got[(key, int(t[0]))] == s
+            for i in range(1, len(v)):
+                s = (300 * int(v[i]) + 700 * s) // 1000
+                assert got[(key, int(t[i]))] == s
+
+
+def test_serving_missing_tier_raises_routing_error(spark, tmp_path):
+    import pytest
+
+    from tinybrain_spark.rollup import RollupConfig, RollupEngine
+    from tinybrain_spark.serving import read_series
+
+    engine = RollupEngine(spark, str(tmp_path / "empty_wh"))
+    cfg = RollupConfig(kernel="avg", window=4, num_tiers=2,
+                       run_kind="nothing_here")
+    with pytest.raises(FileNotFoundError, match="tier 2 .*resolution 16"):
+        read_series(engine, cfg, None, 16)

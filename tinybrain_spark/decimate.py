@@ -98,3 +98,44 @@ def lttb_decimate(
 
     sel = df.select(*key_cols, t_col, v_col)
     return sel.groupBy(*key_cols).applyInPandas(_one, schema)
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    v_col: str,
+    alpha_ppt: int = 200,
+) -> DataFrame:
+    """Integer EWMA smoothing per series: ``s_0 = v_0``,
+    ``s_i = (alpha * v_i + (1000 - alpha) * s_{i-1}) DIV 1000`` with
+    ``alpha`` in permille — deterministic integer arithmetic, no float
+    drift across engines/partitionings.
+
+    Sequential within a series (like LTTB), parallel across series:
+    one applyInPandas per key over a bounded series.  Adds ``smoothed``
+    next to the original value column."""
+    import pandas as pd
+
+    schema = StructType(
+        [df.schema[k] for k in key_cols]
+        + [
+            StructField(t_col, LongType()),
+            StructField(v_col, LongType()),
+            StructField("smoothed", LongType()),
+        ]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, ignore_index=True)
+        v = pdf[v_col].to_numpy(np.int64)
+        s = np.empty_like(v)
+        if len(v):
+            s[0] = v[0]
+            for i in range(1, len(v)):
+                s[i] = (alpha_ppt * v[i] + (1000 - alpha_ppt) * s[i - 1]) // 1000
+        pdf["smoothed"] = s
+        return pdf[list(schema.fieldNames())]
+
+    sel = df.select(*key_cols, t_col, v_col)
+    return sel.groupBy(*key_cols).applyInPandas(_one, schema)

@@ -77,6 +77,15 @@ def read_series(
     if plan.tier == 0:
         df = base_df.select(*TIER_KEY_COLS, "tokens", "n_tok")
     else:
+        table = config.name(plan.tier)
+        if not engine.catalog.exists(table):
+            # expired by retention or never materialized: fail with the
+            # routing context instead of a bare path error
+            raise FileNotFoundError(
+                f"serving plan routed to tier {plan.tier} ({table!r}) "
+                f"for resolution {resolution}, but that tier is not in "
+                f"the catalog (expired by retention or not yet built)"
+            )
         df = engine.read_tier(config, plan.tier)
 
     if sources is not None:
