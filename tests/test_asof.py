@@ -73,3 +73,46 @@ def test_asof_forward_tolerance(spark):
         direction="forward", tolerance=3,
     )
     assert got == {1: 50, 2: None}
+
+
+def test_asof_differential_vs_pandas_merge_asof(spark):
+    """Random series, all direction/tolerance combinations, vs pandas
+    merge_asof — an independent reference implementation of exactly
+    these semantics."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        left_rows, right_rows = [], []
+        for k in ("a", "b", "c"):
+            lt = np.sort(rng.choice(3000, size=40, replace=False))
+            rt = np.sort(rng.choice(3000, size=25, replace=False))
+            left_rows += [(k, int(t), len(left_rows)) for t in lt]
+            right_rows += [(k, int(t), 1000 + len(right_rows))
+                           for t in rt]
+        left = spark.createDataFrame(left_rows, "k string, lt long, id long")
+        right = spark.createDataFrame(right_rows, "k string, rt long, v long")
+        lpd = pd.DataFrame(left_rows, columns=["k", "lt", "id"]).sort_values(
+            "lt", ignore_index=True)
+        rpd = pd.DataFrame(right_rows, columns=["k", "rt", "v"]).sort_values(
+            "rt", ignore_index=True)
+        for direction in ("backward", "forward"):
+            for tol in (None, 100, 17):
+                got = {
+                    r["id"]: r["v"]
+                    for r in asof_join(
+                        left, right, ["k"], "lt", "rt", ["v"],
+                        direction=direction, tolerance=tol,
+                    ).collect()
+                }
+                ref = pd.merge_asof(
+                    lpd, rpd, left_on="lt", right_on="rt", by="k",
+                    direction=direction,
+                    tolerance=None if tol is None else tol,
+                )
+                want = {
+                    int(r.id): (None if pd.isna(r.v) else int(r.v))
+                    for r in ref.itertuples()
+                }
+                assert got == want, (trial, direction, tol)
