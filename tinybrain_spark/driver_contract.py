@@ -807,6 +807,66 @@ FROM d GROUP BY event_type, hb
 """
 
 
+ROLLING_WINDOW_S = 24 * 3600  # sliding-window span (24 hours)
+
+
+def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate over the hourly rollup: per event_type,
+    the trailing-24h event count and value sum at every hour — the
+    RANGE-frame window (time-based, not row-based: quiet hours shrink
+    the frame) that powers rate-limit/trend dashboards.
+
+    Scale shape: the hourly pre-aggregation shrinks events ~3000x
+    before the window; the per-type ordered frame is bounded by hours
+    of history per key (time-bounded by definition), and the window
+    reuses the groupBy's hash partitioning — one exchange."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("vsum"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rangeBetween(-(ROLLING_WINDOW_S - 1), 0)
+    )
+    return hourly.select(
+        "event_type",
+        F.col("hb").cast("long").alias("hb"),
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_24h"),
+        F.sum("vsum").over(w).cast("long").alias("vsum_24h"),
+        F.count("*").over(w).cast("long").alias("active_hours_24h"),
+    )
+
+
+_ROLLING_24H = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vsum
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hb, n,
+       CAST(sum(n) OVER w AS BIGINT) AS n_24h,
+       CAST(sum(vsum) OVER w AS BIGINT) AS vsum_24h,
+       CAST(count(*) OVER w AS BIGINT) AS active_hours_24h
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hb
+             RANGE BETWEEN {ROLLING_WINDOW_S - 1} PRECEDING
+                   AND CURRENT ROW)
+"""
+
+
 COUNTER_WRAP = 100000  # synthetic counter modulus (forces resets)
 
 
@@ -3033,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_m4_decimate": q_m4_decimate,
         "q_counter_rate": q_counter_rate,
         "q_value_histogram": q_value_histogram,
+        "q_rolling_24h": q_rolling_24h,
         "q_running_sum": q_running_sum,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
@@ -3115,6 +3176,7 @@ FROM win
         "q_m4_decimate": _M4_DECIMATE,
         "q_counter_rate": _COUNTER_RATE,
         "q_value_histogram": _VALUE_HISTOGRAM,
+        "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
         "q_value_percentiles": _VALUE_PERCENTILES,
         "q_user_set_ops": _USER_SET_OPS,
