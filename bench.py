@@ -57,25 +57,103 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
-def _fault_in_mbps(mb: int = 64) -> float:
+def _fault_in_mbps(mb: int = 64, samples: int = 3) -> float:
     """First-touch page-fault throughput: the sandbox VM health probe.
 
     Healthy first-touch is >1 GB/s; lazily-backed guest memory has been
     observed at 6-120 MB/s (host re-faults every fresh page), which
-    depresses every fresh JVM/Arrow allocation.  Reported alongside the
-    timings so cross-round comparisons can be read in context."""
+    depresses every fresh JVM/Arrow allocation and inflates every
+    timing 2-3x.  Best-of-``samples`` — the probe itself is noisy and
+    we care about the ceiling the VM can reach."""
     import numpy as np
 
-    t0 = time.time()
-    a = np.ones(mb * 1024 * 1024 // 8)
-    dt = time.time() - t0
-    del a
-    return round(mb / dt, 1)
+    best = 0.0
+    for _ in range(samples):
+        t0 = time.time()
+        a = np.ones(mb * 1024 * 1024 // 8)
+        dt = time.time() - t0
+        del a
+        best = max(best, mb / dt)
+    return round(best, 1)
+
+
+def _load_1m() -> float:
+    return os.getloadavg()[0]
+
+
+# Refuse-to-record thresholds (BENCH_r03 lesson: a polluted VM recorded
+# an official 2.5x "regression" that was pure machine state).  The load
+# bar is CLAUDE.md's own "load >1.5 means wait or kill"; the probe bar
+# is the healthy first-touch floor.  Env-overridable so the round
+# driver can relax them deliberately, never silently.
+HEALTH_MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "1.5"))
+HEALTH_MIN_MBPS = float(os.environ.get("SPARK_GRAFT_MIN_MBPS", "1000"))
+HEALTH_RETRIES = int(os.environ.get("SPARK_GRAFT_HEALTH_RETRIES", "6"))
+HEALTH_SLEEP_S = float(os.environ.get("SPARK_GRAFT_HEALTH_SLEEP", "60"))
+
+
+def is_healthy(load_1m: float, mbps: float,
+               max_load: float = HEALTH_MAX_LOAD,
+               min_mbps: float = HEALTH_MIN_MBPS) -> bool:
+    return load_1m <= max_load and mbps >= min_mbps
+
+
+def check_health(
+    max_load: float = HEALTH_MAX_LOAD,
+    min_mbps: float = HEALTH_MIN_MBPS,
+    retries: int = HEALTH_RETRIES,
+    sleep_s: float = HEALTH_SLEEP_S,
+    probe=_fault_in_mbps,
+    load_fn=_load_1m,
+    sleep_fn=time.sleep,
+) -> tuple[bool, dict]:
+    """Gate a measurement on VM health, with bounded retries.
+
+    Samples (1-min load average, fault-in probe); if either fails the
+    bar, sleeps and retries up to ``retries`` times (bounded: at most
+    ``retries * sleep_s`` seconds of waiting).  Returns
+    ``(healthy, record)`` where ``record`` carries every sample taken,
+    so the emitted JSON shows the full health history, not just the
+    final verdict.  Injectable probe/load/sleep for unit tests."""
+    history: list[dict] = []
+    healthy = False
+    for attempt in range(retries + 1):
+        load1, mbps = load_fn(), probe()
+        history.append(
+            {"load_1m": round(load1, 2), "fault_in_mbps": round(mbps, 1)}
+        )
+        if is_healthy(load1, mbps, max_load, min_mbps):
+            healthy = True
+            break
+        if attempt < retries:
+            sleep_fn(sleep_s)
+    return healthy, {
+        "attempts": len(history),
+        "history": history,
+        "max_load": max_load,
+        "min_mbps": min_mbps,
+    }
+
+
+def invalid_reasons(pre_healthy: bool, post_mbps: float,
+                    min_mbps: float = HEALTH_MIN_MBPS) -> list[str]:
+    """Why a recorded run must carry ``"invalid": true`` (empty = valid).
+
+    Pre-run: load or probe never reached the bar within the retry
+    budget.  Post-run: the probe re-run AFTER the measurements is sick,
+    i.e. pollution arrived mid-run (load after the run is self-inflated
+    by our own executors, so only the probe is re-checked)."""
+    reasons = []
+    if not pre_healthy:
+        reasons.append("prerun_unhealthy")
+    if post_mbps < min_mbps:
+        reasons.append("postrun_probe_sick")
+    return reasons
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    fault_mbps = _fault_in_mbps()
+    pre_healthy, health = check_health()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 
@@ -153,22 +231,26 @@ def main() -> int:
     points_per_sec = (p_avg + p_mode + p_cat) / (t_avg + t_mode + t_cat)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "cpus": cpus,
-                "bench_docs": n_rows,
-                "rolled_up_points": p_avg + p_mode + p_cat,
-                "points_per_sec": round(points_per_sec, 1),
-                "vm_fault_in_mbps": fault_mbps,
-            }
-        )
-    )
+    post_mbps = _fault_in_mbps()
+    reasons = invalid_reasons(pre_healthy, post_mbps)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "bench_docs": n_rows,
+        "rolled_up_points": p_avg + p_mode + p_cat,
+        "points_per_sec": round(points_per_sec, 1),
+        "vm_health": health,
+        "vm_fault_in_mbps_post": post_mbps,
+    }
+    if reasons:
+        # refuse to present a polluted measurement as a graded number
+        out["invalid"] = True
+        out["invalid_reasons"] = reasons
+    print(json.dumps(out))
     spark.stop()
     return 0
 

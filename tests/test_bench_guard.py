@@ -1,0 +1,97 @@
+"""bench.py health gate: the refuse-to-record logic (VERDICT r03 #1).
+
+BENCH_r03 recorded a 2.5x "regression" that was pure machine state
+(concurrent CPU hog + lazily-backed VM memory).  The gate samples load
+average + first-touch fault-in throughput before the run with bounded
+retries, re-probes after, and marks the emitted JSON ``invalid`` when
+either side is sick.  Pure-python, injectable clocks — no Spark.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_healthy_first_try_no_sleep():
+    sleeps: list[float] = []
+    ok, rec = bench.check_health(
+        max_load=1.5,
+        min_mbps=1000,
+        retries=3,
+        sleep_s=60,
+        probe=lambda: 2000.0,
+        load_fn=lambda: 0.2,
+        sleep_fn=sleeps.append,
+    )
+    assert ok
+    assert rec["attempts"] == 1
+    assert sleeps == []
+    assert rec["history"][0] == {"load_1m": 0.2, "fault_in_mbps": 2000.0}
+
+
+def test_recovers_after_retries():
+    probes = iter([50.0, 80.0, 1500.0])
+    sleeps: list[float] = []
+    ok, rec = bench.check_health(
+        max_load=1.5,
+        min_mbps=1000,
+        retries=5,
+        sleep_s=30,
+        probe=lambda: next(probes),
+        load_fn=lambda: 0.1,
+        sleep_fn=sleeps.append,
+    )
+    assert ok
+    assert rec["attempts"] == 3
+    assert sleeps == [30, 30]  # bounded: one sleep per failed attempt
+
+
+def test_load_alone_fails_the_bar():
+    ok, rec = bench.check_health(
+        max_load=1.5,
+        min_mbps=1000,
+        retries=2,
+        sleep_s=1,
+        probe=lambda: 5000.0,
+        load_fn=lambda: 2.4,  # the r03 pollution signature
+        sleep_fn=lambda _s: None,
+    )
+    assert not ok
+    assert rec["attempts"] == 3  # initial + 2 retries, then gives up
+
+
+def test_never_healthy_is_bounded():
+    sleeps: list[float] = []
+    ok, rec = bench.check_health(
+        max_load=1.5,
+        min_mbps=1000,
+        retries=4,
+        sleep_s=10,
+        probe=lambda: 7.4,  # lazily-backed guest memory
+        load_fn=lambda: 0.2,
+        sleep_fn=sleeps.append,
+    )
+    assert not ok
+    assert rec["attempts"] == 5
+    assert sleeps == [10] * 4  # never unbounded waiting
+    assert all(h["fault_in_mbps"] == 7.4 for h in rec["history"])
+
+
+def test_invalid_reasons_matrix():
+    assert bench.invalid_reasons(True, 2000.0, min_mbps=1000) == []
+    assert bench.invalid_reasons(False, 2000.0, min_mbps=1000) == [
+        "prerun_unhealthy"
+    ]
+    assert bench.invalid_reasons(True, 120.0, min_mbps=1000) == [
+        "postrun_probe_sick"
+    ]
+    assert bench.invalid_reasons(False, 7.4, min_mbps=1000) == [
+        "prerun_unhealthy",
+        "postrun_probe_sick",
+    ]
+
+
+def test_is_healthy_edges():
+    assert bench.is_healthy(1.5, 1000.0, max_load=1.5, min_mbps=1000)
+    assert not bench.is_healthy(1.51, 5000.0, max_load=1.5, min_mbps=1000)
+    assert not bench.is_healthy(0.0, 999.9, max_load=1.5, min_mbps=1000)
