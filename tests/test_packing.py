@@ -106,6 +106,23 @@ def test_pack_tokens_relabels_every_token_once(spark):
         assert (r.seq_id, r.pos, r.token) == (i // 8, i % 8, stream[i])
 
 
+@pytest.mark.parametrize("bucket_size", [1, 2, 5, 4096])
+def test_single_stream_matches_naive(spark, bucket_size):
+    """source_col=None (the pack_tokens path): one global stream,
+    offsets from the driver-side cumsum of range-partition totals."""
+    docs = _docs(spark, ROWS).drop("source")
+    got = pack_offsets(
+        docs, capacity=100, bucket_size=bucket_size, source_col=None
+    ).orderBy("doc_id")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = docs.withColumn(
+        "tok_start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    ).orderBy("doc_id")
+    assert [r.tok_start for r in got.collect()] == [
+        r.tok_start for r in want.collect()
+    ]
+
+
 def test_no_unbounded_source_sort_in_plan(spark):
     """The only window over the full doc table partitions by
     (source, _bucket); the unbounded per-source window runs over the
@@ -124,6 +141,29 @@ def test_no_unbounded_source_sort_in_plan(spark):
     assert doc_windows, plan
     for w in doc_windows:
         assert "_bucket" in w, w
+
+
+def test_zero_unpartitioned_windows(spark):
+    """VERDICT r03 #3: no plan in the packing family may contain an
+    unpartitioned WindowExec — including pack_tokens, whose constant
+    literal source key used to be folded out of the partition spec."""
+    from .test_plans import assert_no_unpartitioned_windows
+
+    docs = _docs(spark, ROWS)
+    assert_no_unpartitioned_windows(
+        pack_offsets(docs, capacity=100, bucket_size=2)
+    )
+    assert_no_unpartitioned_windows(
+        pack_offsets(
+            docs.drop("source"), capacity=100, bucket_size=2, source_col=None
+        )
+    )
+    seqs = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [4, 5])], "user_id long, tokens array<int>"
+    )
+    assert_no_unpartitioned_windows(
+        pack_tokens(seqs, capacity=2, bucket_size=2)
+    )
 
 
 def _naive_next_fit(rows, capacity):

@@ -18,6 +18,23 @@ def _plan(df) -> str:
     )
 
 
+def assert_no_unpartitioned_windows(df) -> None:
+    """Pin: every Window node in the optimized plan has a non-empty
+    partition spec.  An unpartitioned window prints as
+    ``Window [exprs], [order]`` (two bracket groups) vs the partitioned
+    ``Window [exprs], [partition], [order]`` (three) — the two-group
+    form is the 'No Partition Defined ... single partition' funnel."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        m = re.search(r"Window \[.*", line)
+        if m:
+            assert m.group(0).count("], [") >= 2, (
+                "unpartitioned Window node:\n" + line
+            )
+
+
 def test_token_table_scan_prunes_columns(spark):
     plan = _plan(dc.token_table(spark, SF_DIR))
     # events has (event_id, ts, user_id, event_type, value, props);

@@ -10,21 +10,29 @@ sum is the distributed hard part: a naive
 source into ONE task for the sort (the q_topk_users mistake at 10^12
 scale).
 
-Scale shape here — a two-level prefix sum with only bounded sorts:
+Scale shape here — a layered prefix sum with only bounded sorts:
 
 1. bucket docs by contiguous order-key ranges
    (``order_col // bucket_size``) and groupBy-sum token counts per
    (source, bucket): a partial aggregation, output is
    ``n_docs / bucket_size`` rows;
-2. run the unbounded running-sum window ONLY over that tiny per-bucket
-   table to get each bucket's starting token offset;
-3. broadcast-join the bucket offsets back and window WITHIN
-   (source, bucket) — every sort is bounded by ``bucket_size`` rows.
+2. run :func:`tinybrain_spark.prefix.running_sums` over that per-bucket
+   table for each bucket's starting token offset — range-partitioned,
+   so the bucket table itself is never sorted in one task either (the
+   round-3 defect: a constant source key folded out of the bucket
+   window's partition spec and planned an unpartitioned WindowExec over
+   n/bucket_size rows);
+3. join the bucket offsets back (plain join: AQE broadcasts the
+   n/bucket_size-row table while it is small, and at corpus scale the
+   sort-merge join shares the hash partitioning the within-bucket
+   window needs anyway — never an unconditional broadcast of an
+   unbounded table) and window WITHIN (source, bucket) — every sort is
+   bounded by ``bucket_size`` rows.
 
-Choose ``bucket_size`` ~ sqrt(max docs per source): both the one-task
-bucket-table window (n/bucket_size rows) and each within-bucket sort
-(bucket_size rows) then stay ~10^6 at 10^12 docs.  (A third level
-would drop the bound to n^(1/3); two suffice for any realistic corpus.)
+Choose ``bucket_size`` ~ sqrt(max docs per source) to balance the two
+levels; any value is CORRECT (bucket-size invariance is test-pinned),
+the choice only moves rows between the bounded within-bucket sorts and
+the range-partitioned bucket table.
 
 No reference analog: tinybrain has no packing; this is engine surface
 for the token-pipeline addendum (SURVEY.md training-data ops).  The
@@ -38,15 +46,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .prefix import running_sums
+
 
 def pack_offsets(
     docs: DataFrame,
     *,
     n_col: str = "n_tok",
     order_col: str = "doc_id",
-    source_col: str = "source",
+    source_col: str | None = "source",
     capacity: int = 2048,
     bucket_size: int = 4096,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign each document its global token offset and sequence span.
 
@@ -62,25 +73,36 @@ def pack_offsets(
     - ``n_spans``    — number of distinct sequences the doc touches
       (0 for an empty doc).
 
-    The plan has exactly three exchanges regardless of data volume:
-    the per-bucket partial agg, the (tiny) bucket-table window, and
-    the within-bucket window; the bucket-offset join is a broadcast.
+    ``source_col=None`` packs a SINGLE global stream: the bucket
+    offsets then come from prefix.running_sums' driver-side cumsum of
+    per-range-partition totals (bounded by the partition count, a
+    config constant) instead of a per-source window — a constant
+    source key would be folded out of a window's partition spec by
+    Catalyst and plan the very one-task funnel this module exists to
+    avoid.  Every window in either path carries a non-empty partition
+    spec and a bounded sort (pinned in test_packing/test_plans).
     """
+    parts = [source_col] if source_col else []
     bucket = F.expr(f"{order_col} DIV {bucket_size}")
     with_b = docs.withColumn("_bucket", bucket)
 
-    per_bucket = with_b.groupBy(source_col, "_bucket").agg(
+    per_bucket = with_b.groupBy(*parts, "_bucket").agg(
         F.sum(n_col).cast("long").alias("_btok")
     )
-    wb = Window.partitionBy(source_col).orderBy("_bucket")
-    b_off = per_bucket.select(
-        source_col,
+    b_off = running_sums(
+        per_bucket,
+        ["_btok"],
+        ["_bucket"],
+        partition_cols=parts,
+        num_partitions=num_partitions,
+    ).select(
+        *parts,
         "_bucket",
-        (F.sum("_btok").over(wb) - F.col("_btok")).cast("long").alias("_bstart"),
+        (F.col("rs__btok") - F.col("_btok")).cast("long").alias("_bstart"),
     )
 
-    wd = Window.partitionBy(source_col, "_bucket").orderBy(order_col)
-    joined = with_b.join(F.broadcast(b_off), [source_col, "_bucket"])
+    wd = Window.partitionBy(*parts, "_bucket").orderBy(order_col)
+    joined = with_b.join(b_off, [*parts, "_bucket"])
     out = joined.withColumn(
         "tok_start",
         (
@@ -202,17 +224,18 @@ def pack_tokens(
     pure-SQL oracle.  Callers that want the packed arrays themselves
     group this by ``seq_id`` and ``array_agg`` (same single exchange).
 
-    The offset assignment reuses :func:`pack_offsets` (two bounded
-    windows, no per-source global sort); the explode is map-side.
+    The offset assignment reuses :func:`pack_offsets` in single-stream
+    mode (``source_col=None`` — a constant literal source key would be
+    constant-folded out of the window partition spec, the round-3
+    unpartitioned-WindowExec defect); every window is partitioned and
+    bounded, and the explode is map-side.
     """
-    with_n = seqs.withColumn("_n", F.size(tokens_col).cast("long")).withColumn(
-        "_src", F.lit("all")
-    )
+    with_n = seqs.withColumn("_n", F.size(tokens_col).cast("long"))
     off = pack_offsets(
         with_n,
         n_col="_n",
         order_col=order_col,
-        source_col="_src",
+        source_col=None,
         capacity=capacity,
         bucket_size=bucket_size,
     )

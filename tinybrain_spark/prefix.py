@@ -1,0 +1,126 @@
+"""Distributed running sums — the scale-safe prefix-sum primitive.
+
+``SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)`` is the classic
+one-task trap: with no partition key Spark funnels every row into a
+single task (``WindowExec`` "No Partition Defined"), and partitioning
+by a low-cardinality stream key (event_type, source) just renames the
+trap — one task still sorts a whole stream's history.  This module
+computes inclusive running sums with only BOUNDED sorts, the same
+two-phase shape Spark's own RangePartitioner uses:
+
+1. ``repartitionByRange`` on (partition_cols..., order_cols...) —
+   each physical partition holds a contiguous key range;
+   ``localCheckpoint`` pins the sampled range boundaries so every
+   downstream subtree sees the identical row->partition assignment
+   (repartitionByRange SAMPLES its child; without the checkpoint two
+   evaluations could sample different boundaries and mis-align the
+   offsets — the global_rank determinism hazard flagged in round-3
+   ADVICE).
+2. per-(physical partition, partition_cols) totals — a tiny aggregate:
+   at most ``num_partitions + n_groups`` rows, because range
+   partitioning makes each group span a contiguous run of partitions.
+3. exclusive offsets over those totals:
+   - with partition_cols: a window partitioned BY THE REAL GROUP
+     COLUMNS ordered by partition id — every window group holds at
+     most ``num_partitions`` rows (a config constant, not a data
+     volume), and the partition spec is non-empty, so no plan ever
+     contains an unpartitioned WindowExec;
+   - without partition_cols: the per-partition totals are collected to
+     the driver (<= num_partitions rows — bounded by configuration,
+     independent of data volume, exactly like a broadcast-join build
+     side) and cumulated in plain Python: no window at all.
+4. broadcast the offsets back; running sum = offset + within-partition
+   running sum (window partitioned by the physical partition id —
+   bounded by partition size, never by stream length).
+
+Cardinality contract: ``partition_cols`` is for LOW-cardinality stream
+keys (event types, source streams) — the offsets table is
+``num_partitions + n_groups`` rows and is broadcast.  High-cardinality
+keys don't need this module at all: with many groups each group is
+small, and a plain ``Window.partitionBy(key)`` is already bounded.
+
+No reference analog (tinybrain has no relational layer); this is
+engine infrastructure shared by packing.pack_offsets, ranking, and the
+counter/cumulative timeseries queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_sums(
+    df: DataFrame,
+    sum_cols: list[str],
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    out_prefix: str = "rs_",
+) -> DataFrame:
+    """Add inclusive running sums ``{out_prefix}{c}`` for each ``c`` in
+    ``sum_cols``, taken over the total order ``order_cols`` within each
+    ``partition_cols`` group (globally when ``partition_cols`` is
+    empty/None).  ``order_cols`` must be a total order within a group —
+    ties would make the sums nondeterministic; include a unique column
+    last.  Sums are exact BIGINT arithmetic (ANSI-safe for totals
+    < 2^63); all inputs must be non-null.
+
+    Builds eagerly: the range-partitioned input is localCheckpoint-ed
+    (pins sampled boundaries AND doubles as the resume point for long
+    jobs) and the per-partition totals run as a small job at call time.
+    """
+    parts = list(partition_cols or [])
+    keys = parts + list(order_cols)
+    parted = (
+        df.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else df.repartitionByRange(*keys)
+    )
+    parted = parted.localCheckpoint()
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+
+    sums = [F.sum(c).cast("long").alias(f"_t_{c}") for c in sum_cols]
+    totals = with_pid.groupBy("_pid", *parts).agg(*sums)
+
+    if parts:
+        # <= num_partitions rows per group; real columns => the window
+        # is partitioned, and every sort in the plan stays bounded.
+        wg = Window.partitionBy(*parts).orderBy("_pid")
+        offsets = totals.select(
+            "_pid",
+            *parts,
+            *[
+                (F.sum(f"_t_{c}").over(wg) - F.col(f"_t_{c}"))
+                .cast("long")
+                .alias(f"_off_{c}")
+                for c in sum_cols
+            ],
+        )
+        joined = with_pid.join(F.broadcast(offsets), ["_pid", *parts])
+    else:
+        # <= num_partitions rows total (config constant): cumulate on
+        # the driver — no window at all, like a broadcast build side.
+        rows = sorted(totals.collect(), key=lambda r: r["_pid"])
+        acc = {c: 0 for c in sum_cols}
+        off_rows = []
+        for r in rows:
+            off_rows.append([r["_pid"]] + [acc[c] for c in sum_cols])
+            for c in sum_cols:
+                acc[c] += r[f"_t_{c}"] or 0
+        schema = "_pid int, " + ", ".join(
+            f"_off_{c} long" for c in sum_cols
+        )
+        offsets = df.sparkSession.createDataFrame(off_rows, schema)
+        joined = with_pid.join(F.broadcast(offsets), "_pid")
+
+    ww = Window.partitionBy("_pid", *parts).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = joined
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{out_prefix}{c}",
+            (F.col(f"_off_{c}") + F.sum(c).over(ww)).cast("long"),
+        )
+    return out.drop("_pid", *[f"_off_{c}" for c in sum_cols])
