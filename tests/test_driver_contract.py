@@ -81,6 +81,38 @@ def test_hot_user_sequence_capped(spark):
     assert "row_number" in plan
 
 
+def test_m4_guard_rejects_out_of_domain(spark, tmp_path):
+    """ADVICE r03: the ord*2^24+id encoding must fail loudly, not
+    silently decode wrong ids/extrema, when event_id leaves the 24-bit
+    domain or a value goes negative."""
+    import datetime
+
+    from tinybrain_spark import driver_contract as dc
+
+    ts = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    bad_id = str(tmp_path / "bad_id")
+    spark.createDataFrame(
+        [(1 << 25, ts, "a", 1.0)], schema
+    ).write.parquet(os.path.join(bad_id, "events.parquet"))
+    with pytest.raises(Exception, match="id domain"):
+        dc.q_m4_decimate(spark, bad_id).collect()
+
+    bad_v = str(tmp_path / "bad_v")
+    spark.createDataFrame(
+        [(7, ts, "a", -3.5)], schema
+    ).write.parquet(os.path.join(bad_v, "events.parquet"))
+    with pytest.raises(Exception, match="negative value"):
+        dc.q_m4_decimate(spark, bad_v).collect()
+
+    ok = str(tmp_path / "ok")
+    spark.createDataFrame(
+        [(7, ts, "a", 3.5), ((1 << 24) - 1, ts, "a", 0.0)], schema
+    ).write.parquet(os.path.join(ok, "events.parquet"))
+    assert dc.q_m4_decimate(spark, ok).count() == 1
+
+
 def test_extract_features_plumbing(spark):
     """Binary -> fixed-dim float feature vector through Arrow batches
     (the encoder is a deterministic stub; the plumbing is real)."""

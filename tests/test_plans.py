@@ -97,6 +97,26 @@ def test_topk_users_is_distributed_partial_topk(spark):
     assert tree.count("Window") == 1
 
 
+def test_prefix_sum_queries_zero_unpartitioned_windows(spark):
+    """r04: every cumulative/packing query routes through
+    prefix.running_sums — no plan may contain an unpartitioned
+    WindowExec (the 'No Partition Defined' one-task funnel)."""
+    for q in (
+        "q_counter_rate",
+        "q_global_running_sum",
+        "q_pack_sequences",
+        "q_pack_tokens",
+    ):
+        assert_no_unpartitioned_windows(dc.queries()[q](spark, SF_DIR))
+
+
+def test_tfidf_folds_ndocs_into_plan(spark):
+    """r04 ADVICE: n_docs is a broadcast 1-row aggregate cross join in
+    THE plan, not a separate driver-side .count() action."""
+    plan = _plan(dc.q_tfidf_terms(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_word_sketch_queries_single_exchange(spark):
     """array_distinct dedups words/shingles in-row, so the sketch
     queries need exactly ONE exchange each (their final groupBy) —

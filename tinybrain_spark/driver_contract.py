@@ -22,6 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .prefix import running_sums
 from .session import load_table
 from .udfs import pool_udf
 
@@ -712,6 +713,32 @@ FROM hourly
 """
 
 
+def q_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global cumulative sum over the WHOLE event stream in one total
+    order — the direct driver-verification of prefix.running_sums'
+    single-stream path (range partition + driver-side cumsum of
+    per-partition totals).  The naive formulation is the canonical
+    one-task window (``SUM OVER (ORDER BY ..)`` with no partition key);
+    this plan contains no unpartitioned WindowExec at all (pinned in
+    test_plans.py) and every sort is bounded by a range partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("t"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    rs = running_sums(ev, ["v"], ["t", "event_id"])
+    return rs.select("event_id", F.col("rs_v").alias("running_v"))
+
+
+_GLOBAL_RUNNING_SUM = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT))
+              OVER (ORDER BY floor(epoch(ts)), event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_v
+FROM events
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment: each event picks up the most recent
     BUSY-hour state row (hourly count >= 3) for its event_type at or
@@ -879,26 +906,33 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wraps ARE resets) — reset detection and the increase sum are the
     operator under test, bit-exact vs the oracle.
 
-    Scale shape: both cumulative windows share one (type)-partitioned
-    sort; the hourly groupBy reuses that hash partitioning — one
-    exchange, bounded sorts."""
+    Scale shape (restructured r04 per ADVICE): a per-type cumulative
+    window would sort one event type's ENTIRE history in one task —
+    with a handful of types that is the one-task funnel.  Instead the
+    cumulative sums come from prefix.running_sums (range-partitioned,
+    bounded sorts), and the lag() disappears entirely: for a running
+    sum s_i, the previous row's wrapped counter is algebraically
+    (s_i - v_i) % WRAP, and 'first row of its type' is exactly
+    'running count == 1' — both map-side expressions over the same
+    prefix pass (two sums ride one shuffle)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
         F.unix_timestamp("ts").alias("t"),
         F.floor(F.col("value") * 100).cast("long").alias("v"),
         "event_id",
+    ).withColumn("one", F.lit(1).cast("long"))
+    rs = running_sums(
+        ev, ["v", "one"], ["t", "event_id"], partition_cols=["event_type"]
     )
-    w = Window.partitionBy("event_type").orderBy("t", "event_id")
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    with_c = ev.withColumn("c", F.sum("v").over(wc) % COUNTER_WRAP)
-    with_prev = with_c.withColumn("prev", F.lag("c").over(w))
-    inc = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
-        F.when(F.col("c") >= F.col("prev"), F.col("c") - F.col("prev"))
-        .otherwise(F.col("c"))  # reset: counter restarted below prev
+    c = F.col("rs_v") % COUNTER_WRAP
+    prev = (F.col("rs_v") - F.col("v")) % COUNTER_WRAP
+    inc = F.when(F.col("rs_one") == 1, F.lit(0)).otherwise(
+        F.when(c >= prev, c - prev)
+        .otherwise(c)  # reset: counter restarted below prev
     )
     return (
-        with_prev.select("event_type", "hb", inc.alias("inc"))
+        rs.select("event_type", "hb", inc.alias("inc"))
         .groupBy("event_type", "hb")
         .agg(
             F.sum("inc").cast("long").alias("increase"),
@@ -985,15 +1019,43 @@ def q_m4_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy: no window, no sort, one exchange — the cheapest possible
     shape at any scale.  Encoded keys assume a non-negative value
     domain (events.value >= 0); signed series would first add a
-    constant offset (DIV/% disagree across engines below zero)."""
-    ev = load_table(spark, sf_dir, "events").select(
+    constant offset (DIV/% disagree across engines below zero).
+
+    Both encoding preconditions are RUNTIME-GUARDED (ADVICE r03): an
+    event_id outside [0, 2^24) or a negative v raises instead of
+    silently decoding wrong ids/extrema — two codegen'd comparisons on
+    the scan, no extra pass."""
+    shift = 1 << M4_ID_BITS
+    raw = load_table(spark, sf_dir, "events")
+    guard_id = F.col("event_id").cast("long")
+    guard_v = F.floor(F.col("value") * 100).cast("long")
+    ev = raw.select(
         "event_type",
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
         F.unix_timestamp("ts").alias("t"),
-        F.floor(F.col("value") * 100).cast("long").alias("v"),
-        F.col("event_id").cast("long").alias("event_id"),
+        F.when(guard_v >= 0, guard_v)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("q_m4_decimate: negative value breaks the "
+                          "min/max key encoding: "),
+                    guard_v.cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("v"),
+        F.when(guard_id.between(0, shift - 1), guard_id)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"q_m4_decimate: event_id outside [0, 2^"
+                          f"{M4_ID_BITS}) id domain: "),
+                    guard_id.cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("event_id"),
     )
-    shift = 1 << M4_ID_BITS
     tkey = F.col("t") * shift + F.col("event_id")
     vkey = F.col("v") * shift + F.col("event_id")
     agg = ev.groupBy("event_type", "hb").agg(
@@ -2186,9 +2248,11 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange); the df side joins on word — at web scale that's a
     shuffle join on a vocabulary table orders of magnitude smaller
     than the corpus, and the per-doc top-k window sorts only one
-    document's vocabulary per task."""
+    document's vocabulary per task.  n_docs is folded INTO the plan as
+    a broadcast 1-row aggregate cross join (r04, ADVICE): no separate
+    driver-side .count() action per invocation."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_tab = docs.agg(F.count("*").cast("long").alias("n_docs"))
     words = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.trim(F.col("text")), " +").alias("ws"),
@@ -2203,9 +2267,13 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("df"))
     )
-    scored = tf.join(df_tab, "word").withColumn(
-        "score",
-        F.expr(f"tf * {n_docs}L * {TFIDF_SCALE}L DIV df").cast("long"),
+    scored = (
+        tf.join(df_tab, "word")
+        .crossJoin(F.broadcast(n_tab))
+        .withColumn(
+            "score",
+            F.expr(f"tf * n_docs * {TFIDF_SCALE}L DIV df").cast("long"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("word").asc()
@@ -3055,6 +3123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_counter_rate": q_counter_rate,
         "q_value_histogram": q_value_histogram,
         "q_rolling_24h": q_rolling_24h,
+        # r04: the scale-safe prefix-sum primitive, driver-verified
+        "q_global_running_sum": q_global_running_sum,
         "q_sessionize": q_sessionize,
         "q_value_percentiles": q_value_percentiles,
         "q_user_set_ops": q_user_set_ops,
@@ -3189,6 +3259,7 @@ FROM win
         "q_rollup_metrics": _ROLLUP_METRICS,
         "q_cube_metrics": _CUBE_METRICS,
         "q_running_sum": _RUNNING_SUM,
+        "q_global_running_sum": _GLOBAL_RUNNING_SUM,
         "q_topk_users": _TOPK_USERS,
         "q_asof_join": _ASOF_JOIN,
         "q_asof_fwd": _ASOF_FWD,
