@@ -112,6 +112,80 @@ def test_ewma_matches_reference_and_is_partition_invariant(spark):
                 assert got[(key, int(t[i]))] == s
 
 
+def test_ewma_many_differential_vs_literal_loop():
+    """ewma_many (cross-series vectorized scan, VERDICT r03 #5) must be
+    bit-identical to the literal per-element recurrence for ragged
+    series mixes, zero-length series, negatives, and every alpha."""
+    from tinybrain_spark.decimate import ewma_many, ewma_ref
+
+    rng = np.random.default_rng(11)
+    for alpha in (1, 200, 500, 999):
+        lengths = np.array(
+            [0, 1, 2, 37, 5, 400, 0, 113, 64, 1], dtype=np.int64
+        )
+        series = [
+            rng.integers(-100000, 100000, l).astype(np.int64)
+            for l in lengths
+        ]
+        flat = np.concatenate(series) if series else np.array([], np.int64)
+        want = (
+            np.concatenate([ewma_ref(v, alpha) for v in series])
+            if len(flat)
+            else flat
+        )
+        got = ewma_many(flat, lengths, alpha)
+        assert np.array_equal(got, want), alpha
+
+
+def test_ewma_many_chunked_column_groups():
+    """A bucket mixing one long series with many short ones must chunk
+    into capped column groups (incl. a width-1 scalar-path group),
+    staying bit-exact across the group boundaries."""
+    from tinybrain_spark.decimate import ewma_many, ewma_ref
+
+    rng = np.random.default_rng(5)
+    lengths = np.array([5000, 3, 900, 900, 7, 1], dtype=np.int64)
+    series = [rng.integers(0, 9999, l).astype(np.int64) for l in lengths]
+    flat = np.concatenate(series)
+    want = np.concatenate([ewma_ref(v, 200) for v in series])
+    # cap forces: [5000] alone (scalar path), [900,900] pair, the rest
+    got = ewma_many(flat, lengths, 200, cell_cap=2000)
+    assert np.array_equal(got, want)
+    # and an uncapped run agrees too
+    assert np.array_equal(ewma_many(flat, lengths, 200), want)
+
+
+def test_ewma_bucketed_mode_bit_identical(spark):
+    """n_buckets mode (cross-series scan per hash bucket) == per-key
+    mode == literal recurrence, at several bucket counts."""
+    from tinybrain_spark.decimate import ewma_smooth
+
+    rng = np.random.default_rng(7)
+    rows = []
+    series = {}
+    for ki in range(17):
+        key = f"s{ki}"
+        n = int(rng.integers(1, 60))
+        t = np.sort(rng.choice(99999, size=n, replace=False))
+        v = rng.integers(-5000, 5000, size=n)
+        series[key] = (t, v)
+        rows += [(key, int(ti), int(vi)) for ti, vi in zip(t, v)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    want = {}
+    for key, (t, v) in series.items():
+        s = int(v[0])
+        want[(key, int(t[0]))] = s
+        for i in range(1, len(v)):
+            s = (200 * int(v[i]) + 800 * s) // 1000
+            want[(key, int(t[i]))] = s
+    for n_buckets in (1, 3, 64):
+        out = ewma_smooth(
+            df.repartition(5), ["k"], "t", "v", n_buckets=n_buckets
+        )
+        got = {(r["k"], r["t"]): r["smoothed"] for r in out.collect()}
+        assert got == want, n_buckets
+
+
 def test_serving_missing_tier_raises_routing_error(spark, tmp_path):
     import pytest
 

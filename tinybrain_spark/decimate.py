@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -100,21 +101,128 @@ def lttb_decimate(
     return sel.groupBy(*key_cols).applyInPandas(_one, schema)
 
 
+def ewma_ref(v: np.ndarray, alpha_ppt: int) -> np.ndarray:
+    """LITERAL per-element reference recurrence (the differential-test
+    oracle): ``s_0 = v_0``,
+    ``s_i = (alpha * v_i + (1000 - alpha) * s_{i-1}) DIV 1000``."""
+    a, b = alpha_ppt, 1000 - alpha_ppt
+    s = np.empty_like(v)
+    if len(v):
+        s[0] = v[0]
+        for i in range(1, len(v)):
+            s[i] = (a * v[i] + b * s[i - 1]) // 1000
+    return s
+
+
+def ewma_many(
+    values: np.ndarray,
+    lengths: np.ndarray,
+    alpha_ppt: int,
+    cell_cap: int = 1 << 24,
+) -> np.ndarray:
+    """Exact integer EWMA over MANY series at once (VERDICT r03 #5).
+
+    The recurrence's integer floor breaks associativity, so a single
+    series is irreducibly sequential — but the time-step loop can be
+    vectorized ACROSS series: pack the concatenated ragged series into
+    a (max_len, n_series) padded matrix (time-major, so each step is a
+    contiguous row) and run ONE python iteration per time step doing
+    whole-width numpy arithmetic.  10^5 points as 100-1000 series run
+    ~5-6x faster than the per-element loop (BENCH/NOTES.md), and the
+    gap widens with bucket width; a lone series falls back to a plain
+    python-int loop (~2x the numpy-scalar loop — there is nothing to
+    vectorize across).
+
+    Padding cost is bounded by chunking: series are processed in
+    length-sorted column groups capped at ``2^24`` padded cells
+    (128 MiB of int64), so a bucket mixing one long and many short
+    series never allocates max_len * n_series.
+
+    ``values`` holds the series back-to-back (each already in time
+    order); bit-identical to :func:`ewma_ref` per series (pinned by
+    differential + hypothesis tests).  |v| must stay < 2^63/1000."""
+    a, b = alpha_ppt, 1000 - alpha_ppt
+    out = np.empty_like(values)
+    n = len(lengths)
+    if n == 0:
+        return out
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    order = np.argsort(-lengths, kind="stable")  # longest first
+    g0 = 0
+    while g0 < n:
+        # greedy column group: widen while padded cells stay under cap
+        max_len = int(lengths[order[g0]])
+        if max_len == 0:
+            break  # remaining series are empty
+        g1 = g0 + 1
+        while g1 < n and max_len * (g1 - g0 + 1) <= cell_cap:
+            g1 += 1
+        cols = order[g0:g1]
+        if len(cols) == 1:
+            st, ln = int(starts[cols[0]]), int(lengths[cols[0]])
+            vl = values[st : st + ln].tolist()
+            s = vl[0]
+            res = [s]
+            for i in range(1, ln):
+                s = (a * vl[i] + b * s) // 1000
+                res.append(s)
+            out[st : st + ln] = res
+            g0 = g1
+            continue
+        lens_g = lengths[cols]
+        starts_g = starts[cols]
+        width = len(cols)
+        # scatter the ragged series into a time-major padded matrix
+        pos_in_series = np.concatenate(
+            [np.arange(l, dtype=np.int64) for l in lens_g]
+        )
+        col_of = np.repeat(np.arange(width, dtype=np.int64), lens_g)
+        src = np.concatenate(
+            [np.arange(st, st + l, dtype=np.int64)
+             for st, l in zip(starts_g, lens_g)]
+        )
+        flat = pos_in_series * width + col_of
+        V = np.zeros(max_len * width, dtype=np.int64)
+        V[flat] = values[src]
+        V = V.reshape(max_len, width)
+        S = np.empty_like(V)
+        S[0] = V[0]
+        prev = S[0]
+        t1 = np.empty(width, dtype=np.int64)
+        for k in range(1, max_len):
+            sk = S[k]
+            np.multiply(prev, b, out=t1)
+            np.multiply(V[k], a, out=sk)
+            sk += t1
+            np.floor_divide(sk, 1000, out=sk)
+            prev = sk
+        out[src] = S.reshape(-1)[flat]
+        g0 = g1
+    return out
+
+
 def ewma_smooth(
     df: DataFrame,
     key_cols: list[str],
     t_col: str,
     v_col: str,
     alpha_ppt: int = 200,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Integer EWMA smoothing per series: ``s_0 = v_0``,
     ``s_i = (alpha * v_i + (1000 - alpha) * s_{i-1}) DIV 1000`` with
     ``alpha`` in permille — deterministic integer arithmetic, no float
     drift across engines/partitionings.
 
-    Sequential within a series (like LTTB), parallel across series:
-    one applyInPandas per key over a bounded series.  Adds ``smoothed``
-    next to the original value column."""
+    Sequential within a series (like LTTB), parallel across series.
+    ``n_buckets=None`` groups one applyInPandas call per key (bounded
+    series, original shape); setting ``n_buckets`` hash-buckets the
+    keys so each python call receives MANY series and runs the
+    cross-series vectorized scan (:func:`ewma_many`) — one python
+    iteration per time step instead of per point.  Results are
+    bit-identical either way (differential-pinned); choose n_buckets ~
+    total_points / 10^7 so a bucket's rows fit executor memory.
+    Adds ``smoothed`` next to the original value column."""
     import pandas as pd
 
     schema = StructType(
@@ -129,13 +237,33 @@ def ewma_smooth(
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(t_col, ignore_index=True)
         v = pdf[v_col].to_numpy(np.int64)
-        s = np.empty_like(v)
-        if len(v):
-            s[0] = v[0]
-            for i in range(1, len(v)):
-                s[i] = (alpha_ppt * v[i] + (1000 - alpha_ppt) * s[i - 1]) // 1000
-        pdf["smoothed"] = s
+        pdf["smoothed"] = ewma_many(
+            v, np.array([len(v)], dtype=np.int64), alpha_ppt
+        )
+        return pdf[list(schema.fieldNames())]
+
+    def _bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*key_cols, t_col], ignore_index=True)
+        v = pdf[v_col].to_numpy(np.int64)
+        # series boundaries = key-tuple change points in the sort order
+        if len(pdf):
+            keys = pdf[key_cols]
+            change = (keys != keys.shift()).any(axis=1).to_numpy()
+            bounds = np.flatnonzero(change)
+            lengths = np.diff(np.append(bounds, len(pdf)))
+        else:
+            lengths = np.array([], dtype=np.int64)
+        pdf["smoothed"] = ewma_many(v, lengths.astype(np.int64), alpha_ppt)
         return pdf[list(schema.fieldNames())]
 
     sel = df.select(*key_cols, t_col, v_col)
-    return sel.groupBy(*key_cols).applyInPandas(_one, schema)
+    if n_buckets is None:
+        return sel.groupBy(*key_cols).applyInPandas(_one, schema)
+    bucket = F.abs(F.xxhash64(*key_cols)) % n_buckets
+    return (
+        sel.withColumn("_b", bucket)
+        .groupBy("_b")
+        .applyInPandas(
+            lambda pdf: _bucket(pdf.drop(columns=["_b"])), schema
+        )
+    )
