@@ -2979,6 +2979,49 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end (r04, VERDICT #3-missing): per doc,
+    synthesize a deterministic PPM P6 payload (real ASCII header with a
+    comment line + raw RGB24 body, every byte a pure function of
+    (doc_id, position)), push the binary through Arrow batches, parse
+    it back with the real netpbm parser (multimodal.parse_ppm), and
+    emit integer pixel statistics — dimensions from the HEADER, total
+    pixel sum, and the red-channel sum (channel de-interleaving).  The
+    oracle recomputes every decoded byte arithmetically, so a parser
+    that miscounts the header, misreads dimensions, or interleaves
+    channels wrong hash-mismatches.  Scale shape: two chained
+    mapInPandas, zero shuffles before the final per-doc stats (computed
+    in-batch)."""
+    from .multimodal import decode_images, synth_ppm_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return decode_images(synth_ppm_payloads(docs))
+
+
+_MULTIMODAL_DECODE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 7 + 4 AS BIGINT) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         unnest(range(0, 3 * w * h)) AS i
+  FROM d
+)
+SELECT doc_id,
+       w AS width,
+       h AS height,
+       CAST(w * h AS BIGINT) AS n_pix,
+       CAST(sum((doc_id * 31 + i) % 251) AS BIGINT) AS pix_sum,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i) % 251
+                     ELSE 0 END) AS BIGINT) AS r_sum
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 _MULTIMODAL_FRAMES = f"""
 WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -3165,6 +3208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_multimodal_meta demoted r04: binary-plumbing family keeps
         # q_multimodal_frames, the superset batch shape)
         "q_multimodal_frames": q_multimodal_frames,
+        # r04: real PPM parse behind the binary plumbing, oracle-checked
+        "q_multimodal_decode": q_multimodal_decode,
         # --- tail: redundant kernel variants, all green in >=2 rounds --
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
@@ -3314,4 +3359,5 @@ FROM win
         "q_embed_stats": _EMBED_STATS,
         "q_multimodal_meta": _MULTIMODAL,
         "q_multimodal_frames": _MULTIMODAL_FRAMES,
+        "q_multimodal_decode": _MULTIMODAL_DECODE,
     }
