@@ -120,6 +120,51 @@ def test_served_rows_match_predicates(spark, base_df, served):
     assert {r["source"] for r in rows} == {one_src}
 
 
+def test_expired_tier_falls_back_to_finer_tier(spark, base_df, tmp_path):
+    """VERDICT r04 task: retention expires tier 2; a resolution-16
+    query must be served from tier 1 + one residual step, byte-identical
+    to the pyramid materialized at that depth — and with EVERY tier
+    expired, from raw; the routing error remains only when raw is gone
+    too."""
+    engine = RollupEngine(spark, str(tmp_path / "wh"))
+    cfg = RollupConfig(kernel="avg", window=4, num_tiers=2,
+                       run_kind="srv_fallback")
+    engine.run_pyramid(base_df, cfg)
+    base = _tokens_by_doc(base_df)
+    want = {d: K.pool("avg", t, window=4, num_tiers=2)[1]
+            for d, t in base.items()}
+
+    engine.catalog.drop(cfg.name(2))
+    got = _tokens_by_doc(read_series(engine, cfg, base_df, 16))
+    assert set(got) == set(want)
+    for d in want:
+        assert np.array_equal(got[d], want[d]), f"doc {d} via tier 1"
+
+    engine.catalog.drop(cfg.name(1))
+    got_raw = _tokens_by_doc(read_series(engine, cfg, base_df, 16))
+    for d in want:
+        assert np.array_equal(got_raw[d], want[d]), f"doc {d} via raw"
+
+    with pytest.raises(FileNotFoundError, match="no tier <= 2"):
+        read_series(engine, cfg, None, 16)
+
+
+def test_expired_tier_fallback_sparse_mode_kernels(spark, base_df, tmp_path):
+    """The fallback residual must reuse the exact kernel semantics for
+    the sparse-avg accumulator and the mode-of-modes chain too."""
+    for kernel, sparse in (("avg", True), ("mode", False)):
+        engine = RollupEngine(spark, str(tmp_path / f"wh_{kernel}_{sparse}"))
+        cfg = RollupConfig(kernel=kernel, window=4, num_tiers=2,
+                           sparse=sparse, run_kind="srv_fb2")
+        engine.run_pyramid(base_df, cfg)
+        engine.catalog.drop(cfg.name(2))
+        got = _tokens_by_doc(read_series(engine, cfg, base_df, 16))
+        base = _tokens_by_doc(base_df)
+        for d, t in base.items():
+            want = K.pool(kernel, t, window=4, num_tiers=2, sparse=sparse)[1]
+            assert np.array_equal(got[d], want), (kernel, sparse, d)
+
+
 def test_serve_job_cli(spark, base_df, served, tmp_path, capsys):
     """Drive jobs/serve_job.py main() against the materialized pyramid:
     plan fields and served counts come back in the JSON line."""

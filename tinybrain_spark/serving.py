@@ -59,7 +59,7 @@ def plan_read(config: RollupConfig, resolution: int) -> ServingPlan:
 def read_series(
     engine: RollupEngine,
     config: RollupConfig,
-    base_df: DataFrame,
+    base_df: DataFrame | None,
     resolution: int,
     sources: list[str] | None = None,
     bucket_range: tuple[int, int] | None = None,
@@ -67,26 +67,43 @@ def read_series(
     """Serve (doc_id, source, time_bucket, tokens, n_tok) at the given
     resolution from the coarsest usable materialized tier.
 
-    ``base_df`` is the tier-0 table (only scanned when resolution <
-    window, i.e. the raw path).  Predicates are applied before the
-    first UDF so they reach the scan; the residual extension chains the
-    SAME tier steps ``run_tier`` uses (avg: persisted-accumulator step;
-    mode/max/min/stride: rendered-value pooling), so the result is
-    byte-identical to a deeper materialized pyramid."""
+    ``base_df`` is the tier-0 table (the raw path; pass ``None`` when
+    raw has itself been expired by retention).  Predicates are applied
+    before the first UDF so they reach the scan; the residual extension
+    chains the SAME tier steps ``run_tier`` uses (avg:
+    persisted-accumulator step; mode/max/min/stride: rendered-value
+    pooling), so the result is byte-identical to a deeper materialized
+    pyramid.
+
+    Tier fallback (r04, VERDICT #8): when the routed tier has been
+    expired by retention (or never built), the planner walks DOWN to
+    the next FINER materialized tier and extends in-flight over the
+    larger residual — more scan, byte-identical answer (the residual
+    steps are exactly the kernels that would have built the expired
+    tier).  It raises only when nothing finer-or-equal exists either:
+    every coarser-or-equal tier gone and no ``base_df``."""
     plan = plan_read(config, resolution)
-    if plan.tier == 0:
-        df = base_df.select(*TIER_KEY_COLS, "tokens", "n_tok")
-    else:
-        table = config.name(plan.tier)
-        if not engine.catalog.exists(table):
-            # expired by retention or never materialized: fail with the
-            # routing context instead of a bare path error
-            raise FileNotFoundError(
-                f"serving plan routed to tier {plan.tier} ({table!r}) "
-                f"for resolution {resolution}, but that tier is not in "
-                f"the catalog (expired by retention or not yet built)"
-            )
-        df = engine.read_tier(config, plan.tier)
+    df, found_tier = None, None
+    for t in range(plan.tier, -1, -1):
+        if t == 0:
+            if base_df is not None:
+                df = base_df.select(*TIER_KEY_COLS, "tokens", "n_tok")
+                found_tier = 0
+            break
+        if engine.catalog.exists(config.name(t)):
+            df = engine.read_tier(config, t)
+            found_tier = t
+            break
+    if df is None:
+        raise FileNotFoundError(
+            f"serving plan routed to tier {plan.tier} for resolution "
+            f"{resolution}, but no tier <= {plan.tier} is materialized "
+            f"(all expired by retention) and no base table was provided"
+        )
+    plan = ServingPlan(
+        tier=found_tier,
+        residual_steps=plan.residual_steps + (plan.tier - found_tier),
+    )
 
     if sources is not None:
         df = df.where(F.col("source").isin(list(sources)))
