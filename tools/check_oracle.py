@@ -68,10 +68,18 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="sf0.001")
+    ap.add_argument("--sf", default="sf0.001",
+                    help="testdata sf name, or an absolute path to a "
+                         "directory of the same parquet tables (e.g. a "
+                         "tools/make_sf.py output)")
     ap.add_argument("--query", nargs="*", default=None)
+    ap.add_argument("--head", type=int, default=None,
+                    help="only the first N registry entries")
+    ap.add_argument("--exclude", nargs="*", default=[],
+                    help="query names to skip (e.g. quadratic "
+                         "recursive-CTE cluster oracles at big sf)")
     args = ap.parse_args()
-    sf_dir = f"/root/testdata/{args.sf}"
+    sf_dir = args.sf if os.path.isabs(args.sf) else f"/root/testdata/{args.sf}"
 
     import __spark_entry__ as entrymod
     from tinybrain_spark.session import get_spark
@@ -82,6 +90,9 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.query or list(qs)
+    if args.head:
+        names = names[: args.head]
+    names = [n for n in names if n not in set(args.exclude)]
     failures = 0
     for name in names:
         t0 = time.time()
