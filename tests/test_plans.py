@@ -110,6 +110,14 @@ def test_prefix_sum_queries_zero_unpartitioned_windows(spark):
         assert_no_unpartitioned_windows(dc.queries()[q](spark, SF_DIR))
 
 
+def test_interval_join_never_nested_loop(spark):
+    """r04: the range-overlap join must plan as a bucket equi-join —
+    a raw BETWEEN join degenerates to BroadcastNestedLoopJoin."""
+    plan = _plan(dc.q_interval_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tfidf_folds_ndocs_into_plan(spark):
     """r04 ADVICE: n_docs is a broadcast 1-row aggregate cross join in
     THE plan, not a separate driver-side .count() action."""

@@ -1223,6 +1223,71 @@ FROM events l ASOF JOIN hourly r
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range-overlap) join, bucket-expanded (r04): per
+    (event_type, busy hour) synthesize an UNALIGNED 45-min maintenance
+    window (start = hb*3600 + (hb%7)*137), then join every event to the
+    window containing it — `t BETWEEN start AND end` with equal types —
+    and emit per-window membership count + id checksum.
+
+    Scale shape: intervals.interval_join explodes each window to the
+    1800-second buckets it covers and equi-joins on (event_type,
+    bucket) before the exact refine — a hash join at any volume, never
+    the BroadcastNestedLoopJoin/cartesian a raw non-equi predicate
+    plans (pinned in test_plans.py)."""
+    from .intervals import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    s = F.col("hb") * 3600 + (F.col("hb") % 7) * 137
+    iv = (
+        ev.groupBy("event_type", F.expr("t DIV 3600").alias("hb"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 5)
+        .select(
+            "event_type",
+            s.cast("long").alias("start"),
+            (s + 2700).cast("long").alias("end"),
+        )
+    )
+    j = interval_join(
+        ev, iv, t_col="t", start_col="start", end_col="end",
+        granularity=1800, keys=["event_type"],
+    )
+    return j.groupBy("event_type", "start").agg(
+        F.count("*").cast("long").alias("n_in"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    ).select(
+        "event_type", F.col("start").alias("ivl_start"), "n_in", "id_sum"
+    )
+
+
+_INTERVAL_JOIN = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(event_id AS BIGINT) AS event_id
+  FROM events
+), h AS (
+  SELECT event_type, t // 3600 AS hb
+  FROM ev GROUP BY event_type, t // 3600 HAVING count(*) >= 5
+), iv AS (
+  SELECT event_type,
+         CAST(hb * 3600 + (hb % 7) * 137 AS BIGINT) AS s,
+         CAST(hb * 3600 + (hb % 7) * 137 + 2700 AS BIGINT) AS e
+  FROM h
+)
+SELECT ev.event_type, iv.s AS ivl_start,
+       CAST(count(*) AS BIGINT) AS n_in,
+       CAST(sum(ev.event_id) AS BIGINT) AS id_sum
+FROM ev JOIN iv
+  ON ev.event_type = iv.event_type AND ev.t BETWEEN iv.s AND iv.e
+GROUP BY ev.event_type, iv.s
+"""
+
+
 def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT surface: users active in both halves of the
     data's time range vs only the first half, tagged and unioned."""
@@ -3168,6 +3233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_24h": q_rolling_24h,
         # r04: the scale-safe prefix-sum primitive, driver-verified
         "q_global_running_sum": q_global_running_sum,
+        # r04: bucket-expanded range-overlap join (never a nested loop)
+        "q_interval_join": q_interval_join,
         "q_sessionize": q_sessionize,
         "q_value_percentiles": q_value_percentiles,
         "q_user_set_ops": q_user_set_ops,
@@ -3179,7 +3246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gorilla_decode": q_gorilla_decode,
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
-        "q_doc_fingerprint": q_doc_fingerprint,
+        # (q_doc_fingerprint demoted r04: md5-hash family keeps
+        # q_dedup_exact + q_hash_split in the head; green r01/r02/r03)
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_stratified_sample": q_stratified_sample,
@@ -3215,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the reference; q_dedup_clusters: hash-min CC — same output +
         # oracle as q_dedup_clusters_star above, which is the scale path)
         "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
+        "q_doc_fingerprint": q_doc_fingerprint,
         "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
         "q_tile_avg_2d": _tile_query("avg"),
         "q_topk_users": q_topk_users,
@@ -3317,6 +3386,7 @@ FROM win
         "q_sessionize": _SESSIONIZE,
         "q_value_percentiles": _VALUE_PERCENTILES,
         "q_user_set_ops": _USER_SET_OPS,
+        "q_interval_join": _INTERVAL_JOIN,
         "q_unique_docs_anti": _unique_docs_anti_sql(),
         "q_continuous_agg": _CONT_AGG,
         # streaming end state must equal the batch recompute exactly
