@@ -1006,6 +1006,131 @@ FROM events GROUP BY event_type, bin
 """
 
 
+HQ_PPTS = (500, 900, 990)  # quantiles (permille) for histogram_quantile
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style histogram_quantile: estimate per-type quantiles
+    FROM THE PRE-AGGREGATED fixed-width histogram (q_value_histogram's
+    bins) by locating the bin where the cumulative count crosses
+    rank = ceil(q * total) and linearly interpolating inside it —
+    integer arithmetic throughout (est_scaled = lo*1000 +
+    (bin_width*1000*(rank - cum_prev)) DIV bin_count, centi-value *
+    1000).  This is the quantile shape that SCALES: the histogram is
+    one map-side-combinable groupBy; the cumulative window runs over
+    #bins rows per type, never over raw events (exact percentiles need
+    a full per-group sort — q_value_percentiles covers that semantics
+    at dashboard-sized groups)."""
+    bins = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                f"CAST(floor(value * 100) AS BIGINT) DIV {HIST_BIN}"
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = (
+        bins.withColumn("cum", F.sum("n").over(wc).cast("long"))
+        .withColumn("total", F.sum("n").over(wt).cast("long"))
+        .withColumn(
+            "q_ppt",
+            F.explode(F.array(*[F.lit(q).cast("long") for q in HQ_PPTS])),
+        )
+        .withColumn("rank", F.expr("(q_ppt * total + 999) DIV 1000"))
+        .where(
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("n") < F.col("rank"))
+        )
+    )
+    return cum.select(
+        "event_type",
+        "q_ppt",
+        F.col("rank").cast("long").alias("rank"),
+        (
+            F.col("bin") * (HIST_BIN * 1000)
+            + F.expr(
+                f"((rank - (cum - n)) * {HIST_BIN * 1000}) DIV n"
+            )
+        ).cast("long").alias("est_scaled"),
+    )
+
+
+_HISTOGRAM_QUANTILE = f"""
+WITH bins AS (
+  SELECT event_type,
+         CAST(CAST(floor(value * 100) AS BIGINT) // {HIST_BIN} AS BIGINT)
+           AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, bin
+), c AS (
+  SELECT event_type, bin, n,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM bins
+), q AS (
+  SELECT c.*, CAST(qq.q_ppt AS BIGINT) AS q_ppt,
+         CAST((qq.q_ppt * c.total + 999) // 1000 AS BIGINT) AS rank
+  FROM c, (VALUES {", ".join(f"({q})" for q in HQ_PPTS)}) AS qq(q_ppt)
+)
+SELECT event_type, q_ppt, rank,
+       CAST(bin * {HIST_BIN * 1000}
+            + ((rank - (cum - n)) * {HIST_BIN * 1000}) // n
+         AS BIGINT) AS est_scaled
+FROM q WHERE cum >= rank AND cum - n < rank
+"""
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end (the WAV twin of
+    q_multimodal_decode): synthesize a canonical RIFF/WAVE PCM16
+    payload per doc (every interleaved sample a pure function of
+    (doc_id, position)), parse it back with the real chunk-walking
+    parser (multimodal.parse_wav), and emit integer amplitude stats —
+    format fields from the HEADER, signed sum and absolute sum from the
+    SAMPLES (little-endian int16 decode, channel de-interleave).  The
+    oracle recomputes every sample arithmetically.  Zero shuffles."""
+    from .multimodal import decode_audio, synth_wav_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return decode_audio(synth_wav_payloads(docs))
+
+
+_WAV_DECODE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 2 + 1 AS BIGINT) AS n_ch,
+         CAST(doc_id % 129 + 64 AS BIGINT) AS n_fr
+  FROM documents
+), i AS (
+  SELECT doc_id, n_ch, n_fr, unnest(range(0, n_fr * n_ch)) AS i
+  FROM d
+), s AS (
+  SELECT doc_id, n_ch, n_fr,
+         (doc_id * 37 + 73 * i) % 4001 - 2000 AS v
+  FROM i
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       n_ch AS n_channels,
+       n_fr AS n_frames,
+       CAST(sum(v) AS BIGINT) AS amp_sum,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum
+FROM s GROUP BY doc_id, n_ch, n_fr
+"""
+
+
 M4_ID_BITS = 24  # event_id fits 24 bits to sf>=1 (16.7M events/table)
 
 
@@ -3315,6 +3440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_token_count's whitespace stats pair with q_token_count_bpe)
         "q_minhash_pairs": q_minhash_pairs,
         "q_token_count": q_token_count,
+        # r04 additions past the 50-row driver window (oracle-gated by
+        # tools/check_oracle.py; promotion candidates next rotation)
+        "q_wav_decode": q_wav_decode,
+        "q_histogram_quantile": q_histogram_quantile,
         # r03 additions past the 50-row driver window (oracle-gated by
         # tools/check_oracle.py)
         # rows-only by design (no oracle): weakest row, lives at the tail
@@ -3382,6 +3511,8 @@ FROM win
         "q_m4_decimate": _M4_DECIMATE,
         "q_counter_rate": _COUNTER_RATE,
         "q_value_histogram": _VALUE_HISTOGRAM,
+        "q_wav_decode": _WAV_DECODE,
+        "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
         "q_value_percentiles": _VALUE_PERCENTILES,

@@ -237,6 +237,89 @@ def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(_decode, IMAGE_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_channels", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("amp_sum", LongType(), False),
+        StructField("abs_sum", LongType(), False),
+    ]
+)
+
+
+def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic canonical RIFF/WAVE PCM16 payloads per doc:
+    rate 8000, channels = id%2+1, frames = id%129+64, interleaved
+    sample i = ((id*37 + i*73) % 4001) - 2000 — every sample a pure
+    function of (id, i), so a SQL oracle predicts decoded statistics
+    without touching binary (the audio twin of synth_ppm_payloads)."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col].astype("int64"):
+                did = int(did)
+                n_ch = did % 2 + 1
+                n_fr = did % 129 + 64
+                n = n_fr * n_ch
+                s = (
+                    (did * 37 + 73 * np.arange(n, dtype=np.int64)) % 4001
+                    - 2000
+                ).astype("<i2")
+                data = s.tobytes()
+                rate = 8000
+                hdr = (
+                    b"RIFF"
+                    + (36 + len(data)).to_bytes(4, "little")
+                    + b"WAVE"
+                    + b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")          # PCM
+                    + n_ch.to_bytes(2, "little")
+                    + rate.to_bytes(4, "little")
+                    + (rate * n_ch * 2).to_bytes(4, "little")
+                    + (n_ch * 2).to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                    + b"data" + len(data).to_bytes(4, "little")
+                )
+                ids.append(did)
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return df.select(id_col).mapInPandas(_synth, schema)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode through the Spark plumbing: walk the RIFF
+    chunk list, extract format fields and the PCM16 samples, emit
+    integer amplitude statistics (sum + absolute sum proves the parser
+    decodes signed little-endian samples, not just byte counts)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_channels",
+                                   "n_frames", "amp_sum", "abs_sum")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                rate, n_ch, samples = parse_wav(bytes(payload))
+                out["doc_id"].append(int(did))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_frames"].append(samples.shape[0])
+                s64 = samples.astype(np.int64)
+                out["amp_sum"].append(int(s64.sum()))
+                out["abs_sum"].append(int(np.abs(s64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, AUDIO_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
