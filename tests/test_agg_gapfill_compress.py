@@ -79,6 +79,32 @@ def test_gapfill_zero_and_previous(spark):
         gap_fill(df, ["source"], "time_bucket", ["v"], policy="bogus")
 
 
+def test_gapfill_linear_interpolation(spark):
+    """r04 linear policy: interior gaps floor-interpolate (including
+    DECREASING series — floor, not truncate-toward-zero), leading gaps
+    back-fill, trailing gaps carry forward."""
+    rows = [
+        ("a", 0, 10), ("a", 4, 22),          # rising gap: +3/bucket
+        ("a", 7, 19),                        # falling gap: -1/bucket
+        ("b", 2, 9), ("b", 5, 2),            # falling non-divisible
+    ]
+    df = spark.createDataFrame(rows, "source string, time_bucket long, v long")
+    out = gap_fill(df, ["source"], "time_bucket", ["v"], policy="linear")
+    got = {(r["source"], r["time_bucket"]): r["v"] for r in out.collect()}
+    assert len(got) == 16  # 2 sources x buckets 0..7
+    # rising interior gap
+    assert got[("a", 1)] == 13 and got[("a", 2)] == 16 and got[("a", 3)] == 19
+    # falling interior gap: exact -1 steps
+    assert got[("a", 5)] == 21 and got[("a", 6)] == 20
+    # falling non-divisible: 9 + floor(-7k/3) = 9-3, 9-5 (floor, not trunc)
+    assert got[("b", 3)] == 6 and got[("b", 4)] == 4
+    # leading gap back-fills, trailing gap carries forward
+    assert got[("b", 0)] == 9 and got[("b", 1)] == 9
+    assert got[("b", 6)] == 2 and got[("b", 7)] == 2
+    # observed rows unchanged
+    assert got[("a", 4)] == 22 and got[("b", 5)] == 2
+
+
 def test_gorilla_encode_in_spark(spark, base_df):
     agg = aggregate_batch(base_df)
     blobs = encode_series_table(agg).collect()

@@ -617,6 +617,86 @@ FROM spine LEFT JOIN hourly
 # ---------------------------------------------------------------------------
 
 
+def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation (timescale `interpolate`,
+    r04): interior missing hours take the floor-interpolated value
+    between the neighboring observations (pmod-exact integer floor, so
+    decreasing series agree with the oracle's flooring //), leading
+    gaps back-fill, trailing gaps carry forward.  The interpolation
+    windows run over the SPINE (groups x buckets — tiny at any event
+    volume), never over raw events."""
+    from .gapfill import gap_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.col("event_type").alias("source"),
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("time_bucket"),
+        )
+        .groupBy("source", "time_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+    filled = gap_fill(
+        hourly, ["source"], "time_bucket", ["n_events"], policy="linear"
+    )
+    return filled.select(
+        "source",
+        F.col("time_bucket").cast("long").alias("time_bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_GAPFILL_LINEAR = """
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS time_bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(time_bucket) AS lo, max(time_bucket) AS hi FROM hourly
+), spine AS (
+  SELECT s.source, g.b AS time_bucket
+  FROM (SELECT DISTINCT source FROM hourly) s
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds) g
+), joined AS (
+  SELECT spine.source, spine.time_bucket, hourly.n_events
+  FROM spine LEFT JOIN hourly
+    ON spine.source = hourly.source AND spine.time_bucket = hourly.time_bucket
+), fill AS (
+  SELECT source, time_bucket, n_events,
+         last_value(n_events IGNORE NULLS) OVER wprev AS pv,
+         first_value(n_events IGNORE NULLS) OVER wnext AS nv,
+         last_value(CASE WHEN n_events IS NOT NULL THEN time_bucket END
+                    IGNORE NULLS) OVER wprev AS pb,
+         first_value(CASE WHEN n_events IS NOT NULL THEN time_bucket END
+                     IGNORE NULLS) OVER wnext AS nb
+  FROM joined
+  WINDOW wprev AS (PARTITION BY source ORDER BY time_bucket
+                   ROWS UNBOUNDED PRECEDING),
+         wnext AS (PARTITION BY source ORDER BY time_bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT source,
+       CAST(time_bucket AS BIGINT) AS time_bucket,
+       CAST(CASE
+              WHEN n_events IS NOT NULL THEN n_events
+              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                -- FLOOR division (DuckDB's // truncates toward zero on
+                -- negatives): subtract the nonneg mod first, like the
+                -- Spark side's pmod formulation
+                THEN pv + ((nv - pv) * (time_bucket - pb)
+                           - (((nv - pv) * (time_bucket - pb)) % (nb - pb)
+                              + (nb - pb)) % (nb - pb))
+                         // (nb - pb)
+              WHEN nv IS NOT NULL THEN nv
+              ELSE pv
+            END AS BIGINT) AS n_events
+FROM fill
+"""
+
+
 def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over (event_type) — the metrics-reporting
     shape SURVEY.md §2.4 plans for per-tier rollup reports."""
@@ -3443,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04 additions past the 50-row driver window (oracle-gated by
         # tools/check_oracle.py; promotion candidates next rotation)
         "q_wav_decode": q_wav_decode,
+        "q_gapfill_linear": q_gapfill_linear,
         "q_histogram_quantile": q_histogram_quantile,
         # r03 additions past the 50-row driver window (oracle-gated by
         # tools/check_oracle.py)
@@ -3512,6 +3593,7 @@ FROM win
         "q_counter_rate": _COUNTER_RATE,
         "q_value_histogram": _VALUE_HISTOGRAM,
         "q_wav_decode": _WAV_DECODE,
+        "q_gapfill_linear": _GAPFILL_LINEAR,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,

@@ -8,6 +8,11 @@ onto it.  Fill policies:
 * ``null``     — keep NULLs
 * ``previous`` — last-observation-carried-forward via
   ``last(..., ignorenulls=True)`` over an unbounded-preceding window
+* ``linear``   — interior gaps linearly interpolated between the
+  neighboring observations (integer floor arithmetic via pmod, so
+  Spark and DuckDB agree even on decreasing series where truncating
+  DIV and flooring // diverge); leading gaps back-fill from the next
+  observation, trailing gaps carry the last one forward
 
 The spine join broadcasts nothing and shuffles once on the group key;
 at 10^12-row scale the spine side is tiny (groups × buckets) so AQE
@@ -26,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-FILL_POLICIES = ("zero", "null", "previous")
+FILL_POLICIES = ("zero", "null", "previous", "linear")
 
 SPINE_CHUNK = 4096  # max elements of any one sequence() array
 
@@ -114,6 +119,39 @@ def gap_fill(
                 for c in value_cols
             ],
         )
+    elif policy == "linear":
+        wp = (
+            Window.partitionBy(*group_cols)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wn = (
+            Window.partitionBy(*group_cols)
+            .orderBy(bucket_col)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        out_cols = []
+        for c in value_cols:
+            obs_b = F.when(F.col(c).isNotNull(), F.col(bucket_col))
+            pv = F.last(F.col(c), ignorenulls=True).over(wp)
+            nv = F.first(F.col(c), ignorenulls=True).over(wn)
+            pb = F.last(obs_b, ignorenulls=True).over(wp)
+            nb = F.first(obs_b, ignorenulls=True).over(wn)
+            num = (nv - pv) * (F.col(bucket_col) - pb)
+            den = nb - pb
+            # exact floor division: (num - pmod)/den is an exact
+            # integer, so the double division below is exact too —
+            # truncating DIV would disagree with the oracle's flooring
+            # // whenever the series decreases across a gap
+            interp = pv + ((num - F.pmod(num, den)) / den).cast("long")
+            out_cols.append(
+                F.when(F.col(c).isNotNull(), F.col(c))
+                .when(pv.isNotNull() & nv.isNotNull(), interp)
+                .when(nv.isNotNull(), nv)  # leading gap: back-fill
+                .otherwise(pv)  # trailing gap: carry forward
+                .alias(c)
+            )
+        filled = joined.select(*group_cols, bucket_col, *out_cols)
     else:
         filled = joined.select(*group_cols, bucket_col, *value_cols)
 
