@@ -88,9 +88,17 @@ def test_asof_differential_vs_pandas_merge_asof(spark):
         for k in ("a", "b", "c"):
             lt = np.sort(rng.choice(3000, size=40, replace=False))
             rt = np.sort(rng.choice(3000, size=25, replace=False))
-            left_rows += [(k, int(t), len(left_rows)) for t in lt]
-            right_rows += [(k, int(t), 1000 + len(right_rows))
-                           for t in rt]
+            # NOTE: len(...) inside a comprehension is constant — ids
+            # must be uniquified with enumerate or every row of a key
+            # shares one id and the comparison dict keeps an arbitrary
+            # row (collect-order luck, exposed by the r04 asof rewrite)
+            left_rows += [
+                (k, int(t), len(left_rows) + i) for i, t in enumerate(lt)
+            ]
+            right_rows += [
+                (k, int(t), 1000 + len(right_rows) + i)
+                for i, t in enumerate(rt)
+            ]
         left = spark.createDataFrame(left_rows, "k string, lt long, id long")
         right = spark.createDataFrame(right_rows, "k string, rt long, v long")
         lpd = pd.DataFrame(left_rows, columns=["k", "lt", "id"]).sort_values(

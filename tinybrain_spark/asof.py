@@ -70,13 +70,22 @@ def asof_join(
             )
     unioned = l_tagged.unionByName(r_tagged)
     if fwd:
+        # forward = DESC-ordered running `last`, NOT `first` over a
+        # [current, unbounded following] frame: Spark evaluates the
+        # UnboundedFollowing frame by re-scanning current->end for
+        # EVERY row — O(n^2) per partition, found live by the sf1
+        # sweep (q_asof_fwd pinned a JVM for an hour at 2*10^5 rows
+        # per key).  The desc sort flips it into the incremental
+        # UnboundedPreceding frame (O(n)); `_side` desc keeps the
+        # equal-time right row visible to its left row (at-or-after
+        # includes equality).
         w = (
             Window.partitionBy(*keys)
-            .orderBy("_t", "_side")
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col("_t").desc(), F.col("_side").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
         picked = {
-            v: F.first(F.col(v), ignorenulls=True).over(w)
+            v: F.last(F.col(v), ignorenulls=True).over(w)
             for v in probe_vals
         }
     else:

@@ -125,18 +125,22 @@ def gap_fill(
             .orderBy(bucket_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+        # next-observation lookup via DESC-ordered running `last`, not
+        # `first` over [current, unbounded following]: Spark re-scans
+        # that frame per row (O(spine^2) per group — the asof.py sf1
+        # lesson); the desc running frame is incremental.
         wn = (
             Window.partitionBy(*group_cols)
-            .orderBy(bucket_col)
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col(bucket_col).desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
         out_cols = []
         for c in value_cols:
             obs_b = F.when(F.col(c).isNotNull(), F.col(bucket_col))
             pv = F.last(F.col(c), ignorenulls=True).over(wp)
-            nv = F.first(F.col(c), ignorenulls=True).over(wn)
+            nv = F.last(F.col(c), ignorenulls=True).over(wn)
             pb = F.last(obs_b, ignorenulls=True).over(wp)
-            nb = F.first(obs_b, ignorenulls=True).over(wn)
+            nb = F.last(obs_b, ignorenulls=True).over(wn)
             num = (nv - pv) * (F.col(bucket_col) - pb)
             den = nb - pb
             # exact floor division: (num - pmod)/den is an exact
