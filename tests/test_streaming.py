@@ -199,3 +199,63 @@ def test_stream_dedup_drops_reingested_duplicates(spark, seq_dir, tmp_path):
     got_fps = sorted(r["fingerprint"] for r in got.collect())
     want_fps = sorted(r["fingerprint"] for r in want.collect())
     assert got_fps == want_fps  # every unique doc once, no duplicate survives
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Native session_window (r04): the streaming run (complete mode,
+    availableNow) must equal the batch run on the same files, and both
+    must match the hand-computed strictly-greater-than-gap semantics
+    (gap of exactly 1800s keeps the session; 1801s splits)."""
+    import datetime
+
+    from tinybrain_spark.streaming import session_windows
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: session A (0, 100, 1900=gap exactly 1800 from 100),
+        # then 1901s of silence -> session B
+        (1, t(0)), (1, t(100)), (1, t(1900)),
+        (1, t(3701)), (1, t(3800)),
+        # user 2: single event
+        (2, t(50)),
+        # user 3: two sessions split by exactly 1801
+        (3, t(0)), (3, t(1801)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    path = str(tmp_path / "sess_ev")
+    df.repartition(3).write.parquet(path)
+
+    epoch = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    want = {
+        (1, epoch + 0): (3, 1900),
+        (1, epoch + 3701): (2, 99),
+        (2, epoch + 50): (1, 0),
+        (3, epoch + 0): (1, 0),
+        (3, epoch + 1801): (1, 0),
+    }
+
+    batch = {
+        (r["user_id"], r["started_at"]): (r["n_events"], r["duration_s"])
+        for r in session_windows(spark.read.parquet(path)).collect()
+    }
+    assert batch == want
+
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        session_windows(stream)
+        .writeStream.format("memory")
+        .queryName("sess_sw")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["started_at"]): (r["n_events"], r["duration_s"])
+        for r in spark.table("sess_sw").collect()
+    }
+    assert got == want

@@ -1623,6 +1623,49 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` sessionization (r04) — the
+    streaming-capable operator, run here in batch mode against the SAME
+    lag-formulation oracle as q_sessionize (minus the session ordinal):
+    second-truncated timestamps + gap_s+1 duration make Spark's
+    gap >= duration split on raw timestamps bit-identical to the
+    oracle's strictly-greater split on floored seconds.  One exchange;
+    in streaming mode the state store holds open sessions only
+    (test_streaming.py pins stream == batch)."""
+    from .streaming import session_windows
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return session_windows(ev, gap_s=_SESSION_GAP_S)
+
+
+_SESSION_WINDOW = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), flagged AS (
+  SELECT user_id, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts_s) > {_SESSION_GAP_S}
+              THEN 1
+              WHEN lag(ts_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s) IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM ev
+), sess AS (
+  SELECT user_id, ts_s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s,
+       CAST(min(ts_s) AS BIGINT) AS started_at
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quartiles of the integer value distribution per
     event_type.  Quartiles of integers interpolate at dyadic fractions
@@ -3524,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py; promotion candidates next rotation)
         "q_wav_decode": q_wav_decode,
         "q_gapfill_linear": q_gapfill_linear,
+        "q_session_window": q_session_window,
         "q_histogram_quantile": q_histogram_quantile,
         # r03 additions past the 50-row driver window (oracle-gated by
         # tools/check_oracle.py)
@@ -3594,6 +3638,7 @@ FROM win
         "q_value_histogram": _VALUE_HISTOGRAM,
         "q_wav_decode": _WAV_DECODE,
         "q_gapfill_linear": _GAPFILL_LINEAR,
+        "q_session_window": _SESSION_WINDOW,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
