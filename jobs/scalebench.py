@@ -8,7 +8,14 @@ only variable is the core count.  Each configuration runs in its own
 JVM via a subprocess invocation of jobs/rollup_job.py (the production
 spark-submit entry), best of --repeat runs.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Health-gated exactly like bench.py (load average + fault-in probe,
+bounded retries, post-run re-probe): a polluted VM once produced an
+8->32 "efficiency 0.100" record that silently OVERWROTE the curated
+scaling evidence in BENCH/BASELINE.md.  Now the run refuses to start
+until the VM is healthy, marks the JSON ``"invalid": true`` when
+pollution arrives mid-run, and never touches BASELINE.md: results go
+to BENCH/scale_run_latest.md (plus the JSON line on stdout) for a
+human to fold into the curated narrative.
 """
 
 from __future__ import annotations
@@ -88,6 +95,17 @@ def main() -> int:
     ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
     args = ap.parse_args()
 
+    from bench import check_health, invalid_reasons, _fault_in_mbps
+
+    pre_healthy, health = check_health()
+    if not pre_healthy:
+        print(f"VM unhealthy after retries, refusing to measure: {health}",
+              file=sys.stderr)
+        print(json.dumps({"metric": "scaling_efficiency", "invalid": True,
+                          "invalid_reasons": ["prerun_unhealthy"],
+                          "health": health}))
+        return 1
+
     # tmpfs when available: the sandbox has ONE disk; a real cluster has
     # hundreds — RAM-backed staging keeps the comparison about CPU scaling
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -114,6 +132,9 @@ def main() -> int:
     pps_hi = results[hi]["points_per_sec"]
     efficiency = (pps_hi / pps_lo) / (hi / lo)
 
+    post_mbps = _fault_in_mbps()
+    reasons = invalid_reasons(pre_healthy, post_mbps)
+
     summary = {
         "metric": "scaling_efficiency",
         "value": round(efficiency, 3),
@@ -128,20 +149,28 @@ def main() -> int:
             str(lo): results[lo]["wall_sec"],
             str(hi): results[hi]["wall_sec"],
         },
+        "health": health,
+        "postrun_fault_in_mbps": round(post_mbps, 1),
     }
+    if reasons:
+        summary["invalid"] = True
+        summary["invalid_reasons"] = reasons
     print(json.dumps(summary))
 
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(md, "w") as f:
-        f.write(f"""# BENCH/BASELINE — throughput + N→4N scaling evidence
+    if reasons:
+        print("run polluted mid-measurement; NOT writing a results file",
+              file=sys.stderr)
+        return 1
 
-North-rule criterion: throughput scaling efficiency >= 0.8 going from N
-to 4N executors.  Sandbox proxy (no real cluster): the identical
-`jobs/rollup_job.py` run (spark-submit entry, full materializing
-pyramid incl. lineage/metrics checkpointing) on the same parquet input
-at `local[{lo}]` and `local[{hi}]`, best of {args.repeat} runs per
-configuration, separate JVM per run.
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "scale_run_latest.md")
+    with open(md, "w") as f:
+        f.write(f"""# scalebench run (health-gated; fold into BASELINE.md by hand)
+
+Identical `jobs/rollup_job.py` run (spark-submit entry, full
+materializing pyramid incl. lineage/metrics checkpointing) on the same
+parquet input at `local[{lo}]` and `local[{hi}]`, best of {args.repeat}
+runs per configuration, separate JVM per run.
 
 Input: {args.docs:,} docs x {args.ntok} int32 tokens
 ({args.docs * args.ntok / 1e6:.0f}M tokens), kernel={args.kernel}
@@ -152,13 +181,10 @@ Input: {args.docs:,} docs x {args.ntok} int32 tokens
 | {lo} | {pps_lo:,.0f} | {results[lo]['wall_sec']} |
 | {hi} | {pps_hi:,.0f} | {results[hi]['wall_sec']} |
 
-**Scaling efficiency ({lo} → {hi} cores, {hi//lo}x): {efficiency:.3f}**
+**Scaling efficiency ({lo} → {hi} cores, {hi/lo:.0f}x): {efficiency:.3f}**
 
-Headline per-query timings are produced by `bench.py`
-(driver-recorded as BENCH_r{{N}}.json).  Single-core kernel sanity
-bound (BASELINE.md): the numpy kernels alone sustain ~117 Mtok/s/core
-(avg, 3 tiers), ~428 Mtok/s/core (mode) — the Spark path is bounded by
-scan + Arrow exchange, not the kernels.
+Health: pre-run {health['history'][-1]}, post-run probe
+{post_mbps:.0f} MB/s (bar: {health['min_mbps']:.0f}).
 """)
     print(f"wrote {md}", file=sys.stderr)
     shutil.rmtree(workdir, ignore_errors=True)
