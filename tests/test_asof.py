@@ -75,6 +75,43 @@ def test_asof_forward_tolerance(spark):
     assert got == {1: 50, 2: None}
 
 
+def test_asof_nearest_picks_closer_side(spark):
+    # 10 is 3 from 7 (back) and 5 from 15 (fwd) -> backward; 14 is 7
+    # from 7 and 1 from 15 -> forward; 11 is equidistant (4 either
+    # way) -> tie goes BACKWARD (pandas merge_asof nearest rule)
+    got = _run_opts(
+        spark,
+        [("a", 10, 1), ("a", 14, 2), ("a", 11, 3)],
+        [("a", 7, 50), ("a", 15, 51)],
+        direction="nearest",
+    )
+    assert got == {1: 50, 2: 51, 3: 50}
+
+
+def test_asof_nearest_equal_time_and_one_sided(spark):
+    got = _run_opts(
+        spark,
+        [("a", 7, 1), ("a", 1, 2), ("a", 99, 3), ("b", 5, 4)],
+        [("a", 7, 50), ("a", 20, 51)],
+        direction="nearest",
+    )
+    # exact-time match, forward-only (before first right), backward-only
+    # (after last right), and a key with no right rows at all
+    assert got == {1: 50, 2: 50, 3: 51, 4: None}
+
+
+def test_asof_nearest_tolerance(spark):
+    got = _run_opts(
+        spark,
+        [("a", 10, 1), ("a", 30, 2)],
+        [("a", 7, 50), ("a", 100, 51)],
+        direction="nearest", tolerance=5,
+    )
+    # 10 is 3 from 7 (within 5); 30 is 23 from 7 and 70 from 100 ->
+    # nearest is 7 but outside tolerance -> NULL
+    assert got == {1: 50, 2: None}
+
+
 def test_asof_differential_vs_pandas_merge_asof(spark):
     """Random series, all direction/tolerance combinations, vs pandas
     merge_asof — an independent reference implementation of exactly
@@ -105,7 +142,7 @@ def test_asof_differential_vs_pandas_merge_asof(spark):
             "lt", ignore_index=True)
         rpd = pd.DataFrame(right_rows, columns=["k", "rt", "v"]).sort_values(
             "rt", ignore_index=True)
-        for direction in ("backward", "forward"):
+        for direction in ("backward", "forward", "nearest"):
             for tol in (None, 100, 17):
                 got = {
                     r["id"]: r["v"]

@@ -133,3 +133,47 @@ def test_word_sketch_queries_single_exchange(spark):
         plan = _plan(dc.queries()[q](spark, SF_DIR))
         tree = plan.split("\n\n")[0]
         assert tree.count("Exchange") == 1, (q, tree)
+
+
+def test_ohlc_bars_single_exchange_no_window(spark):
+    """r04: the OHLC encoding turns first/last/min/max into one
+    map-side-combinable groupBy — one shuffle of aggregated rows,
+    no Window, no Sort anywhere in the plan."""
+    plan = _plan(dc.q_ohlc_bars(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree
+    assert "Sort" not in tree
+
+
+def test_zscore_broadcasts_stats_no_window(spark):
+    """r04: the z-score pass must broadcast the tiny per-(type,hour)
+    stats table back onto the scan — a sort-merge join or a window
+    over raw events would shuffle the full event volume twice."""
+    plan = _plan(dc.q_zscore_outliers(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree or "BroadcastExchange" in tree
+    assert "Window" not in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_topn_hours_ranks_aggregated_rows_only(spark):
+    """r04: the per-group rank window must sit ABOVE the hourly
+    aggregate (bounded rows per group), never over raw events — the
+    plan's Window input must be the aggregated relation."""
+    plan = _plan(dc.q_topn_hours(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    win_pos = tree.index("Window")
+    agg_positions = [
+        i for i in range(len(tree))
+        if tree.startswith("HashAggregate", i)
+    ]
+    # plans print top-down: the aggregate must appear BELOW the window
+    assert any(i > win_pos for i in agg_positions), tree
+
+
+def test_cusum_zero_unpartitioned_windows(spark):
+    assert_no_unpartitioned_windows(
+        dc.queries()["q_cusum_alarm"](spark, SF_DIR)
+    )

@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from tinybrain_spark.prefix import running_sums
+from tinybrain_spark.prefix import running_mins, running_sums
 
 from .test_plans import assert_no_unpartitioned_windows
 
@@ -98,6 +98,70 @@ def test_plan_has_no_unpartitioned_windows(spark):
             df, ["v"], ["id"], partition_cols=["g"], num_partitions=3
         )
     )
+
+
+@pytest.mark.parametrize("num_partitions", [None, 1, 3, 8])
+def test_running_mins_global_matches_naive(spark, num_partitions):
+    df = _df(spark)
+    out = running_mins(df, ["v"], ["id"], num_partitions=num_partitions)
+    got = {r.id: r.rm_v for r in out.collect()}
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.rm
+        for r in df.withColumn("rm", F.min("v").over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("num_partitions", [None, 1, 4])
+def test_running_mins_grouped_matches_naive(spark, num_partitions):
+    df = _df(spark)
+    out = running_mins(
+        df, ["v"], ["id"], partition_cols=["g"], num_partitions=num_partitions
+    )
+    got = {r.id: r.rm_v for r in out.collect()}
+    w = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.id: r.rm
+        for r in df.withColumn("rm", F.min("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_running_mins_plan_and_columns(spark):
+    df = _df(spark)
+    out = running_mins(df, ["v"], ["id"], num_partitions=3)
+    assert set(out.columns) == {"id", "g", "v", "u", "rm_v"}
+    assert_no_unpartitioned_windows(out)
+    assert_no_unpartitioned_windows(
+        running_mins(
+            df, ["v"], ["id"], partition_cols=["g"], num_partitions=3
+        )
+    )
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    """S_i = max(0, S_{i-1} + dev_i)  ==  R_i - min(0, min_{j<=i} R_j):
+    the algebraic identity q_cusum_alarm rests on, checked against the
+    literal sequential recurrence on a sign-mixed series."""
+    devs = [30, -90, 0, 250, 7, 7, -1, 100, -400, 5, 999, 1]
+    s, want = 0, []
+    for d in devs:
+        s = max(0, s + d)
+        want.append(s)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(devs)], "id long, dev long"
+    )
+    rs = running_sums(df, ["dev"], ["id"], num_partitions=3)
+    rm = running_mins(rs, ["rs_dev"], ["id"], num_partitions=3)
+    out = rm.withColumn(
+        "s", F.col("rs_dev") - F.least(F.lit(0).cast("long"),
+                                       F.col("rm_rs_dev"))
+    )
+    got = [r.s for r in out.orderBy("id").collect()]
+    assert got == want
 
 
 def test_naive_window_is_flagged_by_the_pin(spark):

@@ -35,16 +35,28 @@ def asof_join(
       ``right_time <= left_time``.
     * ``direction="forward"``: earliest right row with
       ``right_time >= left_time``.
+    * ``direction="nearest"``: whichever of the two is closer in time;
+      exact ties go BACKWARD (pandas ``merge_asof`` nearest semantics).
     * ``tolerance``: maximum allowed |gap| in time units — a match
       farther away comes back NULL (pandas ``merge_asof`` semantics).
 
-    Either direction stays one shuffle + one sort: right rows sort just
-    BEFORE left rows at equal times for backward (running ``last``),
-    just AFTER for forward (running ``first`` over the following
-    frame), so at-or-equal matches are included without a range join.
+    Either single direction stays one shuffle + one sort: right rows
+    sort just BEFORE left rows at equal times for backward (running
+    ``last``), just AFTER for forward (running ``first`` over the
+    following frame), so at-or-equal matches are included without a
+    range join.  ``nearest`` computes both candidates over the SAME
+    per-key exchange — two sorts (asc + desc running frames, both
+    incremental; never the O(n^2) UnboundedFollowing frame) but still
+    a single shuffle, then picks per row by |gap|.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, keys, left_time, right_time, value_cols, tolerance
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     fwd = direction == "forward"
     lcols = [c for c in left.columns]
     probe_vals = [f"_v_{c}" for c in value_cols] + ["_vt"]
@@ -118,3 +130,89 @@ def asof_join(
     else:
         out = out.drop("_t", "_mt")
     return out
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance: int | None,
+) -> DataFrame:
+    """Nearest-direction as-of: one union, one exchange on ``keys``,
+    two INCREMENTAL window passes (asc running last = backward
+    candidate, desc running last = forward candidate), then a per-row
+    pick by absolute gap with ties to backward.
+
+    A single ``_side`` tagging serves both scans: right rows carry 0,
+    left rows 1, and each window breaks equal-time ties with
+    ``_side`` ASC so the right row is visible to its equal-time left
+    row in BOTH directions (at-or-equal matches both ways, like
+    pandas ``merge_asof(direction="nearest")``)."""
+    lcols = [c for c in left.columns]
+    probe = [f"_v_{c}" for c in value_cols] + ["_vt"]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_time).cast("long").alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
+          for c in value_cols],
+        F.lit(None).cast("long").alias("_vt"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_time).cast("long").alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.col(right_time).cast("long").alias("_vt"),
+    )
+    for c in lcols:
+        if c not in keys:
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType)
+            )
+    unioned = l_tagged.unionByName(r_tagged)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    both = unioned.select(
+        *lcols,
+        "_side",
+        "_t",
+        *[F.last(F.col(v), ignorenulls=True).over(wb).alias(f"_b{v}")
+          for v in probe],
+        *[F.last(F.col(v), ignorenulls=True).over(wf).alias(f"_f{v}")
+          for v in probe],
+    ).where(F.col("_side") == 1)
+
+    bgap = F.col("_t") - F.col("_b_vt")   # >= 0 when backward matched
+    fgap = F.col("_f_vt") - F.col("_t")   # >= 0 when forward matched
+    use_b = F.col("_b_vt").isNotNull() & (
+        F.col("_f_vt").isNull() | (bgap <= fgap)
+    )
+    picked_gap = F.when(use_b, bgap).otherwise(fgap)
+    keep = (
+        F.lit(True)
+        if tolerance is None
+        else (picked_gap <= F.lit(tolerance))
+    )
+    return both.select(
+        *lcols,
+        *[
+            F.when(
+                keep & use_b, F.col(f"_b_v_{c}")
+            ).when(
+                keep & ~use_b, F.col(f"_f_v_{c}")
+            ).alias(c)
+            for c in value_cols
+        ],
+    )

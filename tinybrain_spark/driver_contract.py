@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .prefix import running_sums
+from .prefix import running_mins, running_sums
 from .session import load_table
 from .udfs import pool_udf
 
@@ -1425,6 +1425,372 @@ SELECT CAST(l.event_id AS BIGINT) AS event_id,
 FROM events l ASOF JOIN hourly r
   ON l.event_type = r.event_type
   AND CAST(floor(epoch(l.ts)) AS BIGINT) >= r.hb
+"""
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof``
+    ``direction="nearest"``): each event matches whichever busy-hour
+    state row is CLOSER in time — before or after — with exact ties
+    going backward.  One exchange on the key, two incremental window
+    passes (asc + desc running ``last``, never the O(n^2)
+    UnboundedFollowing frame), per-row pick by |gap| — see
+    ``asof._asof_nearest``.  DuckDB verifies with two native ASOF
+    LEFT JOINs (>= and <=) and the same tie rule."""
+    from .asof import asof_join
+
+    ev, hourly = _asof_state_inputs(spark, sf_dir)
+    joined = asof_join(
+        ev, hourly, keys=["event_type"], left_time="ts_s",
+        right_time="hb", value_cols=["hb", "n"], direction="nearest",
+    )
+    return joined.where(F.col("hb").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.col("hb").cast("long").alias("near_bucket"),
+        F.col("n").cast("long").alias("near_events"),
+    )
+
+
+_ASOF_NEAREST = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         count(*) AS n
+  FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+), b AS (
+  SELECT l.event_id, l.event_type,
+         CAST(floor(epoch(l.ts)) AS BIGINT) AS t, r.hb, r.n
+  FROM events l ASOF LEFT JOIN hourly r
+    ON l.event_type = r.event_type
+   AND CAST(floor(epoch(l.ts)) AS BIGINT) >= r.hb
+), f AS (
+  SELECT l.event_id, r.hb, r.n
+  FROM events l ASOF LEFT JOIN hourly r
+    ON l.event_type = r.event_type
+   AND CAST(floor(epoch(l.ts)) AS BIGINT) <= r.hb
+), picked AS (
+  SELECT b.event_id, b.event_type,
+         CASE WHEN b.hb IS NOT NULL
+                   AND (f.hb IS NULL OR (b.t - b.hb) <= (f.hb - b.t))
+              THEN b.hb ELSE f.hb END AS near_bucket,
+         CASE WHEN b.hb IS NOT NULL
+                   AND (f.hb IS NULL OR (b.t - b.hb) <= (f.hb - b.t))
+              THEN b.n ELSE f.n END AS near_events
+  FROM b JOIN f ON b.event_id = f.event_id
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(near_bucket AS BIGINT) AS near_bucket,
+       CAST(near_events AS BIGINT) AS near_events
+FROM picked WHERE near_bucket IS NOT NULL
+"""
+
+
+OHLC_V_BITS = 24  # centi-values fit 24 bits (value < 167772.16)
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (event_type, hour) the opening value
+    (earliest event), closing value (latest event), high, low, count
+    and volume — the classic financial downsample.  Open/close reuse
+    the M4 trick: encode ``t * 2^24 + v`` so min/max of ONE bigint
+    select the extreme-time row and decode its value — the whole bar
+    is a map-side-combinable groupBy, no window, no sort, one
+    exchange.  Equal-time ties resolve to the smaller value for open
+    and the larger for close (min/max over the encoded key —
+    deterministic, mirrored exactly by the oracle).  Value domain is
+    runtime-guarded into [0, 2^24) like q_m4_decimate."""
+    shift = 1 << OHLC_V_BITS
+    raw = load_table(spark, sf_dir, "events")
+    guard_v = F.floor(F.col("value") * 100).cast("long")
+    ev = raw.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        F.unix_timestamp("ts").alias("t"),
+        F.when(guard_v.between(0, shift - 1), guard_v)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"q_ohlc_bars: value outside [0, 2^"
+                          f"{OHLC_V_BITS}) centi-value domain: "),
+                    guard_v.cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("v"),
+    )
+    enc = F.col("t") * shift + F.col("v")
+    agg = ev.groupBy("event_type", "hb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("volume"),
+        F.min(enc).alias("_ok"),
+        F.max(enc).alias("_ck"),
+        F.min("v").cast("long").alias("low_v"),
+        F.max("v").cast("long").alias("high_v"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("hb").cast("long").alias("hb"),
+        "n",
+        "volume",
+        (F.col("_ok") % shift).cast("long").alias("open_v"),
+        (F.col("_ck") % shift).cast("long").alias("close_v"),
+        "high_v",
+        "low_v",
+    )
+
+
+_OHLC_BARS = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, hb,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS volume,
+       CAST(min(t * {1 << OHLC_V_BITS} + v) % {1 << OHLC_V_BITS}
+            AS BIGINT) AS open_v,
+       CAST(max(t * {1 << OHLC_V_BITS} + v) % {1 << OHLC_V_BITS}
+            AS BIGINT) AS close_v,
+       CAST(max(v) AS BIGINT) AS high_v,
+       CAST(min(v) AS BIGINT) AS low_v
+FROM ev GROUP BY event_type, hb
+"""
+
+
+CUSUM_TARGET = 5000   # centi-value drift target (50.00)
+CUSUM_ALARM = 100000  # alarm threshold on the one-sided CUSUM statistic
+
+
+def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint statistic (Page 1954) per event
+    type, aggregated to alarm summaries per hour.  The textbook
+    recurrence ``S_i = max(0, S_{i-1} + (x_i - target))`` looks
+    inherently sequential, but has the closed form
+    ``S_i = R_i - min(0, min_{j<=i} R_j)`` over the plain running sum
+    ``R`` of deviations — i.e. CUSUM is two PREFIX passes, both of
+    which ride the scale-safe two-level primitives
+    (``prefix.running_sums`` + ``prefix.running_mins``: range
+    partition, bounded sorts, no per-type one-task funnel).  Exact
+    integer arithmetic end to end; the oracle replays the closed form
+    with window functions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        F.unix_timestamp("ts").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        "event_id",
+    ).withColumn("dev", (F.col("v") - CUSUM_TARGET).cast("long"))
+    rs = running_sums(
+        ev, ["dev"], ["t", "event_id"], partition_cols=["event_type"]
+    )
+    rm = running_mins(
+        rs, ["rs_dev"], ["t", "event_id"], partition_cols=["event_type"]
+    )
+    s = F.col("rs_dev") - F.least(F.lit(0).cast("long"),
+                                  F.col("rm_rs_dev"))
+    return (
+        rm.select("event_type", "hb", s.alias("s"))
+        .groupBy("event_type", "hb")
+        .agg(
+            F.max("s").cast("long").alias("cusum_max"),
+            F.sum((F.col("s") > CUSUM_ALARM).cast("long"))
+            .cast("long")
+            .alias("n_alarms"),
+        )
+        .select(
+            "event_type", F.col("hb").cast("long").alias("hb"),
+            "cusum_max", "n_alarms",
+        )
+    )
+
+
+_CUSUM_ALARM = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(value * 100) AS BIGINT) - {CUSUM_TARGET} AS dev,
+         event_id
+  FROM events
+), r AS (
+  SELECT event_type, hb, t, event_id,
+         SUM(dev) OVER (PARTITION BY event_type ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS rs
+  FROM ev
+), c AS (
+  SELECT event_type, hb,
+         rs - LEAST(0, MIN(rs) OVER (PARTITION BY event_type
+                                     ORDER BY t, event_id
+                                     ROWS UNBOUNDED PRECEDING)) AS s
+  FROM r
+)
+SELECT event_type, hb,
+       CAST(max(s) AS BIGINT) AS cusum_max,
+       CAST(sum(CASE WHEN s > {CUSUM_ALARM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms
+FROM c GROUP BY event_type, hb
+"""
+
+
+ZSCORE_Z = 3          # flag |v - mean| > 3 sigma (population variance)
+ZSCORE_V_BITS = 17    # centi-values < 2^17 keep every product < 2^63
+ZSCORE_N_MAX = 16384  # group-size bound for the same overflow budget
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: per (event_type, hour) count events more
+    than 3 population-sigma from the in-group mean — entirely in
+    int64.  The float-free trick is cross-multiplication: with
+    ``d = n*v - S`` (S = group sum, Q = group sum of squares), the
+    z-test |v-mean| > Z*sigma becomes ``d^2 > Z^2 * n * (n*Q - S^2) /
+    n`` and is evaluated as the documented truncating-integer rule
+    ``d^2 DIV n  >  Z^2 * ((n*Q - S^2) DIV n)`` — Spark DIV and DuckDB
+    // truncate identically on the non-negative operands, so both
+    engines apply the byte-identical decision.  Domain guards keep
+    every intermediate under 2^63: centi-values < 2^17 (runtime
+    raise), group size <= 2^14 (post-agg raise).
+
+    Shape: one map-side-combinable groupBy for the stats, broadcast of
+    the tiny (type, hour) stats table back onto the scan, one more
+    map-side-combinable groupBy for the counts — two exchanges of
+    AGGREGATED rows only, no window, no sort at any scale."""
+    vmax = 1 << ZSCORE_V_BITS
+    raw = load_table(spark, sf_dir, "events")
+    guard_v = F.floor(F.col("value") * 100).cast("long")
+    ev = raw.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+        F.when(guard_v.between(0, vmax - 1), guard_v)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"q_zscore_outliers: value outside [0, 2^"
+                          f"{ZSCORE_V_BITS}) centi-value domain: "),
+                    guard_v.cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("v"),
+    )
+    stats = ev.groupBy("event_type", "hb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    ).select(
+        "event_type", "hb",
+        F.when(F.col("n") <= ZSCORE_N_MAX, F.col("n"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"q_zscore_outliers: group larger than "
+                          f"{ZSCORE_N_MAX} breaks the overflow budget: "),
+                    F.col("n").cast("string"),
+                )
+            ).cast("long")
+        ).alias("n"),
+        "s", "q",
+    )
+    joined = ev.join(F.broadcast(stats), ["event_type", "hb"])
+    d = F.col("n") * F.col("v") - F.col("s")
+    var_n = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    is_out = (
+        F.expr("_d2 DIV n") > ZSCORE_Z * ZSCORE_Z * F.expr("_vn DIV n")
+    )
+    return (
+        joined.withColumn("_d2", (d * d).cast("long"))
+        .withColumn("_vn", var_n.cast("long"))
+        .withColumn("_out", is_out.cast("long"))
+        .groupBy("event_type", "hb")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("_out").cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type", F.col("hb").cast("long").alias("hb"),
+            "n", "n_outliers",
+        )
+    )
+
+
+_ZSCORE_OUTLIERS = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+), stats AS (
+  SELECT event_type, hb,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS q
+  FROM ev GROUP BY event_type, hb
+), flagged AS (
+  SELECT e.event_type, e.hb, t.n,
+         CASE WHEN ((t.n * e.v - t.s) * (t.n * e.v - t.s)) // t.n
+                   > {ZSCORE_Z * ZSCORE_Z}
+                     * ((t.n * t.q - t.s * t.s) // t.n)
+              THEN 1 ELSE 0 END AS is_out
+  FROM ev e JOIN stats t USING (event_type, hb)
+)
+SELECT event_type, hb,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(is_out) AS BIGINT) AS n_outliers
+FROM flagged GROUP BY event_type, hb
+"""
+
+
+TOPN_PER_TYPE = 3
+
+
+def q_topn_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group: the 3 busiest hours of each event type
+    (deterministic tie-break: earlier hour wins).  The rank window
+    partitions by the REAL group key over PRE-AGGREGATED hourly rows —
+    bounded by hours-per-type after the map-side-combinable groupBy,
+    never by raw event volume — so this is the scale-correct shape for
+    per-group top-N (contrast q_topk_users' global
+    TakeOrderedAndProject)."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .alias("hb"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("hb").asc()
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPN_PER_TYPE)
+        .select(
+            "event_type", F.col("hb").cast("long").alias("hb"),
+            "n", "rank",
+        )
+    )
+
+
+_TOPN_HOURS = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, hb, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY n DESC, hb ASC)
+              AS BIGINT) AS rank
+  FROM hourly
+)
+SELECT event_type, hb, n, rank
+FROM ranked WHERE rank <= {TOPN_PER_TYPE}
 """
 
 
@@ -3569,6 +3935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gapfill_linear": q_gapfill_linear,
         "q_session_window": q_session_window,
         "q_histogram_quantile": q_histogram_quantile,
+        "q_asof_nearest": q_asof_nearest,
+        "q_ohlc_bars": q_ohlc_bars,
+        "q_cusum_alarm": q_cusum_alarm,
+        "q_topn_hours": q_topn_hours,
+        "q_zscore_outliers": q_zscore_outliers,
         # r03 additions past the 50-row driver window (oracle-gated by
         # tools/check_oracle.py)
         # rows-only by design (no oracle): weakest row, lives at the tail
@@ -3639,6 +4010,11 @@ FROM win
         "q_wav_decode": _WAV_DECODE,
         "q_gapfill_linear": _GAPFILL_LINEAR,
         "q_session_window": _SESSION_WINDOW,
+        "q_asof_nearest": _ASOF_NEAREST,
+        "q_ohlc_bars": _OHLC_BARS,
+        "q_cusum_alarm": _CUSUM_ALARM,
+        "q_topn_hours": _TOPN_HOURS,
+        "q_zscore_outliers": _ZSCORE_OUTLIERS,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,

@@ -124,3 +124,82 @@ def running_sums(
             (F.col(f"_off_{c}") + F.sum(c).over(ww)).cast("long"),
         )
     return out.drop("_pid", *[f"_off_{c}" for c in sum_cols])
+
+
+def running_mins(
+    df: DataFrame,
+    min_cols: list[str],
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    out_prefix: str = "rm_",
+) -> DataFrame:
+    """Add inclusive running minimums ``{out_prefix}{c}`` over the same
+    two-level shape as :func:`running_sums` — min is associative and
+    commutative exactly like sum, so the decomposition
+    ``running_min = least(min over STRICTLY-PRECEDING partitions,
+    within-partition running min)`` holds verbatim; the only twist is
+    the identity element: an exclusive prefix over an empty set is
+    NULL, and ``least`` in Spark skips NULLs (unlike ``+``), so no
+    sentinel is needed.  Bounded sorts everywhere, same cardinality
+    contract as running_sums (LOW-cardinality ``partition_cols``).
+
+    Shares the running_sums shuffle when callers need both: pass the
+    frame through running_sums first, then this — repartitionByRange on
+    identical keys reuses the exchange (AQE folds the second one)."""
+    parts = list(partition_cols or [])
+    keys = parts + list(order_cols)
+    parted = (
+        df.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else df.repartitionByRange(*keys)
+    )
+    parted = parted.localCheckpoint()
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+
+    mins = [F.min(c).cast("long").alias(f"_t_{c}") for c in min_cols]
+    totals = with_pid.groupBy("_pid", *parts).agg(*mins)
+
+    if parts:
+        wg = (
+            Window.partitionBy(*parts)
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            "_pid",
+            *parts,
+            *[
+                F.min(f"_t_{c}").over(wg).cast("long").alias(f"_off_{c}")
+                for c in min_cols
+            ],
+        )
+        joined = with_pid.join(F.broadcast(offsets), ["_pid", *parts])
+    else:
+        rows = sorted(totals.collect(), key=lambda r: r["_pid"])
+        acc: dict[str, int | None] = {c: None for c in min_cols}
+        off_rows = []
+        for r in rows:
+            off_rows.append([r["_pid"]] + [acc[c] for c in min_cols])
+            for c in min_cols:
+                v = r[f"_t_{c}"]
+                if v is not None and (acc[c] is None or v < acc[c]):
+                    acc[c] = v
+        schema = "_pid int, " + ", ".join(
+            f"_off_{c} long" for c in min_cols
+        )
+        offsets = df.sparkSession.createDataFrame(off_rows, schema)
+        joined = with_pid.join(F.broadcast(offsets), "_pid")
+
+    ww = Window.partitionBy("_pid", *parts).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = joined
+    for c in min_cols:
+        out = out.withColumn(
+            f"{out_prefix}{c}",
+            F.least(
+                F.col(f"_off_{c}"), F.min(c).over(ww)
+            ).cast("long"),
+        )
+    return out.drop("_pid", *[f"_off_{c}" for c in min_cols])
