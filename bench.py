@@ -77,6 +77,30 @@ def _fault_in_mbps(mb: int = 64, samples: int = 3) -> float:
     return round(best, 1)
 
 
+def _cpu_calib_kips(seconds: float = 1.0, samples: int = 2) -> float:
+    """Single-core CPU speed calibration: iterations/sec (in thousands)
+    of a fixed cache-resident elementwise numpy loop.  The sandbox VM's
+    per-core speed drifts 20-40% across sessions WITHOUT tripping the
+    load or fault-in gates (host CPU sharing) — same engine, same plan,
+    uniformly inflated wall times.  Recording this one number with
+    every bench lets rounds be compared speed-normalized instead of
+    misread as code regressions.  Pure numpy elementwise — no BLAS, so
+    no thread-oversubscription lies (see CLAUDE.md)."""
+    import numpy as np
+
+    a = np.ones(65536, dtype=np.float64)
+    best = 0.0
+    for _ in range(samples):
+        n = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            b = a * 1.0000001 + 0.5
+            b.sum()
+            n += 1
+        best = max(best, n / seconds / 1000.0)
+    return round(best, 1)
+
+
 def _load_1m() -> float:
     return os.getloadavg()[0]
 
@@ -245,6 +269,9 @@ def main() -> int:
         "points_per_sec": round(points_per_sec, 1),
         "vm_health": health,
         "vm_fault_in_mbps_post": post_mbps,
+        # single-core speed calibration: divide wall times by
+        # (this_round_kips / other_round_kips) before comparing rounds
+        "vm_cpu_calib_kips": _cpu_calib_kips(),
     }
     if reasons:
         # refuse to present a polluted measurement as a graded number
