@@ -3825,22 +3825,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_rollup_w8_t2": _long_pool_query("avg", 8, 2, False, W8_UNIT),
         # float tiers (4^(m+1) divisor) + non-PoT generic window
         "q_avg_float_t2": q_avg_float_t2,
-        "q_avg_rollup_w3": q_avg_rollup_w3,
         "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
         "q_mode8_rollup_t1": _pool_query("mode", 8, 1, False),
-        "q_max_rollup_t1": _pool_query("max", 4, 1, False),
         # (q_stride_rollup_t1, q_tile_avg_2d demoted r04: stride/tile
-        # families fully proven — every member >=2 green rounds)
+        # families fully proven — every member >=2 green rounds;
+        # q_avg_rollup_w3 demoted r04b: generic-factor variant green
+        # r03, avg family keeps 4 reps; q_max_rollup_t1 demoted r04b:
+        # max/min strided-reduce green r01-r03, pooling family keeps 6)
         # relational coverage (q_rollup_metrics demoted: grouping-sets
         # machinery fully covered by the CUBE superset below;
         # q_topk_users demoted r04: TakeOrderedAndProject family keeps
         # q_top_tokens in the head, plan pin test_plans.py:70 stands)
         "q_cube_metrics": q_cube_metrics,
         "q_time_weighted_avg": q_time_weighted_avg,
-        "q_asof_join": q_asof_join,
+        # (q_asof_join demoted r04b: backward direction green r02/r03;
+        # the as-of family keeps fwd + tol + nearest below)
         # r03 timeseries operators, never driver-verified before r04
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
+        # r04b additions, never driver-verified — promoted on arrival
+        "q_asof_nearest": q_asof_nearest,
+        "q_ohlc_bars": q_ohlc_bars,
+        "q_cusum_alarm": q_cusum_alarm,
+        "q_topn_hours": q_topn_hours,
+        "q_zscore_outliers": q_zscore_outliers,
+        "q_histogram_quantile": q_histogram_quantile,
+        "q_gapfill_linear": q_gapfill_linear,
+        "q_session_window": q_session_window,
+        "q_wav_decode": q_wav_decode,
         "q_m4_decimate": q_m4_decimate,
         "q_counter_rate": q_counter_rate,
         "q_value_histogram": q_value_histogram,
@@ -3849,27 +3861,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_running_sum": q_global_running_sum,
         # r04: bucket-expanded range-overlap join (never a nested loop)
         "q_interval_join": q_interval_join,
-        "q_sessionize": q_sessionize,
+        # (q_sessionize demoted r04b: green r02/r03, q_session_window
+        # above is the same semantics as a native operator;
+        # q_user_set_ops demoted r04b: INTERSECT/EXCEPT green r03 +
+        # judge 77/77, set-op family keeps the ANTI rep;
+        # q_gapfill_locf demoted r04b: green r01-r03, gap-fill family
+        # keeps the linear-interpolation superset)
         "q_value_percentiles": q_value_percentiles,
-        "q_user_set_ops": q_user_set_ops,
         "q_unique_docs_anti": q_unique_docs_anti,
         # engine features
         "q_continuous_agg": q_continuous_agg,
         "q_stream_cagg_equiv": q_stream_cagg_equiv,
-        "q_gapfill_locf": q_gapfill_locf,
         "q_gorilla_decode": q_gorilla_decode,
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
         # (q_doc_fingerprint demoted r04: md5-hash family keeps
         # q_dedup_exact + q_hash_split in the head; green r01/r02/r03)
-        "q_quality_score": q_quality_score,
+        # (q_quality_score demoted r04b: green r02/r03, its heuristics
+        # are a sub-step of the assembled q_quality_filter gate below)
         "q_lang_id": q_lang_id,
         "q_stratified_sample": q_stratified_sample,
         # (q_minhash_signature demoted r04: sub-step of
-        # q_minhash_verified_pairs which composes sign+band+verify)
+        # q_minhash_verified_pairs which composes sign+band+verify;
+        # q_simhash demoted r04b: green r02/r03, one-exchange plan
+        # stays pinned in test_plans.py; q_lsh_buckets demoted r04b:
+        # green r03, sub-step of q_ann_nn_bucketed which stays)
         "q_minhash_verified_pairs": q_minhash_verified_pairs,
         "q_dedup_clusters_star": q_dedup_clusters_star,
-        "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
@@ -3885,7 +3903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_embed_stats demoted r04: embedding family keeps 4 reps here)
         "q_ann_topk_blocked": q_ann_topk_blocked,
         "q_ann_topk_ivf": q_ann_topk_ivf,
-        "q_lsh_buckets": q_lsh_buckets,
         "q_ann_nn_bucketed": q_ann_nn_bucketed,
         # (q_multimodal_meta demoted r04: binary-plumbing family keeps
         # q_multimodal_frames, the superset batch shape)
@@ -3929,19 +3946,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_token_count's whitespace stats pair with q_token_count_bpe)
         "q_minhash_pairs": q_minhash_pairs,
         "q_token_count": q_token_count,
-        # r04 additions past the 50-row driver window (oracle-gated by
-        # tools/check_oracle.py; promotion candidates next rotation)
-        "q_wav_decode": q_wav_decode,
-        "q_gapfill_linear": q_gapfill_linear,
-        "q_session_window": q_session_window,
-        "q_histogram_quantile": q_histogram_quantile,
-        "q_asof_nearest": q_asof_nearest,
-        "q_ohlc_bars": q_ohlc_bars,
-        "q_cusum_alarm": q_cusum_alarm,
-        "q_topn_hours": q_topn_hours,
-        "q_zscore_outliers": q_zscore_outliers,
-        # r03 additions past the 50-row driver window (oracle-gated by
-        # tools/check_oracle.py)
+        # r04b demotions (see head comments for the rule each applied)
+        "q_avg_rollup_w3": q_avg_rollup_w3,
+        "q_max_rollup_t1": _pool_query("max", 4, 1, False),
+        "q_asof_join": q_asof_join,
+        "q_sessionize": q_sessionize,
+        "q_user_set_ops": q_user_set_ops,
+        "q_gapfill_locf": q_gapfill_locf,
+        "q_quality_score": q_quality_score,
+        "q_simhash": q_simhash,
+        "q_lsh_buckets": q_lsh_buckets,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
