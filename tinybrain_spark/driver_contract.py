@@ -1636,6 +1636,68 @@ FROM c GROUP BY event_type, hb
 """
 
 
+WEEK_S = 7 * 24 * 3600
+
+
+def q_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week deltas: each (event_type, hour) bucket against
+    the same hour one week earlier — the seasonal-baseline comparison
+    behind anomaly dashboards.  Computed as a self equi-join of the
+    hourly pre-aggregate on (type, hb - 1 week): both sides are the
+    ~3000x-reduced rollup, so the join shuffles aggregated rows only
+    (and at any scale stays a few MB per type-week — broadcastable by
+    AQE if one side is small).  LEFT join keeps weeks with no
+    predecessor (delta NULL -> dropped here to keep the contract
+    NULL-free; the first week of history has no baseline)."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .alias("hb"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("vsum"),
+        )
+    )
+    prev = hourly.select(
+        "event_type",
+        (F.col("hb") + WEEK_S).alias("hb"),
+        F.col("n").alias("n_prev"),
+        F.col("vsum").alias("vsum_prev"),
+    )
+    return (
+        hourly.join(prev, ["event_type", "hb"])
+        .select(
+            "event_type",
+            F.col("hb").cast("long").alias("hb"),
+            "n",
+            (F.col("n") - F.col("n_prev")).cast("long").alias("n_delta"),
+            (F.col("vsum") - F.col("vsum_prev")).cast("long")
+            .alias("vsum_delta"),
+        )
+    )
+
+
+_WOW_DELTA = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vsum
+  FROM events GROUP BY 1, 2
+)
+SELECT c.event_type, c.hb, c.n,
+       CAST(c.n - p.n AS BIGINT) AS n_delta,
+       CAST(c.vsum - p.vsum AS BIGINT) AS vsum_delta
+FROM hourly c JOIN hourly p
+  ON c.event_type = p.event_type AND c.hb = p.hb + {WEEK_S}
+"""
+
+
 ZSCORE_Z = 3          # flag |v - mean| > 3 sigma (population variance)
 ZSCORE_V_BITS = 17    # centi-values < 2^17 keep every product < 2^63
 ZSCORE_N_MAX = 16384  # group-size bound for the same overflow budget
@@ -3946,6 +4008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_token_count's whitespace stats pair with q_token_count_bpe)
         "q_minhash_pairs": q_minhash_pairs,
         "q_token_count": q_token_count,
+        # r04b tail additions (oracle-gated; promotion candidates)
+        "q_wow_delta": q_wow_delta,
         # r04b demotions (see head comments for the rule each applied)
         "q_avg_rollup_w3": q_avg_rollup_w3,
         "q_max_rollup_t1": _pool_query("max", 4, 1, False),
@@ -4029,6 +4093,7 @@ FROM win
         "q_cusum_alarm": _CUSUM_ALARM,
         "q_topn_hours": _TOPN_HOURS,
         "q_zscore_outliers": _ZSCORE_OUTLIERS,
+        "q_wow_delta": _WOW_DELTA,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
