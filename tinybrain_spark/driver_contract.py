@@ -1636,6 +1636,103 @@ FROM c GROUP BY event_type, hb
 """
 
 
+CMS_D = 4     # count-min depth (hash rows)
+CMS_W = 1024  # count-min width (buckets per row)
+CMS_K = 20    # probe set: exact top-K tokens
+
+
+def _cms_bucket(col, row: int):
+    """Row-``row`` CMS bucket of a token: md5 of 'row:token', first 14
+    hex digits mod the width — the same salted-md5 family every other
+    cross-engine hash in this module uses (DuckDB replays it as
+    CAST('0x'||substr(md5(...),1,14) AS BIGINT))."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 14),
+            16, 10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) heavy-hitter
+    estimates: build a 4x1024 CMS over the corpus token multiset, then
+    report, for the exact top-20 tokens, the exact count next to the
+    sketch estimate (always >= exact — the one-sided CMS error).
+
+    Why this shape scales: the sketch build is ONE scan — each token
+    fans out to its 4 (row, bucket) cells IN-ROW (posexplode of a
+    4-element array, no join) and collapses through a map-side-
+    combinable groupBy onto a table bounded by D*W = 4096 cells
+    REGARDLESS of corpus size; the probe side broadcasts those 4096
+    cells and takes min over rows.  The sketch is sum-mergeable
+    across partitions/streams by construction (cell-wise add), which
+    is the whole point of CMS at 100 TB.  Every hash is the salted
+    md5 both engines share, so DuckDB rebuilds the identical sketch
+    cell-for-cell."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+    )
+    cells = (
+        words.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(F.col("w"), r) for r in range(CMS_D)])
+            ).alias("r", "b")
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    topk = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("w").asc())
+        .limit(CMS_K)
+    )
+    probe = topk.select(
+        "w",
+        "exact_n",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("w"), r) for r in range(CMS_D)])
+        ).alias("r", "b"),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .select(F.col("w").alias("token"), "exact_n", "cms_est")
+    )
+
+
+def _cms_sql() -> str:
+    rows = ", ".join(f"({r})" for r in range(CMS_D))
+    bucket = ("CAST(('0x' || substr(md5(t.r || ':' || {col}), 1, 14)) "
+              f"AS BIGINT) % {CMS_W}")
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+  FROM documents
+), rows_t AS (SELECT * FROM (VALUES {rows}) AS t(r)),
+cells AS (
+  SELECT t.r, {bucket.format(col='words.w')} AS b, count(*) AS c
+  FROM words, rows_t t GROUP BY 1, 2
+),
+topk AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS exact_n
+  FROM words GROUP BY w
+  ORDER BY exact_n DESC, w ASC LIMIT {CMS_K}
+),
+probe AS (
+  SELECT tk.w, tk.exact_n, t.r, {bucket.format(col='tk.w')} AS b
+  FROM topk tk, rows_t t
+)
+SELECT p.w AS token, p.exact_n, CAST(min(c.c) AS BIGINT) AS cms_est
+FROM probe p JOIN cells c ON p.r = c.r AND p.b = c.b
+GROUP BY 1, 2
+"""
+
+
 WEEK_S = 7 * 24 * 3600
 
 
@@ -4010,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         # r04b tail additions (oracle-gated; promotion candidates)
         "q_wow_delta": q_wow_delta,
+        "q_cms_heavy": q_cms_heavy,
         # r04b demotions (see head comments for the rule each applied)
         "q_avg_rollup_w3": q_avg_rollup_w3,
         "q_max_rollup_t1": _pool_query("max", 4, 1, False),
@@ -4094,6 +4192,7 @@ FROM win
         "q_topn_hours": _TOPN_HOURS,
         "q_zscore_outliers": _ZSCORE_OUTLIERS,
         "q_wow_delta": _WOW_DELTA,
+        "q_cms_heavy": _cms_sql(),
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
