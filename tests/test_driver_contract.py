@@ -129,3 +129,45 @@ def test_extract_features_plumbing(spark):
     assert len(out[1]) == 16 and abs(out[1][0] - 1.0) < 1e-6  # all bucket 0
     assert all(abs(v - 1 / 16) < 1e-6 for v in out[2])  # uniform bytes
     assert all(v == 0.0 for v in out[3])  # empty payload
+
+
+def test_cms_is_cell_wise_mergeable_and_one_sided(spark):
+    """The 100TB property behind q_cms_heavy: a CMS built per shard and
+    merged by cell-wise ADDITION equals the sketch built over the whole
+    corpus in one pass — plus the one-sided error bound (estimate >=
+    exact, always)."""
+    from pyspark.sql import functions as F
+
+    from tinybrain_spark.driver_contract import (
+        CMS_D, _cms_bucket, load_table, q_cms_heavy,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def cells_of(frame):
+        words = frame.select(
+            F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+        )
+        return (
+            words.select(
+                F.posexplode(
+                    F.array(*[_cms_bucket(F.col("w"), r)
+                              for r in range(CMS_D)])
+                ).alias("r", "b")
+            )
+            .groupBy("r", "b")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    full = {(r.r, r.b): r.c for r in cells_of(docs).collect()}
+    even = cells_of(docs.where(F.col("doc_id") % 2 == 0))
+    odd = cells_of(docs.where(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for shard in (even, odd):
+        for r in shard.collect():
+            merged[(r.r, r.b)] = merged.get((r.r, r.b), 0) + r.c
+    assert merged == full
+
+    est = q_cms_heavy(spark, SF_DIR).collect()
+    assert len(est) > 0
+    assert all(r.cms_est >= r.exact_n for r in est)
