@@ -173,6 +173,19 @@ def test_topn_hours_ranks_aggregated_rows_only(spark):
     assert any(i > win_pos for i in agg_positions), tree
 
 
+def test_cms_broadcasts_cells_partial_topk(spark):
+    """r04b: the CMS probe join must broadcast the 4096-cell sketch
+    (never shuffle it against the probes), the top-k must be the
+    distributed partial TakeOrderedAndProject, and the token scan must
+    prune to the text column only."""
+    plan = _plan(dc.q_cms_heavy(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree
+    assert "TakeOrderedAndProject" in tree
+    assert "SortMergeJoin" not in tree
+    assert "ReadSchema: struct<text:string>" in plan
+
+
 def test_cusum_zero_unpartitioned_windows(spark):
     assert_no_unpartitioned_windows(
         dc.queries()["q_cusum_alarm"](spark, SF_DIR)
