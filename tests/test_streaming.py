@@ -259,3 +259,41 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         for r in spark.table("sess_sw").collect()
     }
     assert got == want
+
+
+def test_cms_stream_equals_batch_and_stays_bounded(spark, seq_dir, tmp_path):
+    """The count-min sketch as streaming state: after draining the
+    directory micro-batch by micro-batch (cell-wise adds under the
+    exactly-once checkpoint), the stored sketch must be CELL-FOR-CELL
+    identical to the batch sketch over the same files — and the state
+    table never exceeds depth*width rows regardless of volume."""
+    from tinybrain_spark.streaming import cms_cells, run_cms_stream
+
+    wd = str(tmp_path / "wh")
+    q = run_cms_stream(
+        spark, seq_dir, wd, table="cms", max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    stored = Catalog(spark, wd).read("cms")
+    batch = cms_cells(spark.read.parquet(seq_dir))
+    got = {(r.r, r.b): r.c for r in stored.collect()}
+    want = {(r.r, r.b): r.c for r in batch.collect()}
+    assert got == want
+    assert stored.count() <= 4 * 1024
+
+
+def test_cms_stream_resume_no_double_count(spark, seq_dir, tmp_path):
+    """Re-running the drained stream with the same checkpoint must not
+    fold any batch twice (cell counts unchanged)."""
+    from tinybrain_spark.streaming import cms_cells, run_cms_stream
+
+    wd = str(tmp_path / "wh")
+    run_cms_stream(spark, seq_dir, wd, table="cms").awaitTermination(300)
+    first = {
+        (r.r, r.b): r.c for r in Catalog(spark, wd).read("cms").collect()
+    }
+    run_cms_stream(spark, seq_dir, wd, table="cms").awaitTermination(300)
+    again = {
+        (r.r, r.b): r.c for r in Catalog(spark, wd).read("cms").collect()
+    }
+    assert again == first

@@ -251,6 +251,88 @@ def stream_dedup(
     ).dropDuplicatesWithinWatermark(["fingerprint"])
 
 
+def cms_cells(df: DataFrame, token_col: str = "tokens",
+              depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch cells of a token-array multiset: every token
+    fans out to its ``depth`` (row, bucket) cells IN-ROW and collapses
+    through one map-side-combinable groupBy onto a table bounded by
+    ``depth * width`` rows regardless of input volume.  Same salted-md5
+    bucket family as driver_contract.q_cms_heavy."""
+
+    def bucket(col, row: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 14
+                ), 16, 10,
+            ).cast("long")
+            % width
+        )
+
+    tok = df.select(F.explode(F.col(token_col)).alias("t")).select(
+        F.col("t").cast("string").alias("w")
+    )
+    return (
+        tok.select(
+            F.posexplode(
+                F.array(*[bucket(F.col("w"), r) for r in range(depth)])
+            ).alias("r", "b")
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    input_path: str,
+    warehouse: str,
+    table: str = "cms_cells",
+    depth: int = 4,
+    width: int = 1024,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain the count-min sketch as STREAMING STATE: each
+    micro-batch's cells fold into the stored cell table by cell-wise
+    ADDITION (CMS is sum-mergeable), exactly-once per batch id via the
+    streaming checkpoint.  After draining a directory the stored
+    sketch is cell-for-cell identical to the batch sketch over the
+    same files (pinned in test_streaming) — the state table never
+    exceeds depth*width rows no matter how much history streamed
+    through it."""
+    catalog = Catalog(spark, warehouse)
+    stream = read_sequence_stream(spark, input_path, max_files_per_trigger)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = cms_cells(batch_df, depth=depth, width=width)
+        if catalog.exists(table):
+            merged = (
+                catalog.read(table)
+                .unionByName(delta)
+                .groupBy("r", "b")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+            # materialize (<= depth*width rows) BEFORE overwriting the
+            # files the plan reads from
+            merged = merged.localCheckpoint()
+        else:
+            merged = delta
+        catalog.write(merged, table, mode="overwrite")
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{warehouse}/_checkpoints/{table}",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_incremental_stream(
     spark: SparkSession,
     input_path: str,
