@@ -4025,9 +4025,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_user_set_ops demoted r04b: INTERSECT/EXCEPT green r03 +
         # judge 77/77, set-op family keeps the ANTI rep;
         # q_gapfill_locf demoted r04b: green r01-r03, gap-fill family
-        # keeps the linear-interpolation superset)
-        "q_value_percentiles": q_value_percentiles,
+        # keeps the linear-interpolation superset;
+        # q_value_percentiles demoted r04c: green r02/r03, quantile
+        # family keeps q_histogram_quantile in the head)
         "q_unique_docs_anti": q_unique_docs_anti,
+        # r04b additions promoted on arrival (never driver-verified)
+        "q_wow_delta": q_wow_delta,
+        "q_cms_heavy": q_cms_heavy,
         # engine features
         "q_continuous_agg": q_continuous_agg,
         "q_stream_cagg_equiv": q_stream_cagg_equiv,
@@ -4037,8 +4041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_doc_fingerprint demoted r04: md5-hash family keeps
         # q_dedup_exact + q_hash_split in the head; green r01/r02/r03)
         # (q_quality_score demoted r04b: green r02/r03, its heuristics
-        # are a sub-step of the assembled q_quality_filter gate below)
-        "q_lang_id": q_lang_id,
+        # are a sub-step of the assembled q_quality_filter gate below;
+        # q_lang_id demoted r04c: green r01-r03, text-analysis family
+        # keeps q_quality_filter + q_repetition_score + q_tfidf_terms)
         "q_stratified_sample": q_stratified_sample,
         # (q_minhash_signature demoted r04: sub-step of
         # q_minhash_verified_pairs which composes sign+band+verify;
@@ -4108,7 +4113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04b tail additions (oracle-gated; promotion candidates)
         "q_wow_delta": q_wow_delta,
         "q_cms_heavy": q_cms_heavy,
-        # r04b demotions (see head comments for the rule each applied)
+        # r04b/r04c demotions (see head comments for the rule each applied)
+        "q_value_percentiles": q_value_percentiles,
+        "q_lang_id": q_lang_id,
         "q_avg_rollup_w3": q_avg_rollup_w3,
         "q_max_rollup_t1": _pool_query("max", 4, 1, False),
         "q_asof_join": q_asof_join,
