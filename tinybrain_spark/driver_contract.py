@@ -3255,26 +3255,19 @@ FROM seq JOIN uoff USING (user_id)
 """
 
 
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (pipeline op): flag training documents
-    sharing any word-3-gram with the EVAL set (docs with doc_id % 20 ==
-    0 stand in for the benchmark corpus).  Emits (doc_id, n_shared) =
-    distinct contaminated shingles per flagged doc.
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct word-3-gram shingles per document.
 
-    Scale shape: the eval side is tiny in production, so the LEFT SEMI
-    join broadcasts it and the candidate side never fans out — a
-    candidate shingle matches at most once regardless of how many eval
-    docs contain it (the semi-join IS the n-gram-containment test;
-    contrast with the capped self-join that near-dup Jaccard needs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    Per-doc shingle dedup happens IN-ROW (array_distinct before the
+    explode) — no global distinct exchange; downstream queries add only
+    the shuffles their own semantics need.  Assumes >= 3 words per doc
+    (the documents fixture guarantees it; F.sequence would auto-step -1
+    below 3, see CLAUDE.md)."""
     w = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.trim(F.col("text")), " +").alias("ws"),
     )
-    # per-doc shingle dedup in-row (array_distinct) — no global
-    # distinct exchange; the only shuffles left are the tiny eval-side
-    # distinct and the final per-doc count
-    sh = w.select(
+    return w.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -3290,6 +3283,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline op): flag training documents
+    sharing any word-3-gram with the EVAL set (docs with doc_id % 20 ==
+    0 stand in for the benchmark corpus).  Emits (doc_id, n_shared) =
+    distinct contaminated shingles per flagged doc.
+
+    Scale shape: the eval side is tiny in production, so the LEFT SEMI
+    join broadcasts it and the candidate side never fans out — a
+    candidate shingle matches at most once regardless of how many eval
+    docs contain it (the semi-join IS the n-gram-containment test;
+    contrast with the capped self-join that near-dup Jaccard needs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
     bench = (
         sh.where(F.col("doc_id") % 20 == 0).select("sh").distinct()
     )
@@ -3317,6 +3325,115 @@ FROM sh c
 WHERE c.doc_id % 20 <> 0
   AND EXISTS (SELECT 1 FROM sh b WHERE b.doc_id % 20 = 0 AND b.sh = c.sh)
 GROUP BY c.doc_id
+"""
+
+
+# bloom geometry for q_bloom_decontaminate: 512 words * 32 usable bits
+# = 16 Kbit; at sf0.01's ~3k distinct eval shingles the fill ratio is
+# ~0.5 and the k=4 false-positive rate ~6% — small enough that the
+# pre-filter pays, large enough that the oracle actually exercises
+# false positives (n_flagged > n_shared on real rows).
+_BLOOM_M_WORDS = 512
+_BLOOM_K = 4
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (bloom.py): the eval set's
+    word-3-gram shingles fold into a fixed 16 Kbit bloom filter (one
+    map-side-combinable bit_or groupBy over <= 512 rows), the candidate
+    corpus probes it through k=4 BROADCAST joins — zero shuffle added
+    on the corpus side — and only bloom-FLAGGED shingles reach the
+    exact verification join.  Emits per flagged doc: n_flagged (bloom
+    upper bound, includes false positives) and n_shared (exact —
+    agrees with q_decontaminate wherever that query has a row).
+
+    The one-sided bloom guarantee is what the oracle pins cell-for-
+    cell: n_shared <= n_flagged on every row, and no truly-shared
+    shingle is ever missed (a bloom miss is DEFINITELY clean), so the
+    exact join's input shrinks from |corpus shingles| to |flagged|.
+    At 100 TB the filter is a constant 4 KB broadcast however large
+    the blocklist grows, and it merges across sources/days by
+    cell-wise bit_or (bloom.py docstring)."""
+    from . import bloom as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    bench = sh.where(F.col("doc_id") % 20 == 0).select("sh").distinct()
+    filt = B.build_bloom(bench, "sh", m_words=_BLOOM_M_WORDS, k=_BLOOM_K)
+    cand = sh.where(F.col("doc_id") % 20 != 0)
+    probed = B.probe_bloom(
+        cand, "sh", filt, m_words=_BLOOM_M_WORDS, k=_BLOOM_K
+    )
+    flagged = probed.where(F.col("bloom_hit") == 1)
+    verified = flagged.join(
+        F.broadcast(bench.withColumn("_ex", F.lit(1))), "sh", "left"
+    )
+    return verified.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_flagged"),
+        F.sum(F.coalesce(F.col("_ex"), F.lit(0)))
+        .cast("long")
+        .alias("n_shared"),
+    )
+
+
+def _bloom_sql() -> str:
+    """DuckDB replica of build_bloom + probe_bloom: same md5 8-hex-char
+    hash windows, same word/bit split (h // 32, h % 32), same bit_or
+    cell build, same 4-way left join + in-row AND probe."""
+    m_bits = _BLOOM_M_WORDS * 32
+    hx = "\n  UNION ALL\n".join(
+        f"  SELECT (CAST(('0x' || substr(md5(sh), {1 + 8 * i}, 8)) AS"
+        f" BIGINT) % {m_bits}) AS h FROM bench"
+        for i in range(_BLOOM_K)
+    )
+    hcols = ",\n         ".join(
+        f"(CAST(('0x' || substr(md5(sh), {1 + 8 * i}, 8)) AS BIGINT)"
+        f" % {m_bits}) AS h{i}"
+        for i in range(_BLOOM_K)
+    )
+    tests = "\n       * ".join(
+        f"((COALESCE(b{i}.bits, 0) >> CAST(c.h{i} % 32 AS INT)) & 1)"
+        for i in range(_BLOOM_K)
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN bloom b{i} ON b{i}.bucket = c.h{i} // 32"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  WHERE i <= len(ws) - 2
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
+), hx AS (
+{hx}
+), bloom AS (
+  SELECT h // 32 AS bucket,
+         bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+  FROM hx GROUP BY 1
+), cand AS (
+  SELECT doc_id, sh,
+         {hcols}
+  FROM sh WHERE doc_id % 20 <> 0
+), tested AS (
+  SELECT c.doc_id, c.sh,
+         {tests} AS hit
+  FROM cand c
+  {joins}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN t.sh IN (SELECT sh FROM bench)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+FROM tested t
+WHERE t.hit = 1
+GROUP BY t.doc_id
 """
 
 
@@ -4032,8 +4149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04b additions promoted on arrival (never driver-verified)
         "q_wow_delta": q_wow_delta,
         "q_cms_heavy": q_cms_heavy,
-        # engine features
-        "q_continuous_agg": q_continuous_agg,
+        # engine features (q_continuous_agg demoted r04d: green
+        # r01-r03; the cagg family keeps q_stream_cagg_equiv — the SAME
+        # continuous aggregate verified through the streaming path)
         "q_stream_cagg_equiv": q_stream_cagg_equiv,
         "q_gorilla_decode": q_gorilla_decode,
         # training-data pipeline ops
@@ -4054,6 +4172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_decontaminate": q_decontaminate,
+        # r04d: bloom pre-filter + exact verify (never driver-verified,
+        # promoted on arrival)
+        "q_bloom_decontaminate": q_bloom_decontaminate,
         "q_pack_sequences": q_pack_sequences,
         "q_pack_tokens": q_pack_tokens,
         "q_tfidf_terms": q_tfidf_terms,
@@ -4110,10 +4231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_token_count's whitespace stats pair with q_token_count_bpe)
         "q_minhash_pairs": q_minhash_pairs,
         "q_token_count": q_token_count,
-        # r04b tail additions (oracle-gated; promotion candidates)
-        "q_wow_delta": q_wow_delta,
-        "q_cms_heavy": q_cms_heavy,
-        # r04b/r04c demotions (see head comments for the rule each applied)
+        # r04b/r04c/r04d demotions (see head comments for the rule each)
+        "q_continuous_agg": q_continuous_agg,
         "q_value_percentiles": q_value_percentiles,
         "q_lang_id": q_lang_id,
         "q_avg_rollup_w3": q_avg_rollup_w3,
@@ -4230,6 +4349,7 @@ FROM win
         # same components, diameter-independent algorithm, same oracle
         "q_dedup_clusters_star": _dedup_clusters_sql(),
         "q_decontaminate": _DECONTAMINATE,
+        "q_bloom_decontaminate": _bloom_sql(),
         "q_pack_sequences": _PACK_SEQUENCES,
         "q_pack_tokens": _PACK_TOKENS,
         "q_tfidf_terms": _TFIDF_TERMS,
