@@ -220,3 +220,112 @@ def test_continuous_distinct_incremental_equals_full(spark, workdir):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(1, int(0.05 * n)), (k, got[k], n)
+
+
+# -- invalidation-range refresh (late UPDATE/DELETE corrections) ---------
+
+
+def test_coalesce_invalidations_merges_and_collapses():
+    from tinybrain_spark.aggregates import coalesce_invalidations
+
+    got = coalesce_invalidations(
+        [("a", 5, 9), ("a", 1, 3), ("a", 4, 6), ("b", 2, 2)]
+    )
+    # [1,3] and [4,6] are adjacent (closed ranges) -> merge; [5,9] overlaps
+    assert got == [("a", 1, 9), ("b", 2, 2)]
+    # over the cap: collapse each source to its envelope
+    many = [("a", i * 10, i * 10) for i in range(50)] + [("b", 0, 1)]
+    got = coalesce_invalidations(many, max_ranges=8)
+    assert got == [("a", 0, 490), ("b", 0, 1)]
+    with pytest.raises(ValueError):
+        coalesce_invalidations([("a", 5, 4)])
+
+
+def test_refresh_invalidated_equals_full_recompute(spark, base_df, workdir):
+    """Corrections (UPDATEs) to already-folded rows: fold a corrupted v1,
+    refresh the dirty ranges from the corrected raw, end state must equal
+    a full recompute over corrected raw — and untouched source partitions
+    must not be rewritten (file listing identical)."""
+    import os
+
+    from tinybrain_spark.aggregates import refresh_invalidated
+
+    cat = Catalog(spark, workdir)
+    srcs = sorted(
+        r["source"] for r in base_df.select("source").distinct().collect()
+    )
+    dirty_src = srcs[0]  # the hot zipf source
+    clean_src = srcs[1]
+    lo, hi = (
+        base_df.where(F.col("source") == dirty_src)
+        .agg(F.min("time_bucket"), F.max("time_bucket"))
+        .first()
+    )
+    mid = (lo + hi) // 2
+    dirty = (F.col("source") == dirty_src) & F.col("time_bucket").between(
+        lo, mid
+    )
+    v1 = base_df.withColumn(
+        "tokens",
+        F.when(dirty, F.transform("tokens", lambda t: t + 1)).otherwise(
+            F.col("tokens")
+        ),
+    )
+    update_continuous_aggregate(cat, "cr", v1)
+
+    def _files(src):
+        d = os.path.join(workdir, "cr", f"source={src}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = _files(clean_src)
+    result = refresh_invalidated(
+        cat, "cr", base_df, [(dirty_src, int(lo), int(mid))]
+    )
+    assert _state(result) == _state(aggregate_batch(base_df))
+    assert _files(clean_src) == before
+
+
+def test_refresh_invalidated_drops_emptied_source(spark, base_df, workdir):
+    """DELETE correction: every raw row of one source vanishes; the
+    refreshed aggregate must lose that source entirely (partition
+    directory removed, not just left stale)."""
+    import os
+
+    from tinybrain_spark.aggregates import refresh_invalidated
+
+    cat = Catalog(spark, workdir)
+    srcs = sorted(
+        r["source"] for r in base_df.select("source").distinct().collect()
+    )
+    gone_src = srcs[-1]
+    update_continuous_aggregate(cat, "crd", base_df)
+    corrected = base_df.where(F.col("source") != gone_src)
+    result = refresh_invalidated(
+        cat, "crd", corrected, [(gone_src, 0, 1 << 40)]
+    )
+    assert _state(result) == _state(aggregate_batch(corrected))
+    assert not os.path.isdir(
+        os.path.join(workdir, "crd", f"source={gone_src}")
+    )
+
+
+def test_invalidation_predicate_reaches_parquet_scan(spark, base_df, workdir):
+    """The literal OR-of-ranges predicate must push down to the raw scan
+    (PushedFilters on source/time_bucket) — the property that makes the
+    refresh read only the dirty slice at corpus scale."""
+    from tinybrain_spark.aggregates import invalidation_predicate
+
+    raw_dir = f"{workdir}/raw_pd"
+    base_df.write.parquet(raw_dir)
+    raw = spark.read.parquet(raw_dir)
+    pred = invalidation_predicate([("src_00", 10, 20), ("src_01", 5, 7)])
+    plan = (
+        raw.where(pred)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "source" in pushed and "time_bucket" in pushed

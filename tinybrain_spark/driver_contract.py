@@ -509,6 +509,62 @@ def q_stream_cagg_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_cagg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalidation-range refresh under the oracle (the correction path
+    sum-mergeable folding can't express): fold a CORRUPTED v1 of the
+    events-as-sequences table into a stored continuous aggregate (every
+    row whose day-of-epoch % 7 == 3 carries tokens inflated by +3700),
+    then corrections arrive — ``aggregates.refresh_invalidated`` rebuilds
+    ONLY the dirtied (source, day) bucket ranges from the corrected raw
+    (literal pushed-down range predicate; only touched source partitions
+    rewritten).  The refreshed end state must value-hash-equal the full
+    recompute over corrected data — i.e. exactly q_continuous_agg's
+    oracle — which is the TimescaleDB-style invalidation-log invariant.
+    """
+    import shutil
+    import tempfile
+
+    from .aggregates import refresh_invalidated, update_continuous_aggregate
+    from .catalog import Catalog
+
+    seq = _events_as_sequences(spark, sf_dir)
+    day = (F.col("time_bucket") / 86400).cast("long")
+    dirty = day % 7 == F.lit(3)
+    corrupted = seq.withColumn(
+        "tokens",
+        F.when(dirty, F.transform("tokens", lambda t: t + 3700)).otherwise(
+            F.col("tokens")
+        ),
+    )
+    # the invalidation log: one closed bucket range per dirtied
+    # (source, day) — tiny driver-side metadata by construction
+    log = [
+        (r["source"], r["d"] * 86400, r["d"] * 86400 + 86399)
+        for r in seq.where(dirty)
+        .select("source", day.alias("d"))
+        .distinct()
+        .collect()
+    ]
+    work = tempfile.mkdtemp(prefix="tb_cagg_refresh_")
+    try:
+        cat = Catalog(spark, work)
+        update_continuous_aggregate(cat, "cagg", corrupted)
+        refreshed = refresh_invalidated(cat, "cagg", seq, log)
+        out = refreshed.select(
+            F.col("source"),
+            F.col("time_bucket").cast("long").alias("time_bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.col("token_sum").cast("long").alias("token_sum"),
+            F.col("token_min").cast("long").alias("token_min"),
+            F.col("token_max").cast("long").alias("token_max"),
+        )
+        # stored table lives in the temp dir being deleted — pin rows
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .gapfill import gap_fill
 
@@ -4153,6 +4209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r01-r03; the cagg family keeps q_stream_cagg_equiv — the SAME
         # continuous aggregate verified through the streaming path)
         "q_stream_cagg_equiv": q_stream_cagg_equiv,
+        # r04d: invalidation-range refresh (late UPDATE corrections) —
+        # never driver-verified, promoted on arrival
+        "q_cagg_refresh": q_cagg_refresh,
         "q_gorilla_decode": q_gorilla_decode,
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
@@ -4170,7 +4229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green r03, sub-step of q_ann_nn_bucketed which stays)
         "q_minhash_verified_pairs": q_minhash_verified_pairs,
         "q_dedup_clusters_star": q_dedup_clusters_star,
-        "q_ngram_jaccard": q_ngram_jaccard,
+        # (q_ngram_jaccard demoted r04d: green r02/r03, capped-self-join
+        # plan stays pinned; near-dup family keeps minhash verified
+        # pairs + star clusters + the bloom pre-filter in the head)
         "q_decontaminate": q_decontaminate,
         # r04d: bloom pre-filter + exact verify (never driver-verified,
         # promoted on arrival)
@@ -4199,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the reference; q_dedup_clusters: hash-min CC — same output +
         # oracle as q_dedup_clusters_star above, which is the scale path)
         "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
+        "q_ngram_jaccard": q_ngram_jaccard,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
         "q_tile_avg_2d": _tile_query("avg"),
@@ -4329,6 +4391,9 @@ FROM win
         "q_continuous_agg": _CONT_AGG,
         # streaming end state must equal the batch recompute exactly
         "q_stream_cagg_equiv": _CONT_AGG,
+        # refreshed-after-corrections state must equal the full
+        # recompute over corrected raw — the invalidation invariant
+        "q_cagg_refresh": _CONT_AGG,
         "q_gapfill_zero": _GAPFILL,
         "q_gapfill_locf": _GAPFILL_LOCF,
         # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible);
