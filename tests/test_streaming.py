@@ -297,3 +297,111 @@ def test_cms_stream_resume_no_double_count(spark, seq_dir, tmp_path):
         (r.r, r.b): r.c for r in Catalog(spark, wd).read("cms").collect()
     }
     assert again == first
+
+
+# -- CDC correction stream (upsert/delete -> invalidation refresh) -------
+
+
+def _ops_df(spark, rows):
+    """rows: (doc_id, tokens|None, source, time_bucket|None, op)."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), False),
+        StructField("time_bucket", LongType(), True),
+        StructField("op", StringType(), False),
+    ])
+    data = [
+        (d, t, len(t) if t is not None else None, s, b, op)
+        for d, t, s, b, op in rows
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+def test_apply_raw_corrections_upsert_delete_move(spark, workdir):
+    """Upsert replaces by key, delete removes, a bucket-moving upsert
+    dirties BOTH the old and new bucket; ranges cover all of it."""
+    from tinybrain_spark.streaming import apply_raw_corrections
+
+    cat = Catalog(spark, workdir)
+    base = _ops_df(spark, [
+        ("d1", [1, 2], "a", 100, "upsert"),
+        ("d2", [3, 4], "a", 200, "upsert"),
+        ("d3", [5, 6], "b", 100, "upsert"),
+    ])
+    r1 = apply_raw_corrections(cat, "raw", base)
+    assert sorted(r1) == [("a", 100, 200), ("b", 100, 100)]
+    fix = _ops_df(spark, [
+        ("d1", [9, 9], "a", 300, "upsert"),   # moves bucket 100 -> 300
+        ("d3", None, "b", None, "delete"),    # bucket recovered from store
+    ])
+    r2 = apply_raw_corrections(cat, "raw", fix)
+    # a: old bucket 100 + new bucket 300 both dirty; b: stored bucket 100
+    assert sorted(r2) == [("a", 100, 300), ("b", 100, 100)]
+    rows = {
+        r["doc_id"]: (r["source"], r["time_bucket"], list(r["tokens"]))
+        for r in cat.read("raw").collect()
+    }
+    assert rows == {
+        "d1": ("a", 300, [9, 9]),
+        "d2": ("a", 200, [3, 4]),
+    }
+    # b lost its only doc: the partition directory must be gone
+    import os
+    assert not os.path.isdir(os.path.join(workdir, "raw", "source=b"))
+    # idempotency: re-applying the same batch converges
+    r3 = apply_raw_corrections(cat, "raw", fix)
+    assert sorted(r3) == [("a", 300, 300)]  # old row already replaced
+    rows2 = {
+        r["doc_id"]: (r["source"], r["time_bucket"], list(r["tokens"]))
+        for r in cat.read("raw").collect()
+    }
+    assert rows2 == rows
+
+
+def test_correction_stream_end_state_equals_batch(spark, seq_dir, workdir):
+    """Drain a correction stream (corrupted inserts, then fixing
+    upserts + deletes) and require: stored raw == last-op-wins, stored
+    cagg == full recompute over the corrected raw."""
+    from tinybrain_spark.streaming import run_correction_stream
+
+    base = spark.read.parquet(seq_dir)
+    corrupted = base.withColumn(
+        "tokens", F.transform("tokens", lambda t: t + 7)
+    ).withColumn("op", F.lit("upsert"))
+    kill = F.crc32(F.col("doc_id")) % 5 == 0
+    fixes = base.where(~kill).withColumn("op", F.lit("upsert"))
+    deletes = (
+        base.where(kill)
+        .withColumn("tokens", F.lit(None).cast("array<int>"))
+        .withColumn("n_tok", F.lit(None).cast("int"))
+        .withColumn("time_bucket", F.lit(None).cast("long"))
+        .withColumn("op", F.lit("delete"))
+    )
+    cols = ["doc_id", "tokens", "n_tok", "source", "time_bucket", "op"]
+    ops_dir = f"{workdir}/ops"
+    # two files per phase; lexicographic file order doesn't matter
+    # WITHIN a phase (key-disjoint), so write phases separately and let
+    # maxFilesPerTrigger batch them in arbitrary interleavings
+    corrupted.select(cols).repartition(2).write.parquet(ops_dir)
+    fixes.select(cols).unionByName(deletes.select(cols)).repartition(
+        2
+    ).write.parquet(ops_dir, mode="append")
+    q = run_correction_stream(
+        spark, ops_dir, workdir, raw_table="rawc", cagg_table="caggc",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    want_raw = base.where(~kill)
+    got_raw = Catalog(spark, workdir).read("rawc")
+    assert _state(aggregate_batch(got_raw)) == _state(
+        aggregate_batch(want_raw)
+    )
+    got_cagg = Catalog(spark, workdir).read("caggc")
+    assert _state(got_cagg) == _state(aggregate_batch(want_raw))

@@ -565,6 +565,88 @@ def q_cagg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC correction stream under the oracle
+    (streaming.run_correction_stream): micro-batch 1 inserts a CORRUPTED
+    copy of every events-as-sequences row (tokens +7777), micro-batch 2
+    streams the corrections — true-value upserts for surviving rows and
+    DELETEs for event_id % 101 == 0.  Each batch lands on the raw table
+    by key (replace-by-doc_id / delete-by-doc_id, only touched source
+    partitions rewritten) and its invalidation log drives a targeted
+    refresh of the stored continuous aggregate.  The stored end state
+    must value-hash-equal a plain GROUP BY over the corrected raw in
+    DuckDB — upserts un-counted, deleted docs gone, which no append-only
+    fold can express."""
+    import shutil
+    import tempfile
+
+    from .catalog import Catalog
+    from .streaming import run_correction_stream
+
+    seq = _events_as_sequences(spark, sf_dir)
+    kill = F.col("doc_id").cast("long") % 101 == 0
+    cols = ["doc_id", "tokens", "n_tok", "source", "time_bucket", "op"]
+    corrupted = (
+        seq.withColumn("tokens", F.transform("tokens", lambda t: t + 7777))
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("op", F.lit("upsert"))
+        .select(cols)
+    )
+    fixes = (
+        seq.where(~kill)
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("op", F.lit("upsert"))
+        .select(cols)
+    )
+    deletes = (
+        seq.where(kill)
+        .withColumn("tokens", F.lit(None).cast("array<int>"))
+        .withColumn("n_tok", F.lit(None).cast("int"))
+        .withColumn("time_bucket", F.lit(None).cast("long"))
+        .withColumn("op", F.lit("delete"))
+        .select(cols)
+    )
+    work = tempfile.mkdtemp(prefix="tb_upsert_refresh_")
+    try:
+        ops_dir = f"{work}/ops"
+        # phase files are ordered by modification time (FileStreamSource
+        # processes (timestamp, path) ascending); keys are disjoint
+        # WITHIN a phase, so intra-phase file order is immaterial
+        corrupted.repartition(2).write.parquet(ops_dir)
+        fixes.unionByName(deletes).repartition(2).write.parquet(
+            ops_dir, mode="append"
+        )
+        q = run_correction_stream(
+            spark, ops_dir, f"{work}/wh", raw_table="raw",
+            cagg_table="cagg", max_files_per_trigger=2,
+        )
+        q.awaitTermination(600)
+        stored = Catalog(spark, f"{work}/wh").read("cagg").select(
+            F.col("source"),
+            F.col("time_bucket").cast("long").alias("time_bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.col("token_sum").cast("long").alias("token_sum"),
+            F.col("token_min").cast("long").alias("token_min"),
+            F.col("token_max").cast("long").alias("token_max"),
+        )
+        return stored.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_CONT_AGG_CORRECTED = """
+SELECT event_type AS source,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS time_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_sum,
+       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_min,
+       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_max
+FROM events WHERE event_id % 101 <> 0 GROUP BY 1, 2
+"""
+
+
 def q_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .gapfill import gap_fill
 
@@ -4212,6 +4294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04d: invalidation-range refresh (late UPDATE corrections) —
         # never driver-verified, promoted on arrival
         "q_cagg_refresh": q_cagg_refresh,
+        # r04d: CDC upsert/delete stream -> targeted refresh end state
+        "q_stream_upsert_refresh": q_stream_upsert_refresh,
         "q_gorilla_decode": q_gorilla_decode,
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
@@ -4221,7 +4305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are a sub-step of the assembled q_quality_filter gate below;
         # q_lang_id demoted r04c: green r01-r03, text-analysis family
         # keeps q_quality_filter + q_repetition_score + q_tfidf_terms)
-        "q_stratified_sample": q_stratified_sample,
+        # (q_stratified_sample demoted r04d: green r02/r03, single-op
+        # family fully proven — hash-ordered quota plan stays pinned)
         # (q_minhash_signature demoted r04: sub-step of
         # q_minhash_verified_pairs which composes sign+band+verify;
         # q_simhash demoted r04b: green r02/r03, one-exchange plan
@@ -4260,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the reference; q_dedup_clusters: hash-min CC — same output +
         # oracle as q_dedup_clusters_star above, which is the scale path)
         "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
+        "q_stratified_sample": q_stratified_sample,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_stride_rollup_t1": _pool_query("stride", 4, 1, False),
@@ -4394,6 +4480,8 @@ FROM win
         # refreshed-after-corrections state must equal the full
         # recompute over corrected raw — the invalidation invariant
         "q_cagg_refresh": _CONT_AGG,
+        # CDC end state: upserts un-counted, deleted docs gone
+        "q_stream_upsert_refresh": _CONT_AGG_CORRECTED,
         "q_gapfill_zero": _GAPFILL,
         "q_gapfill_locf": _GAPFILL_LOCF,
         # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible);

@@ -333,6 +333,163 @@ def run_cms_stream(
     )
 
 
+def read_correction_stream(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream of CDC-style correction ops against the raw sequence
+    table: sequence columns plus ``op`` in {'upsert', 'delete'}.
+    Deletes carry (doc_id, source) and may leave tokens/n_tok/
+    time_bucket null — the old row's bucket is recovered from the
+    stored table, not trusted from the op."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    fields = [
+        StructField(f.name, f.dataType, True) for f in SEQ_SCHEMA.fields
+    ]
+    schema = StructType(
+        fields
+        + [
+            StructField("time_bucket", LongType(), True),
+            StructField("op", StringType(), False),
+        ]
+    )
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_path)
+
+
+def apply_raw_corrections(
+    catalog: Catalog, table: str, ops: DataFrame
+) -> list[tuple[str, int, int]]:
+    """Apply a batch of upsert/delete ops to the stored raw sequence
+    table and return the invalidation log (closed time-bucket ranges
+    per source) the corrections dirtied — feed to
+    ``aggregates.refresh_invalidated``.
+
+    CONTRACT: ``doc_id`` -> ``source`` is stable (a correction never
+    moves a doc between sources) and every op row carries its source —
+    that is what bounds the scan to the TOUCHED source partitions (an
+    unknown-source delete would have to scan every partition for the
+    key).  Idempotent by construction (replace-by-key + delete-by-key
+    reach the same end state re-applied), which is what foreachBatch
+    needs for exactly-once resume after a crash between the raw write
+    and the checkpoint commit.
+
+    Dirty ranges span BOTH sides of each correction: the op's new
+    bucket (upsert placement) and the stored row's old bucket (a doc
+    whose correction moves it between buckets, or a delete, un-counts
+    where it USED to live)."""
+    ops = ops.localCheckpoint()  # small batch, probed several times
+    touched = sorted(
+        r["source"] for r in ops.select("source").distinct().collect()
+    )
+    keys = ops.select("doc_id").distinct()
+    new_rows = ops.where(F.col("op") == "upsert").select(
+        *[f.name for f in SEQ_SCHEMA.fields], "time_bucket"
+    )
+    dirty = ops.select("source", "time_bucket")
+    if catalog.exists(table):
+        relevant = catalog.read(table).where(F.col("source").isin(touched))
+        old = relevant.join(F.broadcast(keys), "doc_id", "left_semi")
+        dirty = dirty.unionByName(old.select("source", "time_bucket"))
+        keep = relevant.join(F.broadcast(keys), "doc_id", "left_anti")
+        merged = keep.unionByName(new_rows)
+    else:
+        merged = new_rows
+    ranges = [
+        (r["source"], r["lo"], r["hi"])
+        for r in dirty.where(F.col("time_bucket").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.min("time_bucket").alias("lo"),
+            F.max("time_bucket").alias("hi"),
+        )
+        .collect()
+    ]
+    # Stage survivors before touching live partitions — writing a table
+    # onto itself deletes input files mid-read (retention.py does the
+    # same swap; Iceberg's MERGE INTO is the transactional form).
+    staging = f"{table}__corrections_staging"
+    catalog.drop(staging)
+    catalog.write(merged, staging, partition_by=("source",), mode="overwrite")
+    staged_sources: set = set()
+    if catalog.exists(staging):
+        staged = catalog.read(staging)
+        catalog.write(
+            staged, table, partition_by=("source",),
+            mode="overwrite_partitions",
+        )
+        staged_sources = {
+            r["source"] for r in staged.select("source").distinct().collect()
+        }
+    for source in set(touched) - staged_sources:
+        # every doc of this source deleted: dynamic overwrite wrote
+        # nothing, drop the partition directory explicitly
+        catalog.drop(f"{table}/source={source}")
+    catalog.drop(staging)
+    return ranges
+
+
+def run_correction_stream(
+    spark: SparkSession,
+    input_path: str,
+    warehouse: str,
+    raw_table: str = "raw_seq",
+    cagg_table: str = "cagg_corr",
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """The CDC pipeline the append-only fold can't be: a stream of
+    upsert/delete corrections lands on the raw table
+    (``apply_raw_corrections``) and each batch's invalidation log
+    drives a targeted ``refresh_invalidated`` of the stored continuous
+    aggregate — only dirtied (source, bucket-range) groups recompute,
+    only touched source partitions rewrite, and the stored cagg always
+    equals a full recompute over the corrected raw (pinned in tests and
+    under the DuckDB oracle via q_stream_upsert_refresh).  Exactly-once
+    per batch id: both steps are idempotent, so a replayed micro-batch
+    converges to the same tables."""
+    from .aggregates import refresh_invalidated
+
+    catalog = Catalog(spark, warehouse)
+    stream = read_correction_stream(spark, input_path, max_files_per_trigger)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ranges = apply_raw_corrections(catalog, raw_table, batch_df)
+        if not ranges:
+            return
+        if catalog.exists(raw_table):
+            refresh_invalidated(
+                catalog, cagg_table, catalog.read(raw_table), ranges
+            )
+        else:
+            # the batch deleted the last surviving raw rows — the dirty
+            # sources must vanish from the aggregate too
+            for s in sorted({s for s, _, _ in ranges}):
+                catalog.drop(f"{cagg_table}/source={s}")
+
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{warehouse}/_checkpoints/{cagg_table}",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query
+
+
 def run_incremental_stream(
     spark: SparkSession,
     input_path: str,
