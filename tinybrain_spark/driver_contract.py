@@ -647,6 +647,58 @@ FROM events WHERE event_id % 101 <> 0 GROUP BY 1, 2
 """
 
 
+def q_serve_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving layer under the oracle: materialize an avg pyramid
+    only to tier 1, then ask ``serving.read_series`` for resolution
+    w^2 = 16 — the planner routes to the coarsest materialized tier (1)
+    and extends ONE residual step in-flight with the same persisted-
+    accumulator kernel the builder uses.  The served series must
+    value-hash-equal the tier-2 oracle (_AVG_T2) — i.e. be identical to
+    a pyramid that HAD been materialized two tiers deep.  (Until r04d
+    serving was only pytest-pinned; this puts the route-and-extend path
+    behind the driver gate.)
+
+    Scale shape: tier 1 holds w times fewer points than raw, the
+    source/time predicates (none here) hit the tier scan before the
+    UDF, and the residual step is one mapInArrow pass over the served
+    slice only."""
+    import shutil
+    import tempfile
+
+    from .rollup import RollupConfig, RollupEngine
+    from .serving import read_series
+
+    tt = token_table(spark, sf_dir)
+    base = tt.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        "tokens",
+        F.size("tokens").alias("n_tok"),
+        # spread the pyramid over real partitions: source is the
+        # engine's partition key
+        (F.col("user_id") % 8).cast("string").alias("source"),
+        F.col("user_id").cast("long").alias("time_bucket"),
+    )
+    work = tempfile.mkdtemp(prefix="tb_serve_")
+    try:
+        engine = RollupEngine(spark, work)
+        cfg = RollupConfig(
+            kernel="avg", window=4, num_tiers=1, run_kind="serve_q"
+        )
+        engine.run_pyramid(base, cfg)
+        served = read_series(engine, cfg, base, resolution=16)
+        out = served.select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.posexplode("tokens").alias("pos", "token"),
+        ).select(
+            "user_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("token").cast("long").alias("token"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .gapfill import gap_fill
 
@@ -4296,8 +4348,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_rollup_w8_t2": _long_pool_query("avg", 8, 2, False, W8_UNIT),
         # float tiers (4^(m+1) divisor) + non-PoT generic window
         "q_avg_float_t2": q_avg_float_t2,
-        "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
+        # (q_mode_rollup_t1 demoted r04d: green r01-r03; mode family
+        # keeps the w=8 scan-order rep below)
         "q_mode8_rollup_t1": _pool_query("mode", 8, 1, False),
+        # r04d: serving route-and-extend behind the oracle for the
+        # first time (tier-1 pyramid served at w^2 == the t2 oracle)
+        "q_serve_resolution": q_serve_resolution,
         # (q_stride_rollup_t1, q_tile_avg_2d demoted r04: stride/tile
         # families fully proven — every member >=2 green rounds;
         # q_avg_rollup_w3 demoted r04b: generic-factor variant green
@@ -4407,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the reference; q_dedup_clusters: hash-min CC — same output +
         # oracle as q_dedup_clusters_star above, which is the scale path)
         "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
+        "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
         "q_dedup_exact": q_dedup_exact,
         "q_stratified_sample": q_stratified_sample,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -4464,6 +4521,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_avg_rollup_t1": _AVG_T1,
         "q_avg_rollup_t2": _AVG_T2,
+        # serving tier-1 + one in-flight residual step must equal the
+        # fully-materialized tier-2 pyramid — the same oracle
+        "q_serve_resolution": _AVG_T2,
         "q_avg_rollup_w8": SEQ_CTE
         + """
 SELECT CAST(user_id AS BIGINT) AS user_id,
