@@ -699,6 +699,115 @@ def q_serve_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_retention_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention enforcement under the oracle: materialize tier 1 of an
+    avg pyramid, enforce a keep-the-newest-half policy
+    (retention.enforce_retention — partition-level rewrite of touched
+    sources only, cutoff measured from the data horizon so the drop is
+    real at EVERY scale factor), and return the SURVIVING tier rows.
+    The result must value-hash-equal the tier-1 oracle restricted to
+    the same cutoff — i.e. enforcement dropped exactly the expired
+    buckets and nothing else.  (Until r04d retention was only
+    pytest-pinned; this grades it in the driver.)"""
+    import shutil
+    import tempfile
+
+    from .retention import RetentionPolicy, enforce_retention
+    from .rollup import RollupConfig, RollupEngine
+
+    tt = token_table(spark, sf_dir)
+    base = tt.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        "tokens",
+        F.size("tokens").alias("n_tok"),
+        (F.col("user_id") % 8).cast("string").alias("source"),
+        F.col("user_id").cast("long").alias("time_bucket"),
+    )
+    work = tempfile.mkdtemp(prefix="tb_retention_q_")
+    try:
+        engine = RollupEngine(spark, work)
+        cfg = RollupConfig(
+            kernel="avg", window=4, num_tiers=1, run_kind="ret_q"
+        )
+        engine.run_pyramid(base, cfg)
+        # keep the newest half of the bucket domain: cutoff == mx // 2
+        mx = int(base.agg(F.max("time_bucket")).first()[0])
+        enforce_retention(
+            engine.catalog,
+            cfg.name(1),
+            tier=1,
+            policy=RetentionPolicy({1: mx - mx // 2 + 1}),
+            newest_bucket=mx,
+        )
+        survivors = engine.read_tier(cfg, 1)
+        out = survivors.select(
+            F.col("doc_id").cast("long").alias("user_id"),
+            F.posexplode("tokens").alias("pos", "token"),
+        ).select(
+            "user_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("token").cast("long").alias("token"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# tier-1 oracle restricted to the retention window: time_bucket is the
+# user id in this fixture, so the data horizon is max(user_id) and the
+# keep-newest-half cutoff is max // 2 (both integer floor)
+_RETENTION_T1 = SEQ_CTE + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(pos // 4 AS BIGINT) AS pos,
+       CAST(sum(tok) // 4 AS BIGINT) AS token
+FROM seq
+WHERE user_id >= (SELECT max(user_id) // 2 FROM seq)
+GROUP BY user_id, pos // 4
+"""
+
+
+def q_cagg_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous aggregate: the DAILY rollup derived from
+    the stored HOURLY states (combine_states over the coarser key) —
+    never from raw.  Sum-mergeable state is closed under re-bucketing,
+    so the derived daily table must equal a direct daily GROUP BY over
+    raw events — the property that lets a 100 TB pipeline maintain one
+    fine cagg and serve every coarser granularity from it (hourly is
+    ~3000x smaller than raw; the daily derivation shuffles only cagg
+    rows)."""
+    from .aggregates import aggregate_batch, combine_states
+
+    hourly = aggregate_batch(_events_as_sequences(spark, sf_dir))
+    daily = combine_states(
+        hourly.withColumn(
+            "time_bucket",
+            (F.col("time_bucket") - F.pmod(F.col("time_bucket"), 86400))
+            .cast("long"),
+        )
+    )
+    return daily.select(
+        F.col("source"),
+        F.col("time_bucket").cast("long").alias("time_bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("token_sum").cast("long").alias("token_sum"),
+        F.col("token_min").cast("long").alias("token_min"),
+        F.col("token_max").cast("long").alias("token_max"),
+    )
+
+
+_CONT_AGG_DAILY = """
+SELECT event_type AS source,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS time_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_sum,
+       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_min,
+       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS token_max
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_gapfill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .gapfill import gap_fill
 
@@ -4342,7 +4451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_avg_rollup_t1 demoted r04: q_avg_rollup_t5 is the same
         # kernel, deeper, and crosses the cycle renorm — strict superset;
         # t1 green r01-r03 and still the entry() flagship smoke)
-        "q_avg_sparse_t1": _pool_query("avg", 4, 1, True),
+        # (q_avg_sparse_t1 demoted r04d: green r01-r03; every sparse
+        # member has >=2 green records — t5/w8_t2 driver-verified r02)
         # deep tiers crossing the cycle-renorm boundary (pyx:224,240-241)
         "q_avg_rollup_t5": _long_pool_query("avg", 4, 5, False, LONG_UNIT),
         "q_avg_rollup_w8_t2": _long_pool_query("avg", 8, 2, False, W8_UNIT),
@@ -4399,7 +4509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps the linear-interpolation superset;
         # q_value_percentiles demoted r04c: green r02/r03, quantile
         # family keeps q_histogram_quantile in the head)
-        "q_unique_docs_anti": q_unique_docs_anti,
+        # (q_unique_docs_anti demoted r04d: green r02/r03; set-op
+        # family fully proven across rounds)
         # r04b additions promoted on arrival (never driver-verified)
         "q_wow_delta": q_wow_delta,
         "q_cms_heavy": q_cms_heavy,
@@ -4412,6 +4523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cagg_refresh": q_cagg_refresh,
         # r04d: CDC upsert/delete stream -> targeted refresh end state
         "q_stream_upsert_refresh": q_stream_upsert_refresh,
+        # r04d: daily cagg derived from hourly STATES (never raw)
+        "q_cagg_hierarchy": q_cagg_hierarchy,
+        # r04d: retention enforcement graded in the driver
+        "q_retention_ladder": q_retention_ladder,
         "q_gorilla_decode": q_gorilla_decode,
         # training-data pipeline ops
         # (q_dedup_exact demoted r04d: green r01-r03; every exact-dedup
@@ -4463,6 +4578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the reference; q_dedup_clusters: hash-min CC — same output +
         # oracle as q_dedup_clusters_star above, which is the scale path)
         "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
+        "q_avg_sparse_t1": _pool_query("avg", 4, 1, True),
+        "q_unique_docs_anti": q_unique_docs_anti,
         "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
         "q_dedup_exact": q_dedup_exact,
         "q_stratified_sample": q_stratified_sample,
@@ -4606,6 +4723,10 @@ FROM win
         # CDC end state: upserts un-counted, deleted docs gone
         "q_stream_upsert_refresh": _CONT_AGG_CORRECTED,
         "q_rolling_distinct": _ROLLING_DISTINCT,
+        # daily-from-hourly re-bucketing must equal a direct daily GROUP BY
+        "q_cagg_hierarchy": _CONT_AGG_DAILY,
+        # survivors == tier-1 oracle restricted to the retention window
+        "q_retention_ladder": _RETENTION_T1,
         "q_gapfill_zero": _GAPFILL,
         "q_gapfill_locf": _GAPFILL_LOCF,
         # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible);
