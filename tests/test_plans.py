@@ -190,3 +190,37 @@ def test_cusum_zero_unpartitioned_windows(spark):
     assert_no_unpartitioned_windows(
         dc.queries()["q_cusum_alarm"](spark, SF_DIR)
     )
+
+
+def test_rolling_distinct_bounded_expand_broadcast_join(spark):
+    """q_rolling_distinct: the 24x fan-out rides on DEDUPED triples and
+    the real-hours filter is a broadcast hash join — never a sort-merge
+    join or a range self-join over raw events."""
+    plan = _plan(dc.q_rolling_distinct(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    # formatted plans print each node twice (tree + detail); the
+    # tree form pins exactly one join
+    assert plan.count("BroadcastHashJoin Inner BuildRight") == 1
+    # explode sits ABOVE a HashAggregate (the dedup), not on the scan
+    assert "explode(sequence(" in plan
+
+
+def test_cagg_hierarchy_single_scan_two_aggregates(spark):
+    """q_cagg_hierarchy: daily derives from hourly STATES — one events
+    scan, the hourly aggregate, and a re-bucketing aggregate over cagg
+    rows only (no second scan, no join)."""
+    plan = _plan(dc.q_cagg_hierarchy(spark, SF_DIR))
+    # one scan == two mentions (tree + node detail) in formatted plans
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+
+
+def test_bloom_probe_corpus_side_shuffle_free(spark):
+    """q_bloom_decontaminate: the candidate-corpus branch reaches the
+    verification join without any exchange of its own — all hash
+    probes are in-row against the single broadcast bloom row."""
+    plan = _plan(dc.q_bloom_decontaminate(spark, SF_DIR))
+    # one single-row pack + the final per-doc count; the eval-side
+    # distinct + bloom build; nothing on the corpus probe path
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "SortMergeJoin" not in plan
