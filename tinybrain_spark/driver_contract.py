@@ -1330,6 +1330,86 @@ GROUP BY 1, 2
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly series
+    per event_type: trend = centered 25h moving average (RANGE frame on
+    the hour index, so missing hours shrink the frame instead of
+    misaligning a ROWS frame), seasonal = per hour-of-day mean of the
+    detrended series, residual = x - trend - seasonal.  All arithmetic
+    is integer with truncate-toward-zero division (Spark DIV == DuckDB
+    // on negatives, CLAUDE.md) so the oracle matches bit-for-bit.
+
+    Scale shape: everything runs over the HOURLY pre-aggregate (~3000x
+    smaller than events); the trend window partitions by event_type
+    over at most hours-of-history rows per key (87k rows per decade —
+    bounded by the calendar, same envelope as q_counter_rate), and the
+    24-row-per-type seasonal table broadcasts back into the join."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("b").rangeBetween(-12, 12)
+    tr = (
+        hourly.withColumn("_s", F.sum("n").over(w))
+        .withColumn("_c", F.count("*").over(w))
+        .withColumn("trend", F.expr("_s DIV _c"))
+        .withColumn("d", F.col("n") - F.col("trend"))
+        .withColumn("phase", F.col("b") % 24)
+    )
+    se = tr.groupBy("event_type", "phase").agg(
+        F.sum("d").alias("_sd"), F.count("*").alias("_cd")
+    ).withColumn("seasonal", F.expr("_sd DIV _cd"))
+    return (
+        tr.join(
+            F.broadcast(se.select("event_type", "phase", "seasonal")),
+            ["event_type", "phase"],
+        )
+        .select(
+            "event_type",
+            (F.col("b") * 3600).cast("long").alias("hb"),
+            F.col("n"),
+            F.col("trend").cast("long").alias("trend"),
+            F.col("seasonal").cast("long").alias("seasonal"),
+            (F.col("d") - F.col("seasonal")).cast("long").alias("resid"),
+        )
+    )
+
+
+_SEASONAL_DECOMPOSE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, b, n,
+         sum(n) OVER w // count(*) OVER w AS trend
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY b
+               RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), se AS (
+  SELECT event_type, b % 24 AS phase,
+         sum(n - trend) // count(*) AS seasonal
+  FROM tr GROUP BY 1, 2
+)
+SELECT tr.event_type,
+       CAST(tr.b * 3600 AS BIGINT) AS hb,
+       tr.n,
+       CAST(tr.trend AS BIGINT) AS trend,
+       CAST(se.seasonal AS BIGINT) AS seasonal,
+       CAST(tr.n - tr.trend - se.seasonal AS BIGINT) AS resid
+FROM tr JOIN se ON se.event_type = tr.event_type
+               AND se.phase = tr.b % 24
+"""
+
+
 COUNTER_WRAP = 100000  # synthetic counter modulus (forces resets)
 
 
@@ -4473,7 +4553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery fully covered by the CUBE superset below;
         # q_topk_users demoted r04: TakeOrderedAndProject family keeps
         # q_top_tokens in the head, plan pin test_plans.py:70 stands)
-        "q_cube_metrics": q_cube_metrics,
+        # (q_cube_metrics demoted r04d: green r02/r03; grouping-sets
+        # family fully proven — rollup rep green r01/r02 in the tail)
         "q_time_weighted_avg": q_time_weighted_avg,
         # (q_asof_join demoted r04b: backward direction green r02/r03;
         # the as-of family keeps fwd + tol + nearest below)
@@ -4514,6 +4595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04b additions promoted on arrival (never driver-verified)
         "q_wow_delta": q_wow_delta,
         "q_cms_heavy": q_cms_heavy,
+        # r04d: classical additive decomposition (trend/seasonal/resid)
+        "q_seasonal_decompose": q_seasonal_decompose,
         # engine features (q_continuous_agg demoted r04d: green
         # r01-r03; the cagg family keeps q_stream_cagg_equiv — the SAME
         # continuous aggregate verified through the streaming path)
@@ -4579,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle as q_dedup_clusters_star above, which is the scale path)
         "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
         "q_avg_sparse_t1": _pool_query("avg", 4, 1, True),
+        "q_cube_metrics": q_cube_metrics,
         "q_unique_docs_anti": q_unique_docs_anti,
         "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
         "q_dedup_exact": q_dedup_exact,
@@ -4723,6 +4807,7 @@ FROM win
         # CDC end state: upserts un-counted, deleted docs gone
         "q_stream_upsert_refresh": _CONT_AGG_CORRECTED,
         "q_rolling_distinct": _ROLLING_DISTINCT,
+        "q_seasonal_decompose": _SEASONAL_DECOMPOSE,
         # daily-from-hourly re-bucketing must equal a direct daily GROUP BY
         "q_cagg_hierarchy": _CONT_AGG_DAILY,
         # survivors == tier-1 oracle restricted to the retention window
