@@ -96,3 +96,70 @@ def test_pipeline_job_end_to_end(spark, workdir, capsys):
     assert stats["filled_rows"] >= stats["cagg_rows"]
     assert stats["blob_bytes"] < stats["raw_bytes"]  # compression won
     assert stats["retention"]["rows_dropped"] > 0  # tight policy bites
+
+
+def test_corrections_job_cli(spark, workdir, capsys):
+    """Drive the CDC corrections CLI main(): corrupted inserts then
+    fixes+deletes drain through the stream; the stored cagg must equal a
+    full recompute over the corrected raw."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import corrections_job
+
+    from tinybrain_spark.aggregates import aggregate_batch
+
+    base = generate(spark, n_docs=80, n_tok=32, seed=21, num_partitions=2)
+    kill = F.crc32(F.col("doc_id")) % 4 == 0
+    cols = ["doc_id", "tokens", "n_tok", "source", "time_bucket", "op"]
+    corrupted = base.withColumn(
+        "tokens", F.transform("tokens", lambda t: t + 3)
+    ).withColumn("op", F.lit("upsert")).select(cols)
+    fixes = base.where(~kill).withColumn("op", F.lit("upsert")).select(cols)
+    deletes = (
+        base.where(kill)
+        .withColumn("tokens", F.lit(None).cast("array<int>"))
+        .withColumn("n_tok", F.lit(None).cast("int"))
+        .withColumn("time_bucket", F.lit(None).cast("long"))
+        .withColumn("op", F.lit("delete"))
+        .select(cols)
+    )
+    ops_dir = os.path.join(workdir, "ops")
+    corrupted.repartition(2).write.parquet(ops_dir)
+    fixes.unionByName(deletes).repartition(2).write.parquet(
+        ops_dir, mode="append"
+    )
+
+    import tinybrain_spark.session as sess
+
+    orig = sess.get_spark
+    spark.stop = lambda: None
+    try:
+        sess.get_spark = lambda *a, **k: spark
+        rc = corrections_job.main([
+            "--ops-input", ops_dir,
+            "--warehouse", os.path.join(workdir, "wh"),
+            "--max-files-per-trigger", "1",
+            "--timeout-sec", "600",
+        ])
+    finally:
+        sess.get_spark = orig
+        del spark.stop
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    stats = json.loads(line)
+
+    cat = Catalog(spark, os.path.join(workdir, "wh"))
+    want = {
+        (r["source"], r["time_bucket"]): (r["n_docs"], r["token_sum"])
+        for r in aggregate_batch(base.where(~kill)).collect()
+    }
+    got = {
+        (r["source"], r["time_bucket"]): (r["n_docs"], r["token_sum"])
+        for r in cat.read("cagg").collect()
+    }
+    assert got == want
+    assert stats["raw_rows"] == base.where(~kill).count()
+    assert stats["cagg_rows"] == len(want)
