@@ -1410,6 +1410,182 @@ FROM tr JOIN se ON se.event_type = tr.event_type
 """
 
 
+_KMV_K = 64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch under the value-hash oracle (kmv.py): per
+    event_type, the k=64 smallest distinct hashes of (user, day) visit
+    pairs, the resulting cardinality estimate, and the exact count next
+    to it.  Every output is deterministic integer math (md5 hashes,
+    truncating division with the subtract-pmod trick), so DuckDB
+    recomputes the sketch bit-for-bit — the same evidence class as the
+    bloom/CMS sketches, but for distinct counting with SET-OPERATION
+    support (see q_kmv_overlap)."""
+    from .kmv import build_kmv, kmv_estimate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("_"),
+            (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+            .cast("long")
+            .cast("string"),
+        ).alias("visit"),
+    )
+    sk = build_kmv(ev, ["event_type"], "visit", k=_KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("visit").cast("long").alias("n_exact")
+    )
+    return (
+        sk.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            F.size("kmin").cast("long").alias("n_kmin"),
+            F.element_at(
+                F.col("kmin"), F.least(F.lit(_KMV_K), F.size("kmin"))
+            ).cast("long").alias("t_hash"),
+            kmv_estimate(F.col("kmin"), _KMV_K).cast("long").alias("est"),
+            "n_exact",
+        )
+    )
+
+
+_KMV_DISTINCT = f"""
+WITH v AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS VARCHAR) || '_' ||
+         CAST(CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+              AS VARCHAR) AS visit
+  FROM events
+), h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(visit), 1, 8)) AS BIGINT) AS h
+  FROM v
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_h
+  FROM h
+), s AS (
+  SELECT event_type,
+         count(*) AS n_kmin,
+         max(h) AS t_hash,
+         min(n_h) AS n_h
+  FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+), x AS (
+  SELECT event_type, count(DISTINCT visit) AS n_exact FROM v GROUP BY 1
+)
+SELECT s.event_type,
+       CAST(s.n_kmin AS BIGINT) AS n_kmin,
+       CAST(s.t_hash AS BIGINT) AS t_hash,
+       CAST(CASE WHEN s.n_h < {_KMV_K} THEN s.n_kmin
+            ELSE {_KMV_K - 1} * (4294967296 // s.t_hash) END AS BIGINT)
+         AS est,
+       CAST(x.n_exact AS BIGINT) AS n_exact
+FROM s JOIN x USING (event_type)
+"""
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates from KMV sketches — what HLL cannot do:
+    for every event-type pair, estimate the union and INTERSECTION of
+    their user sets from two 64-hash sketches alone (kmv_merge keeps
+    the union's k-min in-row; members of it seen in BOTH sketches are
+    real shared users), with the exact overlap next to it.  Pair
+    analytics touch only sketch rows — at 100 TB the corpus is hashed
+    once per source and every pairwise comparison is in-row array math
+    over 64-length arrays."""
+    from .kmv import build_kmv, kmv_union_intersect
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    sk = build_kmv(ev, ["event_type"], "u", k=_KMV_K)
+    a = sk.select(F.col("event_type").alias("ta"), F.col("kmin").alias("ka"))
+    b = sk.select(F.col("event_type").alias("tb"), F.col("kmin").alias("kb"))
+    pairs = a.join(b, F.col("ta") < F.col("tb"))
+    est = kmv_union_intersect(pairs, "ka", "kb", _KMV_K)
+    du = ev.distinct()
+    ex = (
+        du.select(F.col("event_type").alias("ta"), "u")
+        .join(du.select(F.col("event_type").alias("tb"), "u"), "u")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("long").alias("n_users_both"))
+    )
+    return est.join(F.broadcast(ex), ["ta", "tb"], "left").select(
+        "ta",
+        "tb",
+        F.col("union_est"),
+        F.col("n_common"),
+        F.col("intersect_est"),
+        F.coalesce(F.col("n_users_both"), F.lit(0).cast("long")).alias(
+            "n_users_both"
+        ),
+    )
+
+
+_KMV_OVERLAP = f"""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM u
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type, h FROM r WHERE rn <= {_KMV_K}
+), tt AS (SELECT DISTINCT event_type FROM events
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM tt a JOIN tt b ON a.event_type < b.event_type
+), uni AS (
+  SELECT p.ta, p.tb, s.h
+  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3
+), m AS (
+  SELECT ta, tb, h,
+         row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY ta, tb) AS n_all
+  FROM uni
+), mk AS (
+  SELECT ta, tb, h, n_all FROM m WHERE rn <= {_KMV_K}
+), agg AS (
+  SELECT ta, tb, count(*) AS sz, max(h) AS t, min(n_all) AS n_all
+  FROM mk GROUP BY 1, 2
+), common AS (
+  SELECT mk.ta, mk.tb, count(*) AS n_common
+  FROM mk
+  JOIN sk sa ON sa.event_type = mk.ta AND sa.h = mk.h
+  JOIN sk sb ON sb.event_type = mk.tb AND sb.h = mk.h
+  GROUP BY 1, 2
+), ex AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_users_both
+  FROM u a JOIN u b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), est AS (
+  SELECT agg.ta, agg.tb,
+         CAST(CASE WHEN agg.n_all < {_KMV_K} THEN agg.sz
+              ELSE {_KMV_K - 1} * (4294967296 // agg.t) END AS BIGINT)
+           AS union_est,
+         CAST(COALESCE(common.n_common, 0) AS BIGINT) AS n_common
+  FROM agg LEFT JOIN common USING (ta, tb)
+)
+SELECT est.ta, est.tb, est.union_est, est.n_common,
+       CAST((est.n_common * est.union_est) // {_KMV_K} AS BIGINT)
+         AS intersect_est,
+       CAST(COALESCE(ex.n_users_both, 0) AS BIGINT) AS n_users_both
+FROM est LEFT JOIN ex USING (ta, tb)
+"""
+
+
 COUNTER_WRAP = 100000  # synthetic counter modulus (forces resets)
 
 
@@ -4537,7 +4713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_rollup_t5": _long_pool_query("avg", 4, 5, False, LONG_UNIT),
         "q_avg_rollup_w8_t2": _long_pool_query("avg", 8, 2, False, W8_UNIT),
         # float tiers (4^(m+1) divisor) + non-PoT generic window
-        "q_avg_float_t2": q_avg_float_t2,
+        # (q_avg_float_t2 demoted r04d: green r02/r03; avg family
+        # keeps the deeper renorm-crossing reps t5 + w8_t2)
         # (q_mode_rollup_t1 demoted r04d: green r01-r03; mode family
         # keeps the w=8 scan-order rep below)
         "q_mode8_rollup_t1": _pool_query("mode", 8, 1, False),
@@ -4597,6 +4774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_heavy": q_cms_heavy,
         # r04d: classical additive decomposition (trend/seasonal/resid)
         "q_seasonal_decompose": q_seasonal_decompose,
+        # r04d: KMV sketch — distinct estimate + set-operation overlap
+        "q_kmv_distinct": q_kmv_distinct,
+        "q_kmv_overlap": q_kmv_overlap,
         # engine features (q_continuous_agg demoted r04d: green
         # r01-r03; the cagg family keeps q_stream_cagg_equiv — the SAME
         # continuous aggregate verified through the streaming path)
@@ -4648,7 +4828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_ann_topk demoted r04: same exact-cosine semantics as
         # q_ann_topk_blocked — the GEMM-blocked scale path stays;
         # q_embed_stats demoted r04: embedding family keeps 4 reps here)
-        "q_ann_topk_blocked": q_ann_topk_blocked,
+        # (q_ann_topk_blocked demoted r04d: green r01/r03; ANN family
+        # keeps IVF + bucketed-NN in the head)
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_ann_nn_bucketed": q_ann_nn_bucketed,
         # (q_multimodal_meta demoted r04: binary-plumbing family keeps
@@ -4663,6 +4844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
         "q_avg_sparse_t1": _pool_query("avg", 4, 1, True),
         "q_cube_metrics": q_cube_metrics,
+        "q_avg_float_t2": q_avg_float_t2,
+        "q_ann_topk_blocked": q_ann_topk_blocked,
         "q_unique_docs_anti": q_unique_docs_anti,
         "q_mode_rollup_t1": _pool_query("mode", 4, 1, False),
         "q_dedup_exact": q_dedup_exact,
@@ -4808,6 +4991,8 @@ FROM win
         "q_stream_upsert_refresh": _CONT_AGG_CORRECTED,
         "q_rolling_distinct": _ROLLING_DISTINCT,
         "q_seasonal_decompose": _SEASONAL_DECOMPOSE,
+        "q_kmv_distinct": _KMV_DISTINCT,
+        "q_kmv_overlap": _KMV_OVERLAP,
         # daily-from-hourly re-bucketing must equal a direct daily GROUP BY
         "q_cagg_hierarchy": _CONT_AGG_DAILY,
         # survivors == tier-1 oracle restricted to the retention window
