@@ -215,6 +215,50 @@ def test_cagg_hierarchy_single_scan_two_aggregates(spark):
     assert "Join" not in plan
 
 
+def test_acf_prunes_scan_no_windows_no_cartesian(spark):
+    """r04e: q_acf_lags pairs AGGREGATED hourly buckets — the events
+    scan prunes to (ts, event_type), the spine join is never a
+    cartesian, and no window (partitioned or not) appears anywhere."""
+    df = dc.queries()["q_acf_lags"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    sch = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "value" not in sch and "props" not in sch
+    assert "user_id" not in sch
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+
+
+def test_xcorr_pushes_type_filter_to_scan(spark):
+    """r04e: q_xcorr_types reads only the two series' events — the
+    event_type IN (...) predicate must reach the parquet scan."""
+    plan = _plan(dc.queries()["q_xcorr_types"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "event_type" in pushed
+
+
+def test_dup_spans_no_pair_join(spark):
+    """r04e: substring dedup never joins documents against documents —
+    the flagged-window semi-join keys on the window text (linear in
+    corpus tokens), and the distinct-doc count dedups IN-ROW via
+    array_distinct before its single exchange."""
+    plan = _plan(dc.queries()["q_dup_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_distinct" in plan
+
+
+def test_source_overlap_pairs_generated_in_row(spark):
+    """r04e: the overlap matrix emits source pairs from each shingle's
+    collected source-set IN-ROW — no self-join of the shingle table;
+    the only joins are the two broadcast total lookups."""
+    plan = _plan(dc.queries()["q_source_overlap"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Join") == 2, tree
+    assert "BroadcastHashJoin" in tree
+
+
 def test_bloom_probe_corpus_side_shuffle_free(spark):
     """q_bloom_decontaminate: the candidate-corpus branch reaches the
     verification join without any exchange of its own — all hash

@@ -2407,6 +2407,256 @@ FROM hourly c JOIN hourly p
 """
 
 
+ACF_MAX_LAG = 3      # autocorrelation lags 1..3 (hours)
+ACF_N_BITS = 16      # per-bucket counts < 2^16 …
+ACF_SPINE_MAX = 1 << 15  # … and spines < 2^15 buckets keep every
+#                          cross-moment product below 2^63 (see docstring)
+
+
+def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tb, n): events per (event_type, hour-bucket), with the
+    integer-overflow domain guard shared by the correlation queries —
+    any bucket holding >= 2^16 events raises rather than silently
+    wrapping a downstream product."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.col("event_type").alias("source"),
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("tb"),
+        )
+        .groupBy("source", "tb")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    nmax = 1 << ACF_N_BITS
+    return hourly.select(
+        "source",
+        "tb",
+        F.when(F.col("n") < nmax, F.col("n"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"correlation queries: bucket count >= 2^"
+                        f"{ACF_N_BITS} breaks the overflow budget: "
+                    ),
+                    F.col("n").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("n"),
+    )
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation structure of each event type's hourly count
+    series at lags 1..3 — the seasonality/persistence diagnostic behind
+    every forecasting pipeline.  The series is zero-filled over the
+    global hour spine first (a gap IS a 0-count observation), then each
+    lag pairs (x_t, x_{t+k}) via an equi-join of the filled series with
+    itself shifted by k.
+
+    Float-free contract: Pearson's r needs a sqrt, so the query emits
+    the EXACT integer moment numerators instead — ``cov_num = n*Sxy -
+    Sx*Sy`` and the two variance numerators — from which r is
+    ``cov_num / sqrt(var_head * var_tail)``; both engines agree
+    bit-for-bit on the integers.  Overflow budget: counts < 2^16
+    (runtime raise in _hourly_counts) and spine < 2^15 buckets (raise
+    here) keep ``n_pairs * Sxy < 2^15 * 2^15 * 2^32 = 2^62``.
+
+    Shape: one map-side-combinable groupBy to the ~3000x-reduced hourly
+    table, a broadcast 1-row bounds aggregate, one spine join, then a
+    self equi-join and final groupBy — every shuffled row is an
+    AGGREGATED bucket, never a raw event.  At 10^12 events the filled
+    table is |types| * |hours| rows; for multi-year spines shard the
+    series by season before pairing (the guard raise names the knob)."""
+    from .gapfill import gap_fill
+
+    hourly = _hourly_counts(spark, sf_dir)
+    filled = gap_fill(hourly, ["source"], "tb", ["n"], policy="zero")
+    base = filled.select(
+        "source", "tb", F.col("n").cast("long").alias("n")
+    )
+    spine_guard = base.groupBy("source").agg(
+        F.count("*").alias("_len")
+    ).select(
+        F.max(
+            F.when(F.col("_len") < ACF_SPINE_MAX, F.lit(0)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "q_acf_lags: spine longer than 2^15 buckets "
+                        "breaks the overflow budget; shard the series "
+                        "by season first"
+                    )
+                ).cast("int")
+            )
+        ).alias("_g")
+    )
+    head = base.select(
+        "source",
+        "tb",
+        F.col("n").alias("n_head"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, ACF_MAX_LAG + 1)])
+        ).alias("lag"),
+    ).withColumn("tb_tail", F.col("tb") + F.col("lag"))
+    tail = base.select(
+        "source", F.col("tb").alias("tb_tail"), F.col("n").alias("n_tail")
+    )
+    paired = head.join(tail, ["source", "tb_tail"]).crossJoin(
+        F.broadcast(spine_guard)
+    )
+    g = paired.groupBy("source", "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("n_head") * F.col("n_tail")).alias("sxy"),
+        F.sum("n_head").alias("sx"),
+        F.sum("n_tail").alias("sy"),
+        F.sum(F.col("n_head") * F.col("n_head")).alias("qx"),
+        F.sum(F.col("n_tail") * F.col("n_tail")).alias("qy"),
+    )
+    return g.select(
+        "source",
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("cov_num"),
+        (F.col("n_pairs") * F.col("qx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("var_head"),
+        (F.col("n_pairs") * F.col("qy") - F.col("sy") * F.col("sy"))
+        .cast("long")
+        .alias("var_tail"),
+    )
+
+
+_ACF_LAGS = f"""
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS tb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(tb) AS lo, max(tb) AS hi FROM hourly
+), spine AS (
+  SELECT s.source, g.b AS tb
+  FROM (SELECT DISTINCT source FROM hourly) s
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds) g
+), filled AS (
+  SELECT spine.source, spine.tb, COALESCE(hourly.n, 0) AS n
+  FROM spine LEFT JOIN hourly
+    ON spine.source = hourly.source AND spine.tb = hourly.tb
+), paired AS (
+  SELECT f.source, l.lag, f.n AS nh, t.n AS nt
+  FROM filled f
+  CROSS JOIN (VALUES (1), (2), (3)) AS l(lag)
+  JOIN filled t ON t.source = f.source AND t.tb = f.tb + l.lag
+)
+SELECT source,
+       CAST(lag AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * sum(nh * nt) - sum(nh) * sum(nt) AS BIGINT)
+         AS cov_num,
+       CAST(count(*) * sum(nh * nh) - sum(nh) * sum(nh) AS BIGINT)
+         AS var_head,
+       CAST(count(*) * sum(nt * nt) - sum(nt) * sum(nt) AS BIGINT)
+         AS var_tail
+FROM paired GROUP BY 1, 2
+"""
+
+
+XCORR_A, XCORR_B = "click", "error"
+XCORR_LAGS = (-2, -1, 0, 1, 2)
+
+
+def q_xcorr_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event types' hourly count
+    series — does `click` lead `error`?  Pairs (x_t, y_{t+k}) for k in
+    -2..2 over the zero-filled global spine; emits the same exact
+    integer moment numerators as q_acf_lags (cov and both variances
+    cross-multiplied by n_pairs) so the verdict is float-free.
+
+    Shape: identical to q_acf_lags minus the per-source fan-out — two
+    filtered slices of the filled hourly table, a 5-way lag expand on
+    the (tiny) x side, one equi-join, one groupBy.  Output is |lags|
+    rows however large the corpus."""
+    from .gapfill import gap_fill
+
+    hourly = _hourly_counts(spark, sf_dir).where(
+        F.col("source").isin(XCORR_A, XCORR_B)
+    )
+    filled = gap_fill(hourly, ["source"], "tb", ["n"], policy="zero")
+    xs = filled.where(F.col("source") == XCORR_A).select(
+        "tb",
+        F.col("n").cast("long").alias("x"),
+        F.explode(
+            F.array(*[F.lit(k) for k in XCORR_LAGS])
+        ).alias("lag"),
+    ).withColumn("tb_tail", F.col("tb") + F.col("lag"))
+    ys = filled.where(F.col("source") == XCORR_B).select(
+        F.col("tb").alias("tb_tail"), F.col("n").cast("long").alias("y")
+    )
+    g = xs.join(ys, "tb_tail").groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("qx"),
+        F.sum(F.col("y") * F.col("y")).alias("qy"),
+    )
+    return g.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("cov_num"),
+        (F.col("n_pairs") * F.col("qx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("var_x"),
+        (F.col("n_pairs") * F.col("qy") - F.col("sy") * F.col("sy"))
+        .cast("long")
+        .alias("var_y"),
+    )
+
+
+_XCORR_TYPES = f"""
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS tb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT min(tb) AS lo, max(tb) AS hi FROM hourly
+), spine AS (
+  SELECT s.source, g.b AS tb
+  FROM (SELECT DISTINCT source FROM hourly) s
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds) g
+), filled AS (
+  SELECT spine.source, spine.tb, COALESCE(hourly.n, 0) AS n
+  FROM spine LEFT JOIN hourly
+    ON spine.source = hourly.source AND spine.tb = hourly.tb
+), paired AS (
+  SELECT l.lag, x.n AS xv, y.n AS yv
+  FROM filled x
+  CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) AS l(lag)
+  JOIN filled y ON y.tb = x.tb + l.lag
+  WHERE x.source = '{XCORR_A}' AND y.source = '{XCORR_B}'
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * sum(xv * yv) - sum(xv) * sum(yv) AS BIGINT)
+         AS cov_num,
+       CAST(count(*) * sum(xv * xv) - sum(xv) * sum(xv) AS BIGINT)
+         AS var_x,
+       CAST(count(*) * sum(yv * yv) - sum(yv) * sum(yv) AS BIGINT)
+         AS var_y
+FROM paired GROUP BY 1
+"""
+
+
 ZSCORE_Z = 3          # flag |v - mean| > 3 sigma (population variance)
 ZSCORE_V_BITS = 17    # centi-values < 2^17 keep every product < 2^63
 ZSCORE_N_MAX = 16384  # group-size bound for the same overflow budget
@@ -3940,6 +4190,245 @@ GROUP BY c.doc_id
 """
 
 
+DUP_SPAN_K = 8  # window width (words) for substring-level dedup
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (pipeline op): per document, how
+    many of its overlapping 8-word windows also occur verbatim in at
+    least one OTHER document — the window-granular approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): instead of exact maximal
+    repeated substrings, every k-token window is fingerprinted and a
+    window shared across documents marks its span as duplicated.
+    Emits (doc_id, n_windows, n_dup, dup_permille) for every doc —
+    the score a pipeline thresholds to crop or drop boilerplate spans.
+
+    Shape: windows explode in-row (no shuffle); the distinct-doc count
+    per window text dedups IN-ROW first (array_distinct before the
+    explode — the simhash lesson) so one map-side-combinable groupBy
+    yields exact distinct-doc counts; flagged windows join back onto
+    the positional table by window key (AQE broadcasts when the dup
+    set is small, shuffles on the window key otherwise — never by doc);
+    one final groupBy(doc_id).  Everything is linear in corpus tokens,
+    the classic shingle-shuffle shape that holds at 100 TB.  Windows
+    hotter than any bound (boilerplate in millions of docs) only fan
+    out positions that genuinely are duplicated — no pair join exists
+    anywhere (contrast q_ngram_jaccard's capped self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = DUP_SPAN_K
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    wins = w.select(
+        "doc_id",
+        F.when(
+            F.size("ws") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - k),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("ws", i + j + 1) for j in range(k)],
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("wins"),
+    )
+    pos = wins.select(
+        "doc_id", F.posexplode("wins").alias("pos", "w8")
+    )
+    flagged = (
+        wins.select(
+            "doc_id", F.explode(F.array_distinct("wins")).alias("w8")
+        )
+        .groupBy("w8")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("w8")
+    )
+    nd = (
+        pos.join(flagged, "w8", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup"))
+    )
+    base = wins.select(
+        "doc_id", F.size("wins").cast("long").alias("n_windows")
+    )
+    out = base.join(nd, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+    )
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_dup",
+        F.when(
+            F.col("n_windows") > 0,
+            F.expr("1000 * n_dup DIV n_windows"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_permille"),
+    )
+
+
+_DUP_SPANS = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, i,
+         {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))}
+           AS w8
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  WHERE i <= len(ws) - {DUP_SPAN_K - 1}
+), flagged AS (
+  SELECT w8 FROM (SELECT DISTINCT doc_id, w8 FROM pos)
+  GROUP BY w8 HAVING count(*) >= 2
+), nd AS (
+  SELECT doc_id, count(*) AS n_dup
+  FROM pos WHERE w8 IN (SELECT w8 FROM flagged)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(greatest(len(ws) - {DUP_SPAN_K - 1}, 0) AS BIGINT)
+         AS n_windows,
+       CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(CASE WHEN len(ws) >= {DUP_SPAN_K}
+                 THEN 1000 * COALESCE(nd.n_dup, 0)
+                      // (len(ws) - {DUP_SPAN_K - 1})
+                 ELSE 0 END AS BIGINT) AS dup_permille
+FROM w LEFT JOIN nd USING (doc_id)
+"""
+
+
+SOURCE_OVERLAP_MAX = 64  # collect_set(source) per shingle stays in-row
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing overlap matrix: for every pair of sources, how
+    many distinct word-3-gram shingles they share, plus the integer
+    Jaccard permille — the signal a data-mixing pipeline uses to spot
+    mirrored/bulk-copied sources before weighting them independently.
+
+    Shape: distinct (source, shingle) pairs via in-row array_distinct
+    + one groupBy; then ONE more groupBy collects each shingle's
+    source-set in-row (bounded by |sources|, runtime raise past
+    SOURCE_OVERLAP_MAX=64) and emits its C(s,2) pairs by nested
+    transform — NO self-join of the shingle table ever happens, so a
+    shingle shared by s sources costs s^2/2 in-row structs, not a
+    join fan-out.  Totals broadcast back onto the ~|sources|^2-row
+    pair table.  Output is |sources|^2/2 rows however large the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.col("source").alias("src"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    sh = w.select(
+        "src",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                        F.element_at("ws", i + 3),
+                    ),
+                )
+            )
+        ).alias("sh"),
+    ).distinct()  # cross-doc (src, sh) dedup — the one required exchange
+    totals = sh.groupBy("src").agg(F.count("*").cast("long").alias("t"))
+    srcs_per_sh = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_set("src")).alias("srcs")
+    ).select(
+        F.when(
+            F.size("srcs") <= SOURCE_OVERLAP_MAX, F.col("srcs")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "q_source_overlap: shingle shared by more sources "
+                    f"than the in-row bound {SOURCE_OVERLAP_MAX}"
+                )
+            ).cast("array<string>")
+        ).alias("srcs")
+    )
+    pairs = srcs_per_sh.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a, i: F.transform(
+                        F.slice(
+                            "srcs", i + F.lit(2), F.size("srcs")
+                        ),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("shared")
+    )
+    ta = totals.select(
+        F.col("src").alias("source_a"), F.col("t").alias("total_a")
+    )
+    tb = totals.select(
+        F.col("src").alias("source_b"), F.col("t").alias("total_b")
+    )
+    out = shared.join(F.broadcast(ta), "source_a").join(
+        F.broadcast(tb), "source_b"
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "shared",
+        "total_a",
+        "total_b",
+        F.expr(
+            "1000 * shared DIV (total_a + total_b - shared)"
+        ).cast("long").alias("jaccard_permille"),
+    )
+
+
+_SOURCE_OVERLAP = """
+WITH w AS (
+  SELECT source AS src, string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT src,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  WHERE i <= len(ws) - 2
+), tot AS (
+  SELECT src, count(*) AS t FROM sh GROUP BY src
+), pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(p.shared AS BIGINT) AS shared,
+       CAST(ta.t AS BIGINT) AS total_a,
+       CAST(tb.t AS BIGINT) AS total_b,
+       CAST(1000 * p.shared // (ta.t + tb.t - p.shared) AS BIGINT)
+         AS jaccard_permille
+FROM pairs p
+JOIN tot ta ON ta.src = p.source_a
+JOIN tot tb ON tb.src = p.source_b
+"""
+
+
 # bloom geometry for q_bloom_decontaminate: 512 words * 32 usable bits
 # = 16 Kbit; at sf0.01's ~3k distinct eval shingles the fill ratio is
 # ~0.5 and the k=4 false-positive rate ~6% — small enough that the
@@ -4711,7 +5200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # member has >=2 green records — t5/w8_t2 driver-verified r02)
         # deep tiers crossing the cycle-renorm boundary (pyx:224,240-241)
         "q_avg_rollup_t5": _long_pool_query("avg", 4, 5, False, LONG_UNIT),
-        "q_avg_rollup_w8_t2": _long_pool_query("avg", 8, 2, False, W8_UNIT),
+        # (q_avg_rollup_w8_t2 demoted r04e: green r02/r03; the avg
+        # family keeps t5 — the deeper renorm-crossing rep — in the head)
         # float tiers (4^(m+1) divisor) + non-PoT generic window
         # (q_avg_float_t2 demoted r04d: green r02/r03; avg family
         # keeps the deeper renorm-crossing reps t5 + w8_t2)
@@ -4772,6 +5262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04b additions promoted on arrival (never driver-verified)
         "q_wow_delta": q_wow_delta,
         "q_cms_heavy": q_cms_heavy,
+        # r04e: correlation analytics — float-free moment numerators
+        # (never driver-verified, promoted on arrival)
+        "q_acf_lags": q_acf_lags,
+        "q_xcorr_types": q_xcorr_types,
         # r04d: classical additive decomposition (trend/seasonal/resid)
         "q_seasonal_decompose": q_seasonal_decompose,
         # r04d: KMV sketch — distinct estimate + set-operation overlap
@@ -4808,15 +5302,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_simhash demoted r04b: green r02/r03, one-exchange plan
         # stays pinned in test_plans.py; q_lsh_buckets demoted r04b:
         # green r03, sub-step of q_ann_nn_bucketed which stays)
-        "q_minhash_verified_pairs": q_minhash_verified_pairs,
+        # (q_minhash_verified_pairs demoted r04e: green r02/r03; the
+        # near-dup family keeps star clusters — which consume the same
+        # sign+band+verify machinery — plus bloom + decontaminate here)
         "q_dedup_clusters_star": q_dedup_clusters_star,
         # (q_ngram_jaccard demoted r04d: green r02/r03, capped-self-join
         # plan stays pinned; near-dup family keeps minhash verified
         # pairs + star clusters + the bloom pre-filter in the head)
-        "q_decontaminate": q_decontaminate,
+        # (q_decontaminate demoted r04e: green r03; its strict superset
+        # q_bloom_decontaminate below reuses the SAME exact verify join
+        # and emits the same n_shared column under the hard gate)
         # r04d: bloom pre-filter + exact verify (never driver-verified,
         # promoted on arrival)
         "q_bloom_decontaminate": q_bloom_decontaminate,
+        # r04e: substring-level dedup + corpus-mixing overlap matrix
+        # (never driver-verified, promoted on arrival)
+        "q_dup_spans": q_dup_spans,
+        "q_source_overlap": q_source_overlap,
         "q_pack_sequences": q_pack_sequences,
         "q_pack_tokens": q_pack_tokens,
         "q_tfidf_terms": q_tfidf_terms,
@@ -4831,7 +5333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_ann_topk_blocked demoted r04d: green r01/r03; ANN family
         # keeps IVF + bucketed-NN in the head)
         "q_ann_topk_ivf": q_ann_topk_ivf,
-        "q_ann_nn_bucketed": q_ann_nn_bucketed,
+        # (q_ann_nn_bucketed demoted r04e: green r02/r03; the ANN
+        # family keeps the IVF scale path above in the head)
         # (q_multimodal_meta demoted r04: binary-plumbing family keeps
         # q_multimodal_frames, the superset batch shape)
         "q_multimodal_frames": q_multimodal_frames,
@@ -4843,6 +5346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle as q_dedup_clusters_star above, which is the scale path)
         "q_avg_rollup_t1": _pool_query("avg", 4, 1, False),
         "q_avg_sparse_t1": _pool_query("avg", 4, 1, True),
+        "q_avg_rollup_w8_t2": _long_pool_query("avg", 8, 2, False, W8_UNIT),
+        "q_minhash_verified_pairs": q_minhash_verified_pairs,
+        "q_ann_nn_bucketed": q_ann_nn_bucketed,
+        "q_decontaminate": q_decontaminate,
         "q_cube_metrics": q_cube_metrics,
         "q_avg_float_t2": q_avg_float_t2,
         "q_ann_topk_blocked": q_ann_topk_blocked,
@@ -4974,6 +5481,8 @@ FROM win
         "q_zscore_outliers": _ZSCORE_OUTLIERS,
         "q_wow_delta": _WOW_DELTA,
         "q_cms_heavy": _cms_sql(),
+        "q_acf_lags": _ACF_LAGS,
+        "q_xcorr_types": _XCORR_TYPES,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
@@ -5018,6 +5527,8 @@ FROM win
         "q_dedup_clusters_star": _dedup_clusters_sql(),
         "q_decontaminate": _DECONTAMINATE,
         "q_bloom_decontaminate": _bloom_sql(),
+        "q_dup_spans": _DUP_SPANS,
+        "q_source_overlap": _SOURCE_OVERLAP,
         "q_pack_sequences": _PACK_SEQUENCES,
         "q_pack_tokens": _PACK_TOKENS,
         "q_tfidf_terms": _TFIDF_TERMS,
