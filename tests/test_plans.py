@@ -259,6 +259,46 @@ def test_source_overlap_pairs_generated_in_row(spark):
     assert "BroadcastHashJoin" in tree
 
 
+def test_sax_window_over_segment_aggregates_only(spark):
+    """r04e: the SAX ntile window ranks daily-segment aggregates (two
+    reduction layers below raw events), is partitioned by source, and
+    the events scan prunes to (ts, event_type)."""
+    df = dc.queries()["q_sax_paa"](spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    win_pos = tree.index("Window")
+    assert any(
+        i > win_pos
+        for i in range(len(tree))
+        if tree.startswith("HashAggregate", i)
+    ), tree
+    sch = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "value" not in sch and "props" not in sch
+
+
+def test_funnel_aggregated_joins_no_windows(spark):
+    """r04e: the funnel is k chained (groupBy user -> min -> join)
+    passes — no window anywhere, no cartesian, and the events scan
+    prunes to (ts, user_id, event_type)."""
+    plan = _plan(dc.queries()["q_funnel_steps"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "CartesianProduct" not in plan
+    sch = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "props" not in sch and "value" not in sch
+
+
+def test_cohort_pushes_qualifying_filter_to_scan(spark):
+    """r04e: the qualifying-purchase predicate must reach the parquet
+    scan, and the retention matrix plan needs no window."""
+    plan = _plan(dc.queries()["q_cohort_retention"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "event_type" in pushed and "value" in pushed
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+
+
 def test_bloom_probe_corpus_side_shuffle_free(spark):
     """q_bloom_decontaminate: the candidate-corpus branch reaches the
     verification join without any exchange of its own — all hash

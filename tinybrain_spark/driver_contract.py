@@ -2657,6 +2657,225 @@ FROM paired GROUP BY 1
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view -> click -> purchase): how many
+    users complete each prefix of the step sequence IN ORDER — step k
+    counts users with a step-k event strictly after their earliest
+    qualifying step-(k-1) event.  The classic event-analytics funnel,
+    computed as k chained (groupBy user -> min ts -> join) passes:
+    every shuffle keys on user_id (exchange reuse across the chain),
+    every joined row is one AGGREGATED (user, first_ts) pair, no
+    window or sort anywhere — the shape that survives 10^9 users.
+    Earliest-first semantics (min of later-step events after the
+    prior step's minimum) is the standard strict-order funnel; ties
+    on exact-equal timestamps are excluded by the strict >, applied
+    identically by both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    stage = ev.where(
+        F.col("event_type") == FUNNEL_STEPS[0]
+    ).groupBy("user_id").agg(F.min("ts").alias("t"))
+    counts = [stage.agg(F.count("*").cast("long").alias("n_users"))]
+    for step in FUNNEL_STEPS[1:]:
+        stage = (
+            ev.where(F.col("event_type") == step)
+            .join(stage, "user_id")
+            .where(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append(
+            stage.agg(F.count("*").cast("long").alias("n_users"))
+        )
+    out = None
+    for i, (name, c) in enumerate(zip(FUNNEL_STEPS, counts), start=1):
+        row = c.select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click',
+       CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase',
+       CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
+COHORT_VALUE_FLOOR = 18.0  # qualifying-purchase floor (see docstring)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted again in every later week they return — the
+    product-analytics triangle behind every retention dashboard —
+    here over QUALIFYING activity (purchases above a value floor, so
+    the triangle actually decays instead of counting every user every
+    week).  Week buckets are plain integer epoch DIV 604800 (no
+    engine's week-start convention involved); the value floor is a
+    pure comparison on the stored double (no float arithmetic, so
+    both engines select the identical rows).
+
+    Shape: one groupBy(user) for cohort assignment, one
+    groupBy(user, week) for the distinct activity grid (both keyed on
+    user — exchange reuse into the join), then a final groupBy over
+    (cohort_week, offset) pairs of AGGREGATED rows.  n_users needs no
+    count-distinct anywhere: the activity grid is already distinct per
+    (user, week)."""
+    wk = (
+        F.floor(F.unix_timestamp(F.col("ts")) / WEEK_S)
+        .cast("long")
+        .alias("week")
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > COHORT_VALUE_FLOOR)
+        )
+        .select("user_id", wk)
+    )
+    first = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    active = ev.distinct()  # the (user, week) activity grid
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
+_COHORT_RETENTION = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // {WEEK_S} AS week
+  FROM events
+  WHERE event_type = 'purchase' AND value > {COHORT_VALUE_FLOOR}
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, week FROM ev
+)
+SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+       CAST(a.week - f.cohort_week AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+SAX_SEGMENT_H = 24  # PAA segment width: one day of hourly buckets
+SAX_ALPHABET = 4    # symbols per source (quartile buckets)
+
+
+def q_sax_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA + SAX symbolic downsampling of each event type's hourly
+    count series (Lin et al.'s Symbolic Aggregate approXimation, the
+    standard front-end for time-series motif/similarity search): the
+    zero-filled series reduces to daily Piecewise Aggregate means
+    (integer floor), and each segment maps to one of 4 symbols by its
+    QUARTILE RANK within its own series — rank-based discretization
+    instead of the classical Gaussian breakpoints, so the verdict
+    needs no float CDF and both engines agree exactly (ties broken by
+    segment id: the ntile order is total).
+
+    Shape: groupBy to hourly (~3000x), spine join, groupBy to daily
+    segments (another 24x), then ONE ntile window over each source's
+    segment rows — bounded by days-of-history per source, aggregated
+    rows only (for decade-scale spines route through
+    ranking.global_rank instead; the segment table at 10 years is
+    ~3.7k rows/source, far inside a task)."""
+    from .gapfill import gap_fill
+
+    hourly = _hourly_counts(spark, sf_dir)
+    filled = gap_fill(hourly, ["source"], "tb", ["n"], policy="zero")
+    paa = (
+        filled.groupBy(
+            "source",
+            F.expr(f"tb DIV {SAX_SEGMENT_H}").alias("segment"),
+        )
+        .agg(
+            F.sum("n").cast("long").alias("s"),
+            F.count("*").cast("long").alias("c"),
+        )
+        .select(
+            "source",
+            F.col("segment").cast("long").alias("segment"),
+            F.expr("s DIV c").cast("long").alias("paa"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("paa", "segment")
+    return paa.select(
+        "source",
+        "segment",
+        "paa",
+        F.ntile(SAX_ALPHABET).over(w).cast("long").alias("symbol"),
+    )
+
+
+_SAX_PAA = f"""
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS tb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(tb) AS lo, max(tb) AS hi FROM hourly
+), spine AS (
+  SELECT s.source, g.b AS tb
+  FROM (SELECT DISTINCT source FROM hourly) s
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b FROM bounds) g
+), filled AS (
+  SELECT spine.source, spine.tb, COALESCE(hourly.n, 0) AS n
+  FROM spine LEFT JOIN hourly
+    ON spine.source = hourly.source AND spine.tb = hourly.tb
+), paa AS (
+  SELECT source, tb // {SAX_SEGMENT_H} AS segment,
+         sum(n) // count(*) AS paa
+  FROM filled GROUP BY 1, 2
+)
+SELECT source,
+       CAST(segment AS BIGINT) AS segment,
+       CAST(paa AS BIGINT) AS paa,
+       CAST(ntile({SAX_ALPHABET}) OVER (
+         PARTITION BY source ORDER BY paa, segment) AS BIGINT) AS symbol
+FROM paa
+"""
+
+
 ZSCORE_Z = 3          # flag |v - mean| > 3 sigma (population variance)
 ZSCORE_V_BITS = 17    # centi-values < 2^17 keep every product < 2^63
 ZSCORE_N_MAX = 16384  # group-size bound for the same overflow budget
@@ -5222,7 +5441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_top_tokens in the head, plan pin test_plans.py:70 stands)
         # (q_cube_metrics demoted r04d: green r02/r03; grouping-sets
         # family fully proven — rollup rep green r01/r02 in the tail)
-        "q_time_weighted_avg": q_time_weighted_avg,
+        # (q_time_weighted_avg demoted r04e: green r03 + judge re-run;
+        # the window-timeseries family keeps q_rolling_24h and
+        # q_counter_rate in the head)
+        # r04e: PAA + SAX symbolic downsampling (never driver-verified,
+        # promoted on arrival)
+        "q_sax_paa": q_sax_paa,
         # (q_asof_join demoted r04b: backward direction green r02/r03;
         # the as-of family keeps fwd + tol + nearest below)
         # r03 timeseries operators, never driver-verified before r04
@@ -5266,6 +5490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (never driver-verified, promoted on arrival)
         "q_acf_lags": q_acf_lags,
         "q_xcorr_types": q_xcorr_types,
+        # r04e: event analytics — ordered funnel + cohort retention
+        # (never driver-verified, promoted on arrival)
+        "q_funnel_steps": q_funnel_steps,
+        "q_cohort_retention": q_cohort_retention,
         # r04d: classical additive decomposition (trend/seasonal/resid)
         "q_seasonal_decompose": q_seasonal_decompose,
         # r04d: KMV sketch — distinct estimate + set-operation overlap
@@ -5274,7 +5502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine features (q_continuous_agg demoted r04d: green
         # r01-r03; the cagg family keeps q_stream_cagg_equiv — the SAME
         # continuous aggregate verified through the streaming path)
-        "q_stream_cagg_equiv": q_stream_cagg_equiv,
+        # (q_stream_cagg_equiv demoted r04e: green r03; the cagg family
+        # keeps q_cagg_refresh — the SAME _CONT_AGG oracle — plus the
+        # CDC stream end-state and the hierarchy rep in the head)
         # r04d: invalidation-range refresh (late UPDATE corrections) —
         # never driver-verified, promoted on arrival
         "q_cagg_refresh": q_cagg_refresh,
@@ -5321,7 +5551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_overlap": q_source_overlap,
         "q_pack_sequences": q_pack_sequences,
         "q_pack_tokens": q_pack_tokens,
-        "q_tfidf_terms": q_tfidf_terms,
+        # (q_tfidf_terms demoted r04e: green r03; the text-analysis
+        # family keeps quality_filter + repetition + top_tokens +
+        # tokenize_vocab in the head, and the n_docs plan pin stands)
         "q_repetition_score": q_repetition_score,
         "q_top_tokens": q_top_tokens,
         "q_hash_split": q_hash_split,
@@ -5350,6 +5582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_verified_pairs": q_minhash_verified_pairs,
         "q_ann_nn_bucketed": q_ann_nn_bucketed,
         "q_decontaminate": q_decontaminate,
+        "q_time_weighted_avg": q_time_weighted_avg,
+        "q_stream_cagg_equiv": q_stream_cagg_equiv,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_cube_metrics": q_cube_metrics,
         "q_avg_float_t2": q_avg_float_t2,
         "q_ann_topk_blocked": q_ann_topk_blocked,
@@ -5483,6 +5718,9 @@ FROM win
         "q_cms_heavy": _cms_sql(),
         "q_acf_lags": _ACF_LAGS,
         "q_xcorr_types": _XCORR_TYPES,
+        "q_sax_paa": _SAX_PAA,
+        "q_funnel_steps": _FUNNEL_STEPS,
+        "q_cohort_retention": _COHORT_RETENTION,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
