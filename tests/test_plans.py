@@ -299,6 +299,27 @@ def test_cohort_pushes_qualifying_filter_to_scan(spark):
     assert "Window" not in tree
 
 
+def test_interarrival_day_bounded_windows(spark):
+    """r04f: the inter-arrival lag windows are partitioned ((type,day)
+    for events, (type) for the tiny day-last table) — never
+    unpartitioned — and the scan prunes to (ts, event_id, type)."""
+    df = dc.queries()["q_interarrival"](spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    plan = _plan(df)
+    sch = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "value" not in sch and "props" not in sch
+
+
+def test_decay_topk_salted_partial_rank(spark):
+    """r04f: the per-type top-k ranks within salted (type, user%32)
+    partitions first — the plan's window specs include the pmod salt,
+    so no task ever sorts a type's full user list."""
+    df = dc.queries()["q_decay_topk"](spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod" in plan
+
+
 def test_bloom_probe_corpus_side_shuffle_free(spark):
     """q_bloom_decontaminate: the candidate-corpus branch reaches the
     verification join without any exchange of its own — all hash

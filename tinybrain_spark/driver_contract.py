@@ -2657,6 +2657,175 @@ FROM paired GROUP BY 1
 """
 
 
+DAY_US = 86_400_000_000  # one day in microseconds
+
+
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time statistics per event type (microsecond
+    deltas between consecutive events) — the ingest-cadence profile
+    behind capacity planning and outage detection.  A naive
+    formulation is ONE lag() window partitioned by type: with a
+    handful of types that is the forbidden one-task sort of a type's
+    entire history.  This plan bounds every sort by a day:
+
+    1. lag() within (type, day) partitions — each task sorts one
+       day's events;
+    2. each day's LAST (us, event_id) reduces out via max_by (one
+       map-side-combinable groupBy to a types*days table);
+    3. lag() over that TINY table (partitioned by type, ordered by
+       day — bounded by days-of-history) gives every day's
+       predecessor-day last timestamp, which joins back broadcast to
+       fill each day's first delta.
+
+    The stitched deltas are exactly the full-sort lag deltas (ties
+    broken by event_id in both layers), which is what the DuckDB
+    oracle computes directly.  Output: per type, delta count,
+    min/max, and the floored mean in int64 microseconds."""
+    # ts is TIMESTAMP_NTZ; the session pins UTC, so the cast below is
+    # the identity reinterpretation DuckDB's epoch_us applies natively
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    ).withColumn("day", F.expr(f"us DIV {DAY_US}"))
+    w_day = Window.partitionBy("source", "day").orderBy("us", "event_id")
+    within = ev.withColumn("prev_us", F.lag("us").over(w_day))
+    day_last = ev.groupBy("source", "day").agg(
+        F.max_by("us", F.struct("us", "event_id")).alias("last_us")
+    )
+    w_days = Window.partitionBy("source").orderBy("day")
+    prev_day = day_last.withColumn(
+        "prev_day_last", F.lag("last_us").over(w_days)
+    ).select("source", "day", "prev_day_last")
+    stitched = within.join(
+        F.broadcast(prev_day), ["source", "day"]
+    ).select(
+        "source",
+        (
+            F.col("us")
+            - F.coalesce(F.col("prev_us"), F.col("prev_day_last"))
+        ).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    return stitched.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_deltas"),
+        F.min("delta").cast("long").alias("min_delta_us"),
+        F.max("delta").cast("long").alias("max_delta_us"),
+        F.expr("sum(delta) DIV count(*)").cast("long").alias("avg_delta_us"),
+    )
+
+
+_INTERARRIVAL = """
+WITH e AS (
+  SELECT event_type AS source, epoch_us(ts) AS us, event_id FROM events
+), d AS (
+  SELECT source,
+         us - lag(us) OVER (
+           PARTITION BY source ORDER BY us, event_id) AS delta
+  FROM e
+)
+SELECT source,
+       CAST(count(delta) AS BIGINT) AS n_deltas,
+       CAST(min(delta) AS BIGINT) AS min_delta_us,
+       CAST(max(delta) AS BIGINT) AS max_delta_us,
+       CAST(sum(delta) // count(delta) AS BIGINT) AS avg_delta_us
+FROM d WHERE delta IS NOT NULL
+GROUP BY source
+"""
+
+
+DECAY_HORIZON_D = 30  # ages beyond 30 days weigh 0 (weights 2^0..2^30)
+DECAY_TOPK = 5
+DECAY_SALT = 32
+
+
+def q_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed activity leaders: each user's events weigh
+    2^(HORIZON - age_days) — an exact integer exponential decay with a
+    one-day half-life (the scale factor 2^HORIZON cancels in every
+    comparison) — and the top 5 users per event type by decayed score
+    survive.  The recency-weighted heavy-hitter query behind trending
+    dashboards, float-free so both engines agree exactly.
+
+    Scale shape: the reference day is a broadcast 1-row aggregate
+    folded into the plan (no driver-side action); scores reduce in ONE
+    map-side-combinable groupBy; and the per-type top-k NEVER sorts a
+    type's whole user list in one task — a salted partial top-k
+    (rank within (type, user%32), keep 5) feeds the final rank over
+    <= 32*5 aggregated rows per type.  Ties break (score desc,
+    user asc) — total order, same on both engines."""
+    day_expr = f"unix_micros(cast(ts as timestamp)) DIV {DAY_US}"
+    ref = load_table(spark, sf_dir, "events").agg(
+        F.max(F.expr(day_expr)).alias("ref_day")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        "user_id",
+        F.expr(day_expr).alias("day"),
+    )
+    aged = ev.join(F.broadcast(ref)).withColumn(
+        "age", F.col("ref_day") - F.col("day")
+    )
+    scored = aged.select(
+        "source",
+        "user_id",
+        F.when(
+            F.col("age") <= DECAY_HORIZON_D,
+            F.expr(
+                f"shiftleft(1L, cast({DECAY_HORIZON_D} - age as int))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("w"),
+    ).groupBy("source", "user_id").agg(
+        F.sum("w").cast("long").alias("decayed")
+    )
+    w_salt = Window.partitionBy(
+        "source", F.pmod(F.col("user_id"), F.lit(DECAY_SALT))
+    ).orderBy(F.col("decayed").desc(), F.col("user_id").asc())
+    partial = scored.withColumn(
+        "rs", F.row_number().over(w_salt)
+    ).where(F.col("rs") <= DECAY_TOPK)
+    w_final = Window.partitionBy("source").orderBy(
+        F.col("decayed").desc(), F.col("user_id").asc()
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w_final))
+        .where(F.col("rn") <= DECAY_TOPK)
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("rn"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "decayed",
+        )
+    )
+
+
+_DECAY_TOPK = f"""
+WITH ref AS (
+  SELECT max(epoch_us(ts) // {DAY_US}) AS ref_day FROM events
+), scored AS (
+  SELECT event_type AS source, user_id,
+         sum(CASE WHEN ref_day - (epoch_us(ts) // {DAY_US})
+                       <= {DECAY_HORIZON_D}
+                  THEN 1::BIGINT << CAST({DECAY_HORIZON_D}
+                       - (ref_day - (epoch_us(ts) // {DAY_US})) AS INT)
+                  ELSE 0 END) AS decayed
+  FROM events CROSS JOIN ref
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT source, user_id, decayed,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY decayed DESC, user_id ASC) AS rn
+  FROM scored
+)
+SELECT source, CAST(rn AS BIGINT) AS rn,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(decayed AS BIGINT) AS decayed
+FROM ranked WHERE rn <= {DECAY_TOPK}
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -5494,6 +5663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (never driver-verified, promoted on arrival)
         "q_funnel_steps": q_funnel_steps,
         "q_cohort_retention": q_cohort_retention,
+        # r04f: day-bounded inter-arrival stats + decayed heavy hitters
+        # (never driver-verified, promoted on arrival)
+        "q_interarrival": q_interarrival,
+        "q_decay_topk": q_decay_topk,
         # r04d: classical additive decomposition (trend/seasonal/resid)
         "q_seasonal_decompose": q_seasonal_decompose,
         # r04d: KMV sketch — distinct estimate + set-operation overlap
@@ -5549,13 +5722,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (never driver-verified, promoted on arrival)
         "q_dup_spans": q_dup_spans,
         "q_source_overlap": q_source_overlap,
-        "q_pack_sequences": q_pack_sequences,
+        # (q_pack_sequences demoted r04f: green r03; the packing family
+        # keeps q_pack_tokens — the materialized superset composing the
+        # same pack_offsets prefix-sum — in the head)
         "q_pack_tokens": q_pack_tokens,
         # (q_tfidf_terms demoted r04e: green r03; the text-analysis
         # family keeps quality_filter + repetition + top_tokens +
         # tokenize_vocab in the head, and the n_docs plan pin stands)
         "q_repetition_score": q_repetition_score,
-        "q_top_tokens": q_top_tokens,
+        # (q_top_tokens demoted r04f: green r03; the partial-top-k
+        # family keeps q_decay_topk + q_cms_heavy, vocabulary ranking
+        # keeps q_tokenize_vocab; the TakeOrderedAndProject plan pin
+        # stands in test_plans.py)
         "q_hash_split": q_hash_split,
         "q_tokenize_vocab": q_tokenize_vocab,
         "q_quality_filter": q_quality_filter,
@@ -5585,6 +5763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_weighted_avg": q_time_weighted_avg,
         "q_stream_cagg_equiv": q_stream_cagg_equiv,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_pack_sequences": q_pack_sequences,
+        "q_top_tokens": q_top_tokens,
         "q_cube_metrics": q_cube_metrics,
         "q_avg_float_t2": q_avg_float_t2,
         "q_ann_topk_blocked": q_ann_topk_blocked,
@@ -5721,6 +5901,8 @@ FROM win
         "q_sax_paa": _SAX_PAA,
         "q_funnel_steps": _FUNNEL_STEPS,
         "q_cohort_retention": _COHORT_RETENTION,
+        "q_interarrival": _INTERARRIVAL,
+        "q_decay_topk": _DECAY_TOPK,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
