@@ -2826,6 +2826,135 @@ FROM ranked WHERE rn <= {DECAY_TOPK}
 """
 
 
+PR_SCALE = 1_000_000  # fixed-point rank unit
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the user-interaction graph — the
+    iterative-dataflow exemplar (power iteration as repeated
+    join+groupBy, the same distributed shape GraphX/Pregel lower to).
+
+    Graph construction is LINEAR, never quadratic: within each
+    (event_type, day) stream ordered by (ts, event_id), each event
+    emits one directed edge from the PREVIOUS event's user to its own
+    (a 'follows-in-stream' interaction graph, |edges| = |events| -
+    |non-empty streams|; contrast co-occurrence pairing, which fans
+    out C(users_per_bucket, 2) per bucket).  Multi-edges keep their
+    multiplicity (repeat interactions weigh more); self-loops stay
+    (deterministic, same on both engines).
+
+    The power iteration runs entirely in exact int64 fixed-point:
+    r_0 = 10^6 per node, and each round
+        r = 15*SCALE DIV 100  +  85 * (sum over in-edges of
+            r_src DIV out_deg_src) DIV 100
+    — truncating integer division applied identically by Spark DIV
+    and DuckDB // on these non-negative operands, so all three
+    unrolled iterations match the oracle bit-for-bit (no float
+    tolerance, no convergence threshold).  Dangling nodes keep the
+    teleport term only (the standard simple variant; their outflow
+    leak is documented, not redistributed).
+
+    Scale shape: edges materialize once behind a localCheckpoint (the
+    iteration reuses them without recomputing the lag windows), each
+    round is one join keyed on src (both sides hash-partitioned on
+    the same key — exchange reuse) + one groupBy(dst) of per-edge
+    contributions, 3 rounds = a bounded chain exactly like
+    clusters.py's star-CC.  Ranks stay < n*SCALE, far inside int64."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stream"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "user_id",
+    ).withColumn("day", F.expr(f"us DIV {DAY_US}"))
+    w = Window.partitionBy("stream", "day").orderBy("us", "event_id")
+    edges = (
+        ev.withColumn("src", F.lag("user_id").over(w))
+        .where(F.col("src").isNotNull())
+        .select("src", F.col("user_id").alias("dst"))
+        .localCheckpoint()  # pin once; 3 rounds reuse without recompute
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .union(edges.select(F.col("dst").alias("u")))
+        .distinct()
+    )
+    ranks = nodes.select("u", F.lit(PR_SCALE).cast("long").alias("r"))
+    teleport = (15 * PR_SCALE) // 100
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("u", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r DIV d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("cin"))
+        )
+        ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "u"), "u", "left"
+        ).select(
+            "u",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"{PR_DAMP_NUM} * coalesce(cin, 0L)"
+                    f" DIV {PR_DAMP_DEN}"
+                )
+            ).cast("long").alias("r"),
+        )
+    return ranks.select(
+        F.col("u").cast("long").alias("user_id"),
+        F.col("r").cast("long").alias("rank_fp"),
+    )
+
+
+def _pagerank_sql() -> str:
+    teleport = (15 * PR_SCALE) // 100
+    it = f"""
+SELECT n.u,
+       {teleport} + {PR_DAMP_NUM} * COALESCE(c.cin, 0) // {PR_DAMP_DEN}
+         AS r
+FROM nodes n LEFT JOIN (
+  SELECT e.dst, sum(rPREV.r // deg.d) AS cin
+  FROM edges e
+  JOIN rPREV ON rPREV.u = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+) c ON c.dst = n.u
+"""
+    iters = "".join(
+        f", r{k} AS ({it.replace('rPREV', f'r{k - 1}')})"
+        for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT event_type AS stream,
+         epoch_us(ts) // {DAY_US} AS day,
+         epoch_us(ts) AS us, event_id, user_id
+  FROM events
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT lag(user_id) OVER (
+             PARTITION BY stream, day ORDER BY us, event_id) AS src,
+           user_id AS dst
+    FROM e0
+  ) WHERE src IS NOT NULL
+), deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT u FROM (
+    SELECT src AS u FROM edges UNION SELECT dst FROM edges
+  )
+), r0 AS (
+  SELECT u, {PR_SCALE} AS r FROM nodes
+){iters}
+SELECT CAST(u AS BIGINT) AS user_id,
+       CAST(r AS BIGINT) AS rank_fp
+FROM r{PR_ITERS}
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -5667,6 +5796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (never driver-verified, promoted on arrival)
         "q_interarrival": q_interarrival,
         "q_decay_topk": q_decay_topk,
+        # r04f: exact fixed-point PageRank (iterative dataflow exemplar)
+        "q_pagerank": q_pagerank,
         # r04d: classical additive decomposition (trend/seasonal/resid)
         "q_seasonal_decompose": q_seasonal_decompose,
         # r04d: KMV sketch — distinct estimate + set-operation overlap
@@ -5729,7 +5860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_tfidf_terms demoted r04e: green r03; the text-analysis
         # family keeps quality_filter + repetition + top_tokens +
         # tokenize_vocab in the head, and the n_docs plan pin stands)
-        "q_repetition_score": q_repetition_score,
+        # (q_repetition_score demoted r04f: green r03; its duplicate-
+        # 2-gram signal is one of q_quality_filter's assembled reason
+        # codes, and that gate stays in the head)
         # (q_top_tokens demoted r04f: green r03; the partial-top-k
         # family keeps q_decay_topk + q_cms_heavy, vocabulary ranking
         # keeps q_tokenize_vocab; the TakeOrderedAndProject plan pin
@@ -5765,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_terms": q_tfidf_terms,
         "q_pack_sequences": q_pack_sequences,
         "q_top_tokens": q_top_tokens,
+        "q_repetition_score": q_repetition_score,
         "q_cube_metrics": q_cube_metrics,
         "q_avg_float_t2": q_avg_float_t2,
         "q_ann_topk_blocked": q_ann_topk_blocked,
@@ -5903,6 +6037,7 @@ FROM win
         "q_cohort_retention": _COHORT_RETENTION,
         "q_interarrival": _INTERARRIVAL,
         "q_decay_topk": _DECAY_TOPK,
+        "q_pagerank": _pagerank_sql(),
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
