@@ -320,6 +320,29 @@ def test_decay_topk_salted_partial_rank(spark):
     assert "pmod" in plan
 
 
+def test_markov_single_scan_windows_partitioned(spark):
+    """r04f: the transition lag partitions by user (high-cardinality),
+    row totals ride a full-frame window over the aggregated |types|^2
+    table in the SAME subtree — one scan, no join, both windows
+    partitioned."""
+    df = dc.queries()["q_markov_transitions"](spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_dup_islands_no_pair_join(spark):
+    """r04f: span merging adds one per-doc islands window on top of
+    q_dup_spans' linear shape — still no document pair join."""
+    df = dc.queries()["q_dup_islands"](spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bloom_probe_corpus_side_shuffle_free(spark):
     """q_bloom_decontaminate: the candidate-corpus branch reaches the
     verification join without any exchange of its own — all hash

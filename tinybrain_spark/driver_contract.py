@@ -2826,6 +2826,158 @@ FROM ranked WHERE rn <= {DECAY_TOPK}
 """
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (prev_event_type -> next_event_type) pair, the transition count and
+    integer permille probability — the behavioral model behind
+    next-action prediction and anomaly scoring ('error after purchase
+    jumped 3x').
+
+    Shape: ONE lag window partitioned by user (the natural high-
+    cardinality key — millions of partitions, each a user's own
+    history; hot users are bounded upstream by the engine's MAX_SEQ
+    ingest cap), then a map-side-combinable groupBy onto the
+    |types|^2-row transition table; row totals come from a full-frame
+    sum window over THAT tiny table (|types| rows per partition — a
+    second scan-and-aggregate branch would cost more than it saves).
+    Permille = 1000*n DIV row_total: truncating division, identical on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.col("event_type").alias("next_type"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("next_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_row = (
+        Window.partitionBy("prev_type")
+        .orderBy("next_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(w_row).alias("_tot"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("1000 * n DIV _tot").cast("long").alias("permille"),
+    )
+
+
+_MARKOV_TRANSITIONS = """
+WITH t AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type,
+         event_type AS next_type
+  FROM events
+), c AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(1000 * n // sum(n) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS permille
+FROM c
+"""
+
+
+DUP_SPAN_K = 8  # window width (words) for substring-level dedup
+
+
+def q_dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans: merge q_dup_spans' flagged 8-word
+    windows into maximal runs of consecutive positions per document —
+    (doc_id, span_start, span_words) for every contiguous duplicated
+    region, i.e. exactly what a crop-the-boilerplate pass deletes.
+    Classic gaps-and-islands: island = pos - row_number() over the
+    doc's flagged positions; each island's word extent is
+    (max_pos - min_pos) + window width.
+
+    Shape: everything q_dup_spans does plus one row_number window
+    partitioned by doc (bounded by windows-per-doc) and one groupBy on
+    (doc, island) — aggregated rows only, still no pair join."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = DUP_SPAN_K
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    wins = w.select(
+        "doc_id",
+        F.when(
+            F.size("ws") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - k),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("ws", i + j + 1) for j in range(k)],
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("wins"),
+    )
+    pos = wins.select("doc_id", F.posexplode("wins").alias("pos", "w8"))
+    flagged = (
+        wins.select(
+            "doc_id", F.explode(F.array_distinct("wins")).alias("w8")
+        )
+        .groupBy("w8")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("w8")
+    )
+    hit = pos.join(flagged, "w8", "left_semi").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hit.withColumn(
+        "isl", F.col("pos") - F.row_number().over(w_doc)
+    )
+    return islands.groupBy("doc_id", "isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_words"),
+    ).drop("isl").select("doc_id", "span_start", "span_words")
+
+
+_DUP_ISLANDS = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))}
+           AS w8
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  WHERE i <= len(ws) - {DUP_SPAN_K - 1}
+), flagged AS (
+  SELECT w8 FROM (SELECT DISTINCT doc_id, w8 FROM pos)
+  GROUP BY w8 HAVING count(*) >= 2
+), hit AS (
+  SELECT doc_id, pos FROM pos WHERE w8 IN (SELECT w8 FROM flagged)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (
+           PARTITION BY doc_id ORDER BY pos) AS g
+  FROM hit
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) - min(pos) + {DUP_SPAN_K} AS BIGINT) AS span_words
+FROM isl GROUP BY doc_id, g
+"""
+
+
 PR_SCALE = 1_000_000  # fixed-point rank unit
 PR_ITERS = 3
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
@@ -4707,9 +4859,6 @@ GROUP BY c.doc_id
 """
 
 
-DUP_SPAN_K = 8  # window width (words) for substring-level dedup
-
-
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (pipeline op): per document, how
     many of its overlapping 8-word windows also occur verbatim in at
@@ -5798,6 +5947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decay_topk": q_decay_topk,
         # r04f: exact fixed-point PageRank (iterative dataflow exemplar)
         "q_pagerank": q_pagerank,
+        # r04f: behavioral transition matrix + maximal duplicated spans
+        # (never driver-verified, promoted on arrival)
+        "q_markov_transitions": q_markov_transitions,
+        "q_dup_islands": q_dup_islands,
         # r04d: classical additive decomposition (trend/seasonal/resid)
         "q_seasonal_decompose": q_seasonal_decompose,
         # r04d: KMV sketch — distinct estimate + set-operation overlap
@@ -5818,7 +5971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cagg_hierarchy": q_cagg_hierarchy,
         # r04d: retention enforcement graded in the driver
         "q_retention_ladder": q_retention_ladder,
-        "q_gorilla_decode": q_gorilla_decode,
+        # (q_gorilla_decode demoted r04f: green r02/r03, and the
+        # roundtrip sibling has >=2 recorded rounds — the whole gorilla
+        # family rotates; both stay oracle-checked every session)
         # training-data pipeline ops
         # (q_dedup_exact demoted r04d: green r01-r03; every exact-dedup
         # family member has >=2 green rounds and q_hash_split keeps the
@@ -5880,7 +6035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps the IVF scale path above in the head)
         # (q_multimodal_meta demoted r04: binary-plumbing family keeps
         # q_multimodal_frames, the superset batch shape)
-        "q_multimodal_frames": q_multimodal_frames,
+        # (q_multimodal_frames demoted r04f: green r03; the multimodal
+        # family keeps q_multimodal_decode + q_wav_decode — the REAL
+        # byte-format decoders — in the head)
         # r04: real PPM parse behind the binary plumbing, oracle-checked
         "q_multimodal_decode": q_multimodal_decode,
         # --- tail: redundant kernel variants, all green in >=2 rounds --
@@ -5899,6 +6056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_top_tokens": q_top_tokens,
         "q_repetition_score": q_repetition_score,
+        "q_gorilla_decode": q_gorilla_decode,
+        "q_multimodal_frames": q_multimodal_frames,
         "q_cube_metrics": q_cube_metrics,
         "q_avg_float_t2": q_avg_float_t2,
         "q_ann_topk_blocked": q_ann_topk_blocked,
@@ -6038,6 +6197,8 @@ FROM win
         "q_interarrival": _INTERARRIVAL,
         "q_decay_topk": _DECAY_TOPK,
         "q_pagerank": _pagerank_sql(),
+        "q_markov_transitions": _MARKOV_TRANSITIONS,
+        "q_dup_islands": _DUP_ISLANDS,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
