@@ -343,6 +343,17 @@ def test_dup_islands_no_pair_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_rfm_zero_unpartitioned_windows(spark):
+    """r04f: all three RFM quartile ranks ride ranking.global_rank —
+    no bare Window.orderBy over the user-stats table, and the purchase
+    filter reaches the scan."""
+    df = dc.queries()["q_rfm_segments"](spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "event_type" in pushed
+
+
 def test_bloom_probe_corpus_side_shuffle_free(spark):
     """q_bloom_decontaminate: the candidate-corpus branch reaches the
     verification join without any exchange of its own — all hash

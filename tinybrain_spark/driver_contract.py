@@ -2978,6 +2978,107 @@ FROM isl GROUP BY doc_id, g
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per purchasing user, quartile scores
+    for Recency (days since last purchase), Frequency (purchase count)
+    and Monetary (centi-value total), and the classic 3-digit segment
+    code r*100 + f*10 + m.  Quartiles are RANK-based over total orders
+    (ties broken by user_id), so the verdict is exact — no float CDF.
+
+    Scale shape: one groupBy(user) over the pushed-down purchase scan
+    reduces events to a user-stats table; each quartile then needs a
+    GLOBAL rank over that table, which at 10^9 users must never be a
+    bare Window.orderBy — all three ride ranking.global_rank (range
+    partition + driver-cumulated offsets + bounded in-partition sort,
+    zero unpartitioned windows, pinned).  The user count folds in as a
+    broadcast 1-row aggregate; quartile = (4*(rank-1)) DIV n + 1."""
+    from .ranking import global_rank
+
+    day_expr = f"unix_micros(cast(ts as timestamp)) DIV {DAY_US}"
+    purch = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    ref = purch.agg(F.max(F.expr(day_expr)).alias("ref_day"))
+    stats = (
+        purch.select(
+            "user_id",
+            F.expr(day_expr).alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("cv").cast("long").alias("monetary"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            "user_id",
+            (F.col("ref_day") - F.col("last_day")).alias("recency"),
+            "freq",
+            "monetary",
+        )
+    )
+    n_u = stats.agg(F.count("*").cast("long").alias("_nu"))
+    ranked = global_rank(
+        stats, [F.col("recency"), F.col("user_id")], "_rr"
+    )
+    ranked = global_rank(
+        ranked, [F.col("freq"), F.col("user_id")], "_rf"
+    )
+    ranked = global_rank(
+        ranked, [F.col("monetary"), F.col("user_id")], "_rm"
+    )
+    q = lambda c: f"(4 * ({c} - 1)) DIV _nu + 1"  # noqa: E731
+    out = ranked.join(F.broadcast(n_u)).selectExpr(
+        "user_id",
+        f"cast({q('_rr')} as bigint) as r_q",
+        f"cast({q('_rf')} as bigint) as f_q",
+        f"cast({q('_rm')} as bigint) as m_q",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("long")
+        .alias("segment"),
+    )
+
+
+_RFM_SEGMENTS = f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // {DAY_US} AS day,
+         CAST(floor(value * 100) AS BIGINT) AS cv
+  FROM events WHERE event_type = 'purchase'
+), ref AS (
+  SELECT max(day) AS ref_day FROM p
+), stats AS (
+  SELECT user_id,
+         (SELECT ref_day FROM ref) - max(day) AS recency,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(cv) AS BIGINT) AS monetary
+  FROM p GROUP BY user_id
+), ranked AS (
+  SELECT user_id,
+         row_number() OVER (ORDER BY recency, user_id) AS rr,
+         row_number() OVER (ORDER BY freq, user_id) AS rf,
+         row_number() OVER (ORDER BY monetary, user_id) AS rm,
+         count(*) OVER () AS nu
+  FROM stats
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST((4 * (rr - 1)) // nu + 1 AS BIGINT) AS r_q,
+       CAST((4 * (rf - 1)) // nu + 1 AS BIGINT) AS f_q,
+       CAST((4 * (rm - 1)) // nu + 1 AS BIGINT) AS m_q,
+       CAST(((4 * (rr - 1)) // nu + 1) * 100
+            + ((4 * (rf - 1)) // nu + 1) * 10
+            + ((4 * (rm - 1)) // nu + 1) AS BIGINT) AS segment
+FROM ranked
+"""
+
+
 PR_SCALE = 1_000_000  # fixed-point rank unit
 PR_ITERS = 3
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
@@ -5951,6 +6052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (never driver-verified, promoted on arrival)
         "q_markov_transitions": q_markov_transitions,
         "q_dup_islands": q_dup_islands,
+        # r04f: RFM segmentation over ranking.global_rank (never
+        # driver-verified, promoted on arrival)
+        "q_rfm_segments": q_rfm_segments,
         # r04d: classical additive decomposition (trend/seasonal/resid)
         "q_seasonal_decompose": q_seasonal_decompose,
         # r04d: KMV sketch — distinct estimate + set-operation overlap
@@ -6022,7 +6126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps q_decay_topk + q_cms_heavy, vocabulary ranking
         # keeps q_tokenize_vocab; the TakeOrderedAndProject plan pin
         # stands in test_plans.py)
-        "q_hash_split": q_hash_split,
+        # (q_hash_split demoted r04f: green r03; the md5-content-hash
+        # machinery keeps q_bloom_decontaminate + q_dup_spans in the
+        # head, and the split's zero-shuffle plan stays session-checked)
         "q_tokenize_vocab": q_tokenize_vocab,
         "q_quality_filter": q_quality_filter,
         # (q_ann_topk demoted r04: same exact-cosine semantics as
@@ -6058,6 +6164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_score": q_repetition_score,
         "q_gorilla_decode": q_gorilla_decode,
         "q_multimodal_frames": q_multimodal_frames,
+        "q_hash_split": q_hash_split,
         "q_cube_metrics": q_cube_metrics,
         "q_avg_float_t2": q_avg_float_t2,
         "q_ann_topk_blocked": q_ann_topk_blocked,
@@ -6199,6 +6306,7 @@ FROM win
         "q_pagerank": _pagerank_sql(),
         "q_markov_transitions": _MARKOV_TRANSITIONS,
         "q_dup_islands": _DUP_ISLANDS,
+        "q_rfm_segments": _RFM_SEGMENTS,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
