@@ -2978,6 +2978,106 @@ FROM isl GROUP BY doc_id, g
 """
 
 
+SPAN_MASK_PERMILLE = 150  # T5-style corruption rate (15%)
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption statistics over the pre-tokenized
+    sequences: each (user, pos) token masks with probability 15% by a
+    DETERMINISTIC md5 coin (reproducible across engines, runs, and
+    partitionings — the property a distributed masking pass needs so
+    retries/backfills corrupt identical spans), adjacent masked
+    positions merge into spans (one sentinel each, gaps-and-islands),
+    and the per-sequence summary is what a curriculum/QA dashboard
+    reads: token count, masked count, span count (== sentinels
+    consumed), masked-token checksum, corruption permille.
+
+    Shape: the token table explodes in-row; the coin is per-row md5
+    arithmetic (no shuffle); islands need one row_number window
+    partitioned by user (bounded by the MAX_SEQ ingest cap) over
+    MASKED rows only (~15% of tokens); one final groupBy(user)."""
+    tt = token_table(spark, sf_dir)
+    toks = tt.select(
+        "user_id", F.posexplode("tokens").alias("pos", "tok")
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", "user_id", "pos")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    flagged = toks.withColumn("m", coin).where(
+        F.col("m") < SPAN_MASK_PERMILLE
+    )
+    w = Window.partitionBy("user_id").orderBy("pos")
+    spans = flagged.withColumn(
+        "isl", F.col("pos") - F.row_number().over(w)
+    )
+    masked = spans.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_masked"),
+        F.countDistinct("isl").cast("long").alias("n_spans"),
+        F.sum("tok").cast("long").alias("masked_sum"),
+    )
+    totals = tt.select(
+        "user_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(masked, "user_id", "left")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_tokens",
+            F.coalesce("n_masked", F.lit(0)).cast("long")
+            .alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).cast("long")
+            .alias("n_spans"),
+            F.coalesce("masked_sum", F.lit(0)).cast("long")
+            .alias("masked_sum"),
+        )
+        .withColumn(
+            "corrupt_permille",
+            F.expr("1000 * n_masked DIV n_tokens").cast("long"),
+        )
+    )
+
+
+_SPAN_CORRUPTION = SEQ_CTE + f"""
+, coin AS (
+  SELECT user_id, pos, tok,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' ||
+                                   CAST(pos AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS m
+  FROM seq
+), flagged AS (
+  SELECT user_id, pos, tok FROM coin WHERE m < {SPAN_MASK_PERMILLE}
+), isl AS (
+  SELECT user_id, pos, tok,
+         pos - row_number() OVER (
+           PARTITION BY user_id ORDER BY pos) AS g
+  FROM flagged
+), masked AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_masked,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_spans,
+         CAST(sum(tok) AS BIGINT) AS masked_sum
+  FROM isl GROUP BY user_id
+), totals AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM seq GROUP BY user_id
+)
+SELECT CAST(t.user_id AS BIGINT) AS user_id, t.n_tokens,
+       CAST(COALESCE(m.n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(COALESCE(m.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(m.masked_sum, 0) AS BIGINT) AS masked_sum,
+       CAST(1000 * COALESCE(m.n_masked, 0) // t.n_tokens AS BIGINT)
+         AS corrupt_permille
+FROM totals t LEFT JOIN masked m USING (user_id)
+"""
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per purchasing user, quartile scores
     for Recency (days since last purchase), Frequency (purchase count)
@@ -6146,6 +6246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-format decoders — in the head)
         # r04: real PPM parse behind the binary plumbing, oracle-checked
         "q_multimodal_decode": q_multimodal_decode,
+        # --- tail top: r04f late additions — the head is already full
+        # of never-verified operators this round; these are oracle-green
+        # via check_oracle and are first in line for the r05 head ------
+        "q_span_corruption": q_span_corruption,
         # --- tail: redundant kernel variants, all green in >=2 rounds --
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
@@ -6307,6 +6411,7 @@ FROM win
         "q_markov_transitions": _MARKOV_TRANSITIONS,
         "q_dup_islands": _DUP_ISLANDS,
         "q_rfm_segments": _RFM_SEGMENTS,
+        "q_span_corruption": _SPAN_CORRUPTION,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
