@@ -49,6 +49,13 @@ HEADLINE = [
     "q_time_weighted_avg",
     "q_m4_decimate",
     "q_counter_rate",
+    # r04e/f analytics additions
+    "q_acf_lags",
+    "q_interarrival",
+    "q_markov_transitions",
+    "q_pagerank",
+    "q_dup_spans",
+    "q_rfm_segments",
 ]
 
 
@@ -63,18 +70,27 @@ def _fault_in_mbps(mb: int = 64, samples: int = 3) -> float:
     Healthy first-touch is >1 GB/s; lazily-backed guest memory has been
     observed at 6-120 MB/s (host re-faults every fresh page), which
     depresses every fresh JVM/Arrow allocation and inflates every
-    timing 2-3x.  Best-of-``samples`` — the probe itself is noisy and
-    we care about the ceiling the VM can reach."""
+    timing 2-3x.
+
+    Every sample MUST touch FRESH pages: freeing between samples lets
+    the next allocation reuse just-released (already host-backed)
+    pages and read GB/s on a sick host — exactly how a sick window
+    slipped past this gate once (BENCH/NOTES.md r04f).  So all
+    allocations stay alive until the end, and the verdict is the
+    MEDIAN fresh-touch rate (min would over-trigger on one slow
+    sample, max would hide sustained sickness)."""
     import numpy as np
 
-    best = 0.0
+    rates, hold = [], []
     for _ in range(samples):
         t0 = time.time()
         a = np.ones(mb * 1024 * 1024 // 8)
         dt = time.time() - t0
-        del a
-        best = max(best, mb / dt)
-    return round(best, 1)
+        hold.append(a)  # keep alive: next sample faults fresh pages
+        rates.append(mb / dt)
+    del hold
+    rates.sort()
+    return round(rates[len(rates) // 2], 1)
 
 
 def _cpu_calib_kips(seconds: float = 1.0, samples: int = 2) -> float:

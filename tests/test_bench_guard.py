@@ -95,3 +95,34 @@ def test_is_healthy_edges():
     assert bench.is_healthy(1.5, 1000.0, max_load=1.5, min_mbps=1000)
     assert not bench.is_healthy(1.51, 5000.0, max_load=1.5, min_mbps=1000)
     assert not bench.is_healthy(0.0, 999.9, max_load=1.5, min_mbps=1000)
+
+
+def test_fault_probe_median_of_fresh_touches(monkeypatch):
+    """The probe must (a) keep every sample's pages alive so each
+    sample faults FRESH memory, and (b) report the MEDIAN — a sick
+    host whose recycled pages read fast must not pass via max-of-N
+    (the r04f BENCH/NOTES.md incident: 6.9 MB/s fresh, 3.4 GB/s
+    recycled)."""
+    import numpy as np
+
+    alive: list[object] = []
+    real_ones = np.ones
+
+    def tracking_ones(n):
+        a = real_ones(16)  # tiny stand-in; timing comes from the clock
+        alive.append(a)
+        return a
+
+    ticks = iter(
+        # sample 1: fast (64 MB in 0.01s -> 6400 MB/s, the recycled-page lie)
+        [100.0, 100.01,
+         # samples 2-3: slow fresh touches (64 MB in 8s -> 8 MB/s)
+         101.0, 109.0,
+         110.0, 118.0]
+    )
+    monkeypatch.setattr(np, "ones", tracking_ones)
+    monkeypatch.setattr(bench.time, "time", lambda: next(ticks))
+    got = bench._fault_in_mbps(mb=64, samples=3)
+    # median of [6400, 8, 8] is 8 — the sick verdict; max would say 6400
+    assert got == 8.0
+    assert len(alive) == 3  # every sample allocated fresh (none reused)

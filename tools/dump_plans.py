@@ -95,6 +95,39 @@ BLURBS = {
         "repetition signals as per-row array arithmetic in ONE scan — "
         "zero exchanges anywhere in the plan."
     ),
+    "q_acf_lags": (
+        "Autocorrelation over AGGREGATED buckets only: scan prunes to "
+        "(ts, type), hourly reduce, spine join (broadcast bounds), lag "
+        "expand + self equi-join of the filled series, final groupBy — "
+        "no window anywhere, every shuffled row is a bucket."
+    ),
+    "q_interarrival": (
+        "Day-bounded lag: per-(type,day) sort for within-day deltas, "
+        "max_by day-last reduce, lag over the tiny day table, broadcast "
+        "stitch — never one task sorting a type's entire history."
+    ),
+    "q_pagerank": (
+        "Iterative dataflow: edges pinned once (localCheckpoint), each "
+        "power-iteration round is one src-keyed join + one dst groupBy "
+        "of per-edge contributions — the plan starts from the "
+        "checkpointed edge RDD, not a re-derivation."
+    ),
+    "q_dup_spans": (
+        "Substring dedup without a pair join: windows explode in-row, "
+        "distinct-doc counts from ONE map-side-combinable groupBy "
+        "(array_distinct first), flagged windows semi-join back by "
+        "window key — linear in corpus tokens."
+    ),
+    "q_rfm_segments": (
+        "Three global quartile ranks via ranking.global_rank (range "
+        "partition + broadcast offsets + bounded sorts) — zero "
+        "unpartitioned windows at any user cardinality."
+    ),
+    "q_markov_transitions": (
+        "Per-user lag window (high-cardinality partitioning), map-side "
+        "groupBy to the |types|^2 table, full-frame totals window over "
+        "that tiny table — one scan, no join."
+    ),
 }
 
 
