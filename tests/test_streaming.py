@@ -405,3 +405,66 @@ def test_correction_stream_end_state_equals_batch(spark, seq_dir, workdir):
     )
     got_cagg = Catalog(spark, workdir).read("caggc")
     assert _state(got_cagg) == _state(aggregate_batch(want_raw))
+
+
+def test_attribution_stream_multibatch_time_ordered(spark, tmp_path):
+    """Stream-stream join across MICRO-BATCH boundaries: purchases in a
+    later file must still pair with clicks buffered from an earlier
+    file (watermark state holds them), and the drained pair set must
+    equal the batch range join.  Files are written as disjoint
+    ascending time ranges with forced ascending modtimes so the file
+    source replays them in event-time order — the documented
+    deterministic multi-batch mode of run_attribution_stream."""
+    import datetime as dt
+    import glob
+    import time as _time
+
+    from tinybrain_spark.streaming import run_attribution_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    # file A: clicks at minute 0-2; file B: purchases at minute 30-40
+    # (within the 1h window, across the batch boundary) + a click at
+    # minute 35 pairing with the minute-40 purchase in the same file
+    rows_a = [
+        (1, t0 + dt.timedelta(minutes=0), 7, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=2), 8, "click", 1.0, "{}"),
+    ]
+    rows_b = [
+        (3, t0 + dt.timedelta(minutes=30), 7, "purchase", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=35), 8, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=40), 8, "purchase", 1.0, "{}"),
+        # user 7 clicked 0m; a 90m purchase is OUTSIDE the 1h window
+        (6, t0 + dt.timedelta(minutes=90), 7, "purchase", 1.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/f=a")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/f=b")
+    # force ascending modtimes so the file source replays a before b
+    now = _time.time()
+    for i, d in enumerate(("f=a", "f=b")):
+        for p in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(p, (now + i * 10, now + i * 10))
+    q = run_attribution_stream(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # purchase 3 <- click 1 (cross-batch, 30m), purchase 5 <- clicks
+    # 2 (38m earlier, cross-batch) and 4 (5m, same batch); purchase 6
+    # matches nothing (91m > 1h window)
+    assert got == {(3, 1), (5, 2), (5, 4)}

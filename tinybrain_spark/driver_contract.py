@@ -2978,6 +2978,55 @@ FROM isl GROUP BY doc_id, g
 """
 
 
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join end state under the oracle: purchases and
+    clicks replay through ``streaming.run_attribution_stream`` (a
+    REAL watermarked stream-stream inner join with the event-time
+    range constraint bounding both sides' state) and the emitted
+    (purchase_id, click_id) pair set must equal the batch range join
+    the DuckDB oracle computes — the batch-equivalence invariant, same
+    evidence pattern as q_stream_cagg_equiv.  The replay drains in one
+    availableNow batch, the deterministic mode (the multi-batch
+    watermark path is pinned separately in test_streaming.py with
+    forced file modtimes)."""
+    import shutil
+    import tempfile
+
+    from .streaming import run_attribution_stream
+
+    work = tempfile.mkdtemp(prefix="tb_attr_")
+    try:
+        src = f"{work}/events.parquet"
+        (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_type").isin("purchase", "click"))
+            .repartition(4)
+            .write.parquet(src)
+        )
+        q = run_attribution_stream(
+            spark, src, f"{work}/out", f"{work}/ckpt"
+        )
+        q.awaitTermination(600)
+        pairs = spark.read.parquet(f"{work}/out").select(
+            F.col("purchase_id").cast("long").alias("purchase_id"),
+            F.col("click_id").cast("long").alias("click_id"),
+        )
+        return pairs.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_STREAM_ATTRIBUTION = """
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 3600 SECONDS
+"""
+
+
 SPAN_MASK_PERMILLE = 150  # T5-style corruption rate (15%)
 
 
@@ -6250,6 +6299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of never-verified operators this round; these are oracle-green
         # via check_oracle and are first in line for the r05 head ------
         "q_span_corruption": q_span_corruption,
+        "q_stream_attribution": q_stream_attribution,
         # --- tail: redundant kernel variants, all green in >=2 rounds --
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
@@ -6412,6 +6462,7 @@ FROM win
         "q_dup_islands": _DUP_ISLANDS,
         "q_rfm_segments": _RFM_SEGMENTS,
         "q_span_corruption": _SPAN_CORRUPTION,
+        "q_stream_attribution": _STREAM_ATTRIBUTION,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,

@@ -520,3 +520,81 @@ def run_incremental_stream(
         .start()
     )
     return query
+
+
+ATTRIBUTION_WINDOW_S = 3600  # clicks within 1h before the purchase
+ATTRIBUTION_WATERMARK = "2 hours"
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def run_attribution_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    window_s: int = ATTRIBUTION_WINDOW_S,
+    max_files_per_trigger: int | None = None,
+):
+    """Watermarked STREAM-STREAM inner join: every purchase pairs with
+    each click by the same user in the hour before it (ad attribution).
+
+    Both sides carry a 2h watermark and the join carries the explicit
+    event-time range constraint, so Spark can BOUND the join state: a
+    buffered click is evicted once the watermark passes the last
+    purchase time it could still match (c_ts + window), and a purchase
+    once no earlier click can still arrive — without the constraint the
+    state grows forever.  Inner-join results emit in append mode as
+    matches arrive (exactly-once to the parquet sink via the streaming
+    checkpoint); availableNow drains the directory and terminates.
+
+    Correctness-vs-batch caveat baked into the API: file streams do NOT
+    replay time-ordered rows, and a watermark only promises to keep
+    LATE data within its horizon — so multi-batch replays of
+    arbitrarily-ordered files may legitimately drop matches a batch
+    join would find.  Deterministic replays either (a) drain in ONE
+    availableNow batch (max_files_per_trigger=None — the watermark
+    never advances mid-data; exactly the batch join), or (b) feed files
+    in event-time order with per-file ranges tighter than the
+    watermark (pinned in test_streaming.py with forced modtimes)."""
+    def side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
+        reader = spark.readStream.format("parquet").schema(
+            _EVENTS_STREAM_SCHEMA
+        )
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        df = reader.load(events_dir)
+        return (
+            df.where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(f"{id_alias}_user"),
+                F.col("ts").cast("timestamp").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, ATTRIBUTION_WATERMARK)
+        )
+
+    purchases = side("purchase", "purchase_id", "p_ts")
+    clicks = side("click", "click_id", "c_ts")
+    pairs = purchases.join(
+        clicks,
+        (F.col("purchase_id_user") == F.col("click_id_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_s} SECONDS")
+        ),
+        "inner",
+    ).select("purchase_id", "click_id")
+    return (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
