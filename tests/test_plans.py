@@ -343,15 +343,16 @@ def test_dup_islands_no_pair_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_rfm_zero_unpartitioned_windows(spark):
+def test_rfm_zero_unpartitioned_windows_no_rescan(spark):
     """r04f: all three RFM quartile ranks ride ranking.global_rank —
-    no bare Window.orderBy over the user-stats table, and the purchase
-    filter reaches the scan."""
+    no bare Window.orderBy over the user-stats table — and the final
+    plan contains NO parquet scan at all: every pass (including the
+    |users| count) reads the localCheckpoint-backed ranked rows, never
+    the purchase events a second time."""
     df = dc.queries()["q_rfm_segments"](spark, SF_DIR)
     assert_no_unpartitioned_windows(df)
     plan = _plan(df)
-    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
-    assert "event_type" in pushed
+    assert "Scan parquet" not in plan, plan.split("\n\n")[0]
 
 
 def test_bloom_probe_corpus_side_shuffle_free(spark):

@@ -492,7 +492,12 @@ def q_stream_cagg_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, seq_dir, f"{work}/wh", table="cagg_equiv",
             max_files_per_trigger=2,
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "stream did not drain within 600s — refusing to "
+                "return a partial end state"
+            )
         stored = Catalog(spark, f"{work}/wh").read("cagg_equiv").select(
             F.col("source"),
             F.col("time_bucket").cast("long").alias("time_bucket"),
@@ -620,7 +625,12 @@ def q_stream_upsert_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, ops_dir, f"{work}/wh", raw_table="raw",
             cagg_table="cagg", max_files_per_trigger=2,
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "stream did not drain within 600s — refusing to "
+                "return a partial end state"
+            )
         stored = Catalog(spark, f"{work}/wh").read("cagg").select(
             F.col("source"),
             F.col("time_bucket").cast("long").alias("time_bucket"),
@@ -2449,6 +2459,29 @@ def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spine_guard(hourly: DataFrame, who: str) -> DataFrame:
+    """Broadcast 1-row guard: gap_fill uses GLOBAL bounds, so every
+    series' filled length is the same max(tb)-min(tb)+1 — one tiny
+    aggregate over the hourly table checks the whole overflow budget
+    (recomputing the filled spine per source to count it would re-run
+    the scan+join for a constant)."""
+    return hourly.agg(
+        (F.max("tb") - F.min("tb") + 1).alias("_span")
+    ).select(
+        F.when(F.col("_span") < ACF_SPINE_MAX, F.lit(0))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"{who}: spine longer than 2^15 buckets breaks "
+                    "the overflow budget; shard the series by season "
+                    "first"
+                )
+            ).cast("int")
+        )
+        .alias("_g")
+    )
+
+
 def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation structure of each event type's hourly count
     series at lags 1..3 — the seasonality/persistence diagnostic behind
@@ -2478,21 +2511,7 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = filled.select(
         "source", "tb", F.col("n").cast("long").alias("n")
     )
-    spine_guard = base.groupBy("source").agg(
-        F.count("*").alias("_len")
-    ).select(
-        F.max(
-            F.when(F.col("_len") < ACF_SPINE_MAX, F.lit(0)).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "q_acf_lags: spine longer than 2^15 buckets "
-                        "breaks the overflow budget; shard the series "
-                        "by season first"
-                    )
-                ).cast("int")
-            )
-        ).alias("_g")
-    )
+    spine_guard = _spine_guard(hourly, "q_acf_lags")
     head = base.select(
         "source",
         "tb",
@@ -2579,14 +2598,16 @@ def q_xcorr_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: identical to q_acf_lags minus the per-source fan-out — two
     filtered slices of the filled hourly table, a 5-way lag expand on
-    the (tiny) x side, one equi-join, one groupBy.  Output is |lags|
-    rows however large the corpus."""
+    the (tiny) x side, one equi-join, one groupBy — including the SAME
+    2^15-bucket spine guard (the moment products share the overflow
+    budget).  Output is |lags| rows however large the corpus."""
     from .gapfill import gap_fill
 
     hourly = _hourly_counts(spark, sf_dir).where(
         F.col("source").isin(XCORR_A, XCORR_B)
     )
     filled = gap_fill(hourly, ["source"], "tb", ["n"], policy="zero")
+    guard = _spine_guard(hourly, "q_xcorr_types")
     xs = filled.where(F.col("source") == XCORR_A).select(
         "tb",
         F.col("n").cast("long").alias("x"),
@@ -2597,7 +2618,9 @@ def q_xcorr_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ys = filled.where(F.col("source") == XCORR_B).select(
         F.col("tb").alias("tb_tail"), F.col("n").cast("long").alias("y")
     )
-    g = xs.join(ys, "tb_tail").groupBy("lag").agg(
+    g = xs.join(ys, "tb_tail").crossJoin(F.broadcast(guard)).groupBy(
+        "lag"
+    ).agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum("x").alias("sx"),
@@ -2835,13 +2858,17 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: ONE lag window partitioned by user (the natural high-
     cardinality key — millions of partitions, each a user's own
-    history; hot users are bounded upstream by the engine's MAX_SEQ
-    ingest cap), then a map-side-combinable groupBy onto the
-    |types|^2-row transition table; row totals come from a full-frame
-    sum window over THAT tiny table (|types| rows per partition — a
-    second scan-and-aggregate branch would cost more than it saves).
-    Permille = 1000*n DIV row_total: truncating division, identical on
-    both engines."""
+    history).  NOTE the partition is a user's FULL raw-event history:
+    this query reads the events table directly, so a pathologically
+    hot user sorts in one task — at web scale either pre-cap per user
+    (the token path's MAX_SEQ treatment) or stitch (user, day)
+    partitions the way q_interarrival does; transition counts compose
+    across the stitch because edges are local.  Then one map-side-
+    combinable groupBy onto the |types|^2-row transition table; row
+    totals come from a full-frame sum window over THAT tiny table
+    (|types| rows per partition — a second scan-and-aggregate branch
+    would cost more than it saves).  Permille = 1000*n DIV row_total:
+    truncating division, identical on both engines."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
@@ -2895,19 +2922,13 @@ FROM c
 DUP_SPAN_K = 8  # window width (words) for substring-level dedup
 
 
-def q_dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated spans: merge q_dup_spans' flagged 8-word
-    windows into maximal runs of consecutive positions per document —
-    (doc_id, span_start, span_words) for every contiguous duplicated
-    region, i.e. exactly what a crop-the-boilerplate pass deletes.
-    Classic gaps-and-islands: island = pos - row_number() over the
-    doc's flagged positions; each island's word extent is
-    (max_pos - min_pos) + window width.
-
-    Shape: everything q_dup_spans does plus one row_number window
-    partitioned by doc (bounded by windows-per-doc) and one groupBy on
-    (doc, island) — aggregated rows only, still no pair join."""
-    docs = load_table(spark, sf_dir, "documents")
+def _dup_window_tables(docs: DataFrame):
+    """Shared front half of the substring-dedup queries: returns
+    (wins, pos, flagged) — per-doc 8-word window arrays (guarded: docs
+    shorter than the window yield an empty array, never a negative
+    F.sequence), their positional explode, and the window texts that
+    appear in >= 2 distinct documents (in-row array_distinct before
+    the one map-side-combinable groupBy)."""
     k = DUP_SPAN_K
     w = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2938,6 +2959,23 @@ def q_dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 2)
         .select("w8")
     )
+    return wins, pos, flagged
+
+
+def q_dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans: merge q_dup_spans' flagged 8-word
+    windows into maximal runs of consecutive positions per document —
+    (doc_id, span_start, span_words) for every contiguous duplicated
+    region, i.e. exactly what a crop-the-boilerplate pass deletes.
+    Classic gaps-and-islands: island = pos - row_number() over the
+    doc's flagged positions; each island's word extent is
+    (max_pos - min_pos) + window width.
+
+    Shape: everything q_dup_spans does plus one row_number window
+    partitioned by doc (bounded by windows-per-doc) and one groupBy on
+    (doc, island) — aggregated rows only, still no pair join."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, pos, flagged = _dup_window_tables(docs)
     hit = pos.join(flagged, "w8", "left_semi").select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     islands = hit.withColumn(
@@ -2945,7 +2983,9 @@ def q_dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return islands.groupBy("doc_id", "isl").agg(
         F.min("pos").cast("long").alias("span_start"),
-        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_words"),
+        (F.max("pos") - F.min("pos") + DUP_SPAN_K)
+        .cast("long")
+        .alias("span_words"),
     ).drop("isl").select("doc_id", "span_start", "span_words")
 
 
@@ -3006,7 +3046,12 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_attribution_stream(
             spark, src, f"{work}/out", f"{work}/ckpt"
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "stream did not drain within 600s — refusing to "
+                "return a partial end state"
+            )
         pairs = spark.read.parquet(f"{work}/out").select(
             F.col("purchase_id").cast("long").alias("purchase_id"),
             F.col("click_id").cast("long").alias("click_id"),
@@ -3168,7 +3213,6 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    n_u = stats.agg(F.count("*").cast("long").alias("_nu"))
     ranked = global_rank(
         stats, [F.col("recency"), F.col("user_id")], "_rr"
     )
@@ -3178,6 +3222,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(
         ranked, [F.col("monetary"), F.col("user_id")], "_rm"
     )
+    # count over the (localCheckpoint-backed) ranked rows — never a
+    # second pass over the purchase scan just to learn |users|
+    n_u = ranked.agg(F.count("*").cast("long").alias("_nu"))
     q = lambda c: f"(4 * ({c} - 1)) DIV _nu + 1"  # noqa: E731
     out = ranked.join(F.broadcast(n_u)).selectExpr(
         "user_id",
@@ -5036,31 +5083,36 @@ FROM seq JOIN uoff USING (user_id)
 """
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct word-3-gram shingles per document.
+def _doc_shingles(docs: DataFrame, key=None) -> DataFrame:
+    """(key, sh): distinct word-3-gram shingles per document row, keyed
+    by ``key`` (default: the doc_id cast long).
 
     Per-doc shingle dedup happens IN-ROW (array_distinct before the
     explode) — no global distinct exchange; downstream queries add only
-    the shuffles their own semantics need.  Assumes >= 3 words per doc
-    (the documents fixture guarantees it; F.sequence would auto-step -1
-    below 3, see CLAUDE.md)."""
+    the shuffles their own semantics need.  Docs shorter than 3 words
+    yield no shingles (guarded — F.sequence would auto-step -1 below
+    3, see CLAUDE.md)."""
+    if key is None:
+        key = F.col("doc_id").cast("long").alias("doc_id")
     w = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.split(F.trim(F.col("text")), " +").alias("ws"),
+        key, F.split(F.trim(F.col("text")), " +").alias("ws")
     )
     return w.select(
-        "doc_id",
+        w.columns[0],
         F.explode(
             F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("ws", i + 1),
-                        F.element_at("ws", i + 2),
-                        F.element_at("ws", i + 3),
+                F.when(
+                    F.size("ws") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("ws", i + 1),
+                            F.element_at("ws", i + 2),
+                            F.element_at("ws", i + 3),
+                        ),
                     ),
-                )
+                ).otherwise(F.array().cast("array<string>"))
             )
         ).alias("sh"),
     )
@@ -5132,38 +5184,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out positions that genuinely are duplicated — no pair join exists
     anywhere (contrast q_ngram_jaccard's capped self-join)."""
     docs = load_table(spark, sf_dir, "documents")
-    k = DUP_SPAN_K
-    w = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.split(F.trim(F.col("text")), " +").alias("ws"),
-    )
-    wins = w.select(
-        "doc_id",
-        F.when(
-            F.size("ws") >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - k),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at("ws", i + j + 1) for j in range(k)],
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("wins"),
-    )
-    pos = wins.select(
-        "doc_id", F.posexplode("wins").alias("pos", "w8")
-    )
-    flagged = (
-        wins.select(
-            "doc_id", F.explode(F.array_distinct("wins")).alias("w8")
-        )
-        .groupBy("w8")
-        .agg(F.count("*").alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("w8")
-    )
+    wins, pos, flagged = _dup_window_tables(docs)
     nd = (
         pos.join(flagged, "w8", "left_semi")
         .groupBy("doc_id")
@@ -5241,25 +5262,8 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair table.  Output is |sources|^2/2 rows however large the
     corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(
-        F.col("source").alias("src"),
-        F.split(F.trim(F.col("text")), " +").alias("ws"),
-    )
-    sh = w.select(
-        "src",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("ws", i + 1),
-                        F.element_at("ws", i + 2),
-                        F.element_at("ws", i + 3),
-                    ),
-                )
-            )
-        ).alias("sh"),
+    sh = _doc_shingles(
+        docs, key=F.col("source").alias("src")
     ).distinct()  # cross-doc (src, sh) dedup — the one required exchange
     totals = sh.groupBy("src").agg(F.count("*").cast("long").alias("t"))
     srcs_per_sh = sh.groupBy("sh").agg(
