@@ -3476,6 +3476,100 @@ SELECT CAST(3 AS BIGINT), 'purchase',
 COHORT_VALUE_FLOOR = 18.0  # qualifying-purchase floor (see docstring)
 
 
+def q_funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile for the completed funnel: per hop
+    (view->click, click->purchase, view->purchase) over users who
+    completed all three steps in strict order, the count and the
+    min / max / floored-mean latency in integer seconds — the 'how
+    long does conversion take' follow-up every funnel dashboard asks.
+
+    Shape: the same user-keyed groupBy-min-join chain as
+    q_funnel_steps (every shuffle on user_id), then one 3-row
+    aggregate; latencies stay in int64 microseconds until the final
+    DIV so both engines floor identically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    s1 = ev.where(F.col("event_type") == FUNNEL_STEPS[0]).groupBy(
+        "user_id"
+    ).agg(F.min("us").alias("t1"))
+    s2 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("t3"),
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+        )
+    )
+    hops = s3.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view_to_click").alias("hop"),
+                    (F.col("t2") - F.col("t1")).alias("d"),
+                ),
+                F.struct(
+                    F.lit("click_to_purchase").alias("hop"),
+                    (F.col("t3") - F.col("t2")).alias("d"),
+                ),
+                F.struct(
+                    F.lit("view_to_purchase").alias("hop"),
+                    (F.col("t3") - F.col("t1")).alias("d"),
+                ),
+            )
+        ).alias("h")
+    ).select("h.hop", "h.d")
+    return hops.groupBy("hop").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("min(d) DIV 1000000").cast("long").alias("min_s"),
+        F.expr("max(d) DIV 1000000").cast("long").alias("max_s"),
+        F.expr("(sum(d) DIV count(*)) DIV 1000000")
+        .cast("long")
+        .alias("avg_s"),
+    )
+
+
+_FUNNEL_TIMES = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s1.t1) AS t1
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3,
+         min(s2.t1) AS t1, min(s2.t2) AS t2
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1
+), hops AS (
+  SELECT 'view_to_click' AS hop, t2 - t1 AS d FROM s3
+  UNION ALL
+  SELECT 'click_to_purchase', t3 - t2 FROM s3
+  UNION ALL
+  SELECT 'view_to_purchase', t3 - t1 FROM s3
+)
+SELECT hop,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(d) // 1000000 AS BIGINT) AS min_s,
+       CAST(max(d) // 1000000 AS BIGINT) AS max_s,
+       CAST((sum(d) // count(*)) // 1000000 AS BIGINT) AS avg_s
+FROM hops GROUP BY hop
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity week,
     counted again in every later week they return — the
@@ -6304,6 +6398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via check_oracle and are first in line for the r05 head ------
         "q_span_corruption": q_span_corruption,
         "q_stream_attribution": q_stream_attribution,
+        "q_funnel_times": q_funnel_times,
         # --- tail: redundant kernel variants, all green in >=2 rounds --
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
@@ -6467,6 +6562,7 @@ FROM win
         "q_rfm_segments": _RFM_SEGMENTS,
         "q_span_corruption": _SPAN_CORRUPTION,
         "q_stream_attribution": _STREAM_ATTRIBUTION,
+        "q_funnel_times": _FUNNEL_TIMES,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
