@@ -181,3 +181,107 @@ def test_markov_counts_and_permille(spark, tmp_path):
         ("click", "view"): (1, 500),
         ("click", "click"): (1, 500),
     }
+
+
+def test_xcorr_matches_numpy_moments(spark, tmp_path):
+    """Cross-covariance numerators vs numpy on two crafted hourly
+    series (click=[2,0,1], error=[1,3,0] over the shared spine)."""
+    np = pytest.importorskip("numpy")
+    rows = (
+        [(0 * 3600 + i, 1, "click", 1) for i in range(2)]
+        + [(2 * 3600 + 5, 1, "click", 1)]
+        + [(0 * 3600 + 9, 2, "error", 1)]
+        + [(1 * 3600 + i, 2, "error", 1) for i in range(3)]
+    )
+    d = _events_dir(spark, tmp_path, rows)
+    x = np.array([2, 0, 1], dtype=np.int64)   # click counts by hour
+    y = np.array([1, 3, 0], dtype=np.int64)   # error counts by hour
+    got = {
+        r["lag"]: (r["n_pairs"], r["cov_num"], r["var_x"], r["var_y"])
+        for r in dc.q_xcorr_types(spark, d).collect()
+    }
+    for lag in (-2, -1, 0, 1, 2):
+        # pair (x_t, y_{t+lag}) for t where both indices are in range
+        ts = [t for t in range(3) if 0 <= t + lag < 3]
+        xv = np.array([x[t] for t in ts], dtype=np.int64)
+        yv = np.array([y[t + lag] for t in ts], dtype=np.int64)
+        n = len(ts)
+        cov = n * int((xv * yv).sum()) - int(xv.sum()) * int(yv.sum())
+        vx = n * int((xv * xv).sum()) - int(xv.sum()) ** 2
+        vy = n * int((yv * yv).sum()) - int(yv.sum()) ** 2
+        assert got[lag] == (n, cov, vx, vy), lag
+
+
+def test_sax_quartile_symbols(spark, tmp_path):
+    """8 daily segments with strictly increasing PAA means must get
+    symbols 1,1,2,2,3,3,4,4 in PAA order (rank-based ntile)."""
+    rows = []
+    for day in range(8):
+        # day d gets d+1 events in its first hour -> paa floor((d+1)/24)
+        # would collapse; instead spread d+1 events over EVERY hour of
+        # the day so paa == d+1 exactly
+        for h in range(24):
+            for i in range(day + 1):
+                rows.append((day * 86400 + h * 3600 + i, 1, "view", 1))
+    d = _events_dir(spark, tmp_path, rows)
+    base = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).days
+    got = {
+        r["segment"] - base: (r["paa"], r["symbol"])
+        for r in dc.q_sax_paa(spark, d).collect()
+        if r["source"] == "view"
+    }
+    want = {seg: (seg + 1, seg // 2 + 1) for seg in range(8)}
+    assert got == want
+
+
+def test_decay_topk_weights_and_ties(spark, tmp_path):
+    """u1: 1 event on the reference day (w=2^30); u2: 2 events one day
+    earlier (w=2*2^29=2^30) — equal scores, tie broken by user_id."""
+    rows = [
+        (1 * 86400 + 10, 1, "view", 1),
+        (0 * 86400 + 10, 2, "view", 1),
+        (0 * 86400 + 20, 2, "view", 1),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    got = [
+        (r["rn"], r["user_id"], r["decayed"])
+        for r in dc.q_decay_topk(spark, d).collect()
+        if r["source"] == "view"
+    ]
+    assert sorted(got) == [(1, 1, 1 << 30), (2, 2, 1 << 30)]
+
+
+def test_source_overlap_hand_counts(spark, tmp_path):
+    """Two docs (sources src0/src1) sharing exactly one 3-gram."""
+    texts = [
+        "a b c x y z",      # doc 0 -> src0: shingles {abc,bcx,cxy,xyz}
+        "a b c p q r",      # doc 1 -> src1: shingles {abc,bcp,cpq,pqr}
+    ]
+    d = _docs_dir(spark, tmp_path, texts)
+    rows = dc.q_source_overlap(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("src0", "src1")
+    assert (r["shared"], r["total_a"], r["total_b"]) == (1, 4, 4)
+    # jaccard = 1/7 -> 142 permille (floored)
+    assert r["jaccard_permille"] == 142
+
+
+def test_cohort_retention_hand_triangle(spark, tmp_path):
+    """u1 qualifies in weeks 0 and 2; u2 first qualifies in week 1 —
+    the triangle must be {(w0,0):1, (w0,2):1, (w1,0):1}."""
+    wk = 7 * 24 * 3600
+    rows = [
+        (0 * wk + 50, 1, "purchase", 100.0),
+        (2 * wk + 50, 1, "purchase", 100.0),
+        (1 * wk + 50, 2, "purchase", 100.0),
+        (1 * wk + 60, 2, "purchase", 1.0),   # below the value floor
+        (0 * wk + 70, 3, "view", 100.0),     # wrong type
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    base = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).days // 7
+    got = {
+        (r["cohort_week"] - base, r["week_offset"]): r["n_users"]
+        for r in dc.q_cohort_retention(spark, d).collect()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
