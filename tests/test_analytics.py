@@ -285,3 +285,26 @@ def test_cohort_retention_hand_triangle(spark, tmp_path):
         for r in dc.q_cohort_retention(spark, d).collect()
     }
     assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_logbucket_quantile_error_bound(spark, tmp_path):
+    """Each estimate is its bucket's lower bound and the true quantile
+    lies in the same bucket, so est <= true < est * 1.25 (the 2-bit
+    sub-bucket relative-error guarantee, msb >= 2)."""
+    import math
+
+    vals = [0.07 * i * i + 0.5 for i in range(1, 120)]  # spread decades
+    rows = [(i, 1, "view", v) for i, v in enumerate(vals)]
+    d = _events_dir(spark, tmp_path, rows)
+    centi = sorted(int(math.floor(v * 100)) + 1 for v in vals)
+    got = {
+        r["q"]: r["est_centi"]
+        for r in dc.q_logbucket_quantile(spark, d).collect()
+        if r["source"] == "view"
+    }
+    for q in (500, 900, 990):
+        rank = (q * len(centi) + 999) // 1000
+        true = centi[rank - 1]
+        est = got[q]
+        assert est <= true, (q, est, true)
+        assert true < est * 1.25 + 1, (q, est, true)

@@ -3717,6 +3717,129 @@ FROM paa
 """
 
 
+LOGQ_QUANTILES = (500, 900, 990)  # q50 / q90 / q99 in permille
+
+
+def q_logbucket_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-bucketed quantile sketch (the DDSketch idea with integer
+    machinery): each centi-value lands in bucket (msb, next-2-bits) —
+    msb = floor(log2 v) computed EXACTLY as length(bin(v))-1 on both
+    engines, no float log — giving ~25% relative-error buckets whose
+    counts are sum-MERGEABLE across partitions/days/streams (unlike
+    exact percentiles) and whose count is bounded (<= 4*63 buckets)
+    however unbounded the value domain — the quantile shape that
+    rolls up.  Estimates are each bucket's exact integer lower bound
+    at rank ceil(q*n/1000).
+
+    Shape: one map-side-combinable groupBy to <= 252 rows per type, a
+    cumulative window over those aggregated rows, a 3-way quantile
+    expand, one final min — every post-scan row is a bucket.
+    q_value_histogram covers fixed-width bins; q_value_percentiles
+    exact order statistics; this adds the mergeable relative-error
+    tier."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        (F.floor(F.col("value") * 100).cast("long") + 1).alias("v"),
+    )
+    guarded = ev.select(
+        "source",
+        F.when(F.col("v") >= 1, F.col("v"))
+        .otherwise(
+            F.raise_error(
+                F.lit("q_logbucket_quantile: negative centi-value — "
+                      "the log-bucket domain is v >= 1")
+            ).cast("long")
+        )
+        .alias("v"),
+    )
+    msb = F.length(F.bin(F.col("v"))) - 1
+    sub = F.when(
+        msb >= 2, F.expr("v >> (length(bin(v)) - 3)") - 4
+    ).otherwise(F.col("v") - F.expr("1 << (length(bin(v)) - 1)"))
+    buckets = (
+        guarded.select(
+            "source", (msb * 4 + sub).cast("long").alias("bucket")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = buckets.select(
+        "source",
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    qs = cum.select(
+        "source",
+        "bucket",
+        "cum",
+        F.explode(
+            F.array(*[F.lit(q) for q in LOGQ_QUANTILES])
+        ).alias("q"),
+        "total",
+    ).where(
+        F.col("cum") >= F.expr("(q * total + 999) DIV 1000")
+    )
+    best = qs.groupBy("source", "q").agg(
+        F.min("bucket").alias("bucket")
+    )
+    m = F.expr("bucket DIV 4")
+    s = F.expr("bucket % 4")
+    lb = F.when(
+        m >= 2, (s + 4) * F.expr("1 << (bucket DIV 4 - 2)")
+    ).otherwise(F.expr("(1 << (bucket DIV 4)) + bucket % 4"))
+    return best.select(
+        "source",
+        F.col("q").cast("long").alias("q"),
+        lb.cast("long").alias("est_centi"),
+    )
+
+
+_LOGBUCKET_QUANTILE = f"""
+WITH v AS (
+  SELECT event_type AS source,
+         CAST(floor(value * 100) AS BIGINT) + 1 AS v
+  FROM events
+), b AS (
+  SELECT source,
+         (length(bin(v)) - 1) * 4
+         + CASE WHEN length(bin(v)) - 1 >= 2
+                THEN (v >> (length(bin(v)) - 3)) - 4
+                ELSE v - (1 << (length(bin(v)) - 1)) END AS bucket,
+         count(*) AS n
+  FROM v GROUP BY 1, 2
+), c AS (
+  SELECT source, bucket,
+         sum(n) OVER (PARTITION BY source ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY source) AS total
+  FROM b
+), hit AS (
+  SELECT source, q.q, min(bucket) AS bucket
+  FROM c CROSS JOIN (VALUES {", ".join(f"({q})" for q in LOGQ_QUANTILES)})
+         AS q(q)
+  WHERE cum >= (q.q * total + 999) // 1000
+  GROUP BY 1, 2
+)
+SELECT source, CAST(q AS BIGINT) AS q,
+       CAST(CASE WHEN bucket // 4 >= 2
+                 THEN (bucket % 4 + 4) * (1 << (bucket // 4 - 2))
+                 ELSE (1 << (bucket // 4)) + bucket % 4 END AS BIGINT)
+         AS est_centi
+FROM hit
+"""
+
+
 ZSCORE_Z = 3          # flag |v - mean| > 3 sigma (population variance)
 ZSCORE_V_BITS = 17    # centi-values < 2^17 keep every product < 2^63
 ZSCORE_N_MAX = 16384  # group-size bound for the same overflow budget
@@ -6399,6 +6522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_corruption": q_span_corruption,
         "q_stream_attribution": q_stream_attribution,
         "q_funnel_times": q_funnel_times,
+        "q_logbucket_quantile": q_logbucket_quantile,
         # --- tail: redundant kernel variants, all green in >=2 rounds --
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
@@ -6563,6 +6687,7 @@ FROM win
         "q_span_corruption": _SPAN_CORRUPTION,
         "q_stream_attribution": _STREAM_ATTRIBUTION,
         "q_funnel_times": _FUNNEL_TIMES,
+        "q_logbucket_quantile": _LOGBUCKET_QUANTILE,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
