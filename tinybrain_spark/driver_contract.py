@@ -3840,6 +3840,60 @@ FROM hit
 """
 
 
+SAX_MOTIF_LEN = 3  # motif = 3 consecutive daily symbols
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif discovery over the SAX stream: count every length-3 word
+    of consecutive daily symbols per series — recurring words are the
+    series' motifs (Lin et al.'s use of SAX), the 'what does a normal
+    3-day shape look like' primitive behind whole-series similarity
+    and discord detection.
+
+    Shape: everything q_sax_paa does (all reductions over aggregated
+    buckets), then two lead() taps on the per-source segment window —
+    the same bounded days-per-source partitions the ntile already
+    sorts — and one groupBy over (source, word).  Output is at most
+    |sources| * 4^3 rows."""
+    sym = q_sax_paa(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("segment")
+    words = sym.select(
+        "source",
+        "segment",
+        F.concat_ws(
+            "",
+            F.col("symbol"),
+            F.lead("symbol", 1).over(w),
+            F.lead("symbol", 2).over(w),
+        ).alias("motif"),
+    ).where(F.length("motif") == SAX_MOTIF_LEN)
+    return words.groupBy("source", "motif").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def _sax_motifs_sql() -> str:
+    """Oracle: wrap the SAX CTE, tap lead() twice, count words."""
+    sax_inner = _SAX_PAA.strip()
+    return f"""
+WITH sax AS (
+{sax_inner}
+), words AS (
+  SELECT source,
+         CAST(symbol AS VARCHAR)
+         || CAST(lead(symbol, 1) OVER (
+              PARTITION BY source ORDER BY segment) AS VARCHAR)
+         || CAST(lead(symbol, 2) OVER (
+              PARTITION BY source ORDER BY segment) AS VARCHAR)
+           AS motif
+  FROM sax
+)
+SELECT source, motif, CAST(count(*) AS BIGINT) AS n
+FROM words WHERE length(motif) = {SAX_MOTIF_LEN}
+GROUP BY 1, 2
+"""
+
+
 ZSCORE_Z = 3          # flag |v - mean| > 3 sigma (population variance)
 ZSCORE_V_BITS = 17    # centi-values < 2^17 keep every product < 2^63
 ZSCORE_N_MAX = 16384  # group-size bound for the same overflow budget
@@ -6523,6 +6577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_attribution": q_stream_attribution,
         "q_funnel_times": q_funnel_times,
         "q_logbucket_quantile": q_logbucket_quantile,
+        "q_sax_motifs": q_sax_motifs,
         # --- tail: redundant kernel variants, all green in >=2 rounds --
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
@@ -6688,6 +6743,7 @@ FROM win
         "q_stream_attribution": _STREAM_ATTRIBUTION,
         "q_funnel_times": _FUNNEL_TIMES,
         "q_logbucket_quantile": _LOGBUCKET_QUANTILE,
+        "q_sax_motifs": _sax_motifs_sql(),
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
