@@ -308,3 +308,23 @@ def test_logbucket_quantile_error_bound(spark, tmp_path):
         est = got[q]
         assert est <= true, (q, est, true)
         assert true < est * 1.25 + 1, (q, est, true)
+
+
+def test_sax_motifs_words_over_known_symbols(spark, tmp_path):
+    """Over the strictly-increasing 8-segment series (symbols
+    1,1,2,2,3,3,4,4 in segment order) the 3-day words must be exactly
+    112,122,223,233,334,344 — one each."""
+    rows = []
+    for day in range(8):
+        for h in range(24):
+            for i in range(day + 1):
+                rows.append((day * 86400 + h * 3600 + i, 1, "view", 1))
+    d = _events_dir(spark, tmp_path, rows)
+    got = {
+        r["motif"]: r["n"]
+        for r in dc.q_sax_motifs(spark, d).collect()
+        if r["source"] == "view"
+    }
+    assert got == {
+        "112": 1, "122": 1, "223": 1, "233": 1, "334": 1, "344": 1
+    }
