@@ -163,3 +163,31 @@ def test_corrections_job_cli(spark, workdir, capsys):
     assert got == want
     assert stats["raw_rows"] == base.where(~kill).count()
     assert stats["cagg_rows"] == len(want)
+
+
+def test_analytics_job_cli(spark, workdir, capsys):
+    """Drive the analytics CLI main(): two registry queries land as
+    parquet marts and the JSON stats line reports their row counts."""
+    import json
+
+    from jobs import analytics_job
+
+    out = f"{workdir}/marts"
+    rc = analytics_job.main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output", out,
+        "--query", "q_top_tokens",
+        "--query", "q_funnel_steps",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["queries"]["q_top_tokens"]["rows"] == 20
+    assert stats["queries"]["q_funnel_steps"]["rows"] == 3
+    assert spark.read.parquet(f"{out}/q_funnel_steps").count() == 3
+    # unknown names fail fast
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        analytics_job.main(
+            ["--sf-dir", "x", "--output", out, "--query", "nope"]
+        )
