@@ -328,3 +328,77 @@ def test_sax_motifs_words_over_known_symbols(spark, tmp_path):
     assert got == {
         "112": 1, "122": 1, "223": 1, "233": 1, "334": 1, "344": 1
     }
+
+
+@pytest.mark.parametrize("seed", [7, 99, 1234])
+def test_interarrival_random_equals_full_sort_diff(spark, tmp_path, seed):
+    """Randomized (seeded) differential: the day-stitched deltas must
+    equal a literal pandas full-sort diff for arbitrary event layouts,
+    including multi-day gaps and duplicate timestamps."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(300):
+        s = rng.randrange(0, 5 * 86400)       # five days incl. gaps
+        u = rng.randrange(1, 6)
+        t = rng.choice(["view", "click"])
+        rows.append((s, u, t, 1))
+    rows.append((rows[0][0], 9, rows[0][2], 1))  # duplicate timestamp
+    d = _events_dir(spark, tmp_path, rows)
+
+    # literal reference: per type, sort by (us, event_id), diff
+    ref: dict[str, list[int]] = {}
+    for eid, (s, u, t, v) in enumerate(rows):
+        ref.setdefault(t, []).append((s * 1_000_000, eid))
+    want = {}
+    for t, evs in ref.items():
+        evs.sort()
+        deltas = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        if deltas:
+            want[t] = (
+                len(deltas),
+                min(deltas),
+                max(deltas),
+                sum(deltas) // len(deltas),
+            )
+    got = {
+        r["source"]: (r["n_deltas"], r["min_delta_us"],
+                      r["max_delta_us"], r["avg_delta_us"])
+        for r in dc.q_interarrival(spark, d).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_pagerank_random_equals_literal(spark, tmp_path, seed):
+    """Randomized (seeded) differential: ranks over a random event
+    stream must equal the literal integer power iteration on the
+    day-bounded follows-in-stream edge list."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(0, 2 * 86400), rng.randrange(1, 9),
+         rng.choice(["view", "click"]), 1)
+        for _ in range(200)
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+
+    streams: dict[tuple, list[tuple]] = {}
+    for eid, (s, u, t, v) in enumerate(rows):
+        streams.setdefault((t, s // 86400), []).append(
+            (s * 1_000_000, eid, u)
+        )
+    edges = []
+    for evs in streams.values():
+        evs.sort()
+        edges += [(a[2], b[2]) for a, b in zip(evs, evs[1:])]
+    want = _pagerank_ref(
+        edges, dc.PR_ITERS, dc.PR_SCALE, dc.PR_DAMP_NUM, dc.PR_DAMP_DEN
+    )
+    got = {
+        r["user_id"]: r["rank_fp"]
+        for r in dc.q_pagerank(spark, d).collect()
+    }
+    assert got == want
