@@ -3172,6 +3172,60 @@ FROM totals t LEFT JOIN masked m USING (user_id)
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (data mixing): each doc
+    keeps with probability proportional to its lexical-diversity
+    permille (distinct words / words — the cheap quality proxy), via a
+    DETERMINISTIC md5 coin on the doc id.  Unlike rand()-based
+    sampling, the draw is reproducible across engines, retries, and
+    partitionings — the property a distributed mixing pass needs so a
+    re-run selects the identical corpus — and unlike the stratified
+    quota sampler (q_stratified_sample) the inclusion probability
+    varies PER DOC with its weight.  Emits kept docs with their weight
+    and coin so the selection is auditable.
+
+    Shape: pure per-row Catalyst arithmetic — in-row array_distinct
+    for the weight, one md5 for the coin, zero shuffles, zero joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws_"),
+                                       F.col("doc_id").cast("string"))),
+                        1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.expr(
+                "CAST(1000 * size(array_distinct(split(trim(text), ' +')))"
+                " DIV size(split(trim(text), ' +')) AS BIGINT)"
+            ).alias("w_permille"),
+            coin.alias("coin"),
+        )
+        .where(F.col("coin") < F.col("w_permille"))
+    )
+
+
+_WEIGHTED_SAMPLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(1000 * length(list_distinct(
+                  string_split_regex(trim(text), ' +')))
+              // length(string_split_regex(trim(text), ' +'))
+              AS BIGINT) AS w_permille,
+         CAST(('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 1000 AS coin
+  FROM documents
+)
+SELECT doc_id, w_permille, CAST(coin AS BIGINT) AS coin
+FROM d WHERE coin < w_permille
+"""
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per purchasing user, quartile scores
     for Recency (days since last purchase), Frequency (purchase count)
@@ -6578,6 +6632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_times": q_funnel_times,
         "q_logbucket_quantile": q_logbucket_quantile,
         "q_sax_motifs": q_sax_motifs,
+        "q_weighted_sample": q_weighted_sample,
         # --- tail: redundant kernel variants, all green in >=2 rounds --
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
@@ -6744,6 +6799,7 @@ FROM win
         "q_funnel_times": _FUNNEL_TIMES,
         "q_logbucket_quantile": _LOGBUCKET_QUANTILE,
         "q_sax_motifs": _sax_motifs_sql(),
+        "q_weighted_sample": _WEIGHTED_SAMPLE,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
