@@ -355,6 +355,39 @@ def test_rfm_zero_unpartitioned_windows_no_rescan(spark):
     assert "Scan parquet" not in plan, plan.split("\n\n")[0]
 
 
+def test_weighted_sample_zero_exchanges(spark):
+    """r04f: the importance sampler is pure per-row arithmetic — no
+    exchange anywhere in the plan."""
+    plan = _plan(dc.queries()["q_weighted_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_funnel_times_no_windows(spark):
+    """r04f: the latency profile is joins + groupBys + one in-row
+    explode — no window operator in the plan."""
+    plan = _plan(dc.queries()["q_funnel_times"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+
+
+def test_logbucket_windows_partitioned_scan_pruned(spark):
+    """r04f: the cumulative/total windows run per-source over bucket
+    aggregates (partitioned), and the scan prunes to (type, value)."""
+    df = dc.queries()["q_logbucket_quantile"](spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    plan = _plan(df)
+    sch = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "props" not in sch and "user_id" not in sch
+
+
+def test_span_corruption_windows_partitioned(spark):
+    """r04f: the sentinel-island window partitions by user over masked
+    rows only — never unpartitioned."""
+    assert_no_unpartitioned_windows(
+        dc.queries()["q_span_corruption"](spark, SF_DIR)
+    )
+
+
 def test_bloom_probe_corpus_side_shuffle_free(spark):
     """q_bloom_decontaminate: the candidate-corpus branch reaches the
     verification join without any exchange of its own — all hash
