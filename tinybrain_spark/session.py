@@ -36,6 +36,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(32, cpus)
 
+    # executor python workers import this package by name (pandas/Arrow
+    # UDFs pickle references, not code).  A driver launched from an
+    # arbitrary cwd has the repo root only on ITS OWN sys.path — the
+    # workers inherit PYTHONPATH, not sys.path — so pin the package
+    # root into the env BEFORE the JVM starts (on a real cluster the
+    # same role is played by --py-files tinybrain_spark.zip).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{py_path}" if py_path else pkg_root
+        )
+
     # keep the JVM heap modest: the heavy data lives in Arrow buffers on
     # the Python side, and >8g heaps trigger GC/huge-page stalls in this
     # sandbox (measured: 24g heap degrades a 1s scan to 18s)
