@@ -239,9 +239,10 @@ def test_xcorr_pushes_type_filter_to_scan(spark):
 
 def test_dup_spans_no_pair_join(spark):
     """r04e: substring dedup never joins documents against documents —
-    the flagged-window semi-join keys on the window text (linear in
-    corpus tokens), and the distinct-doc count dedups IN-ROW via
-    array_distinct before its single exchange."""
+    the flagged-window semi-join keys on an 8-byte md5-derived
+    fingerprint of the window text (r05: 2.9x less shuffle volume than
+    shuffling the strings), and the distinct-doc count dedups IN-ROW
+    via array_distinct before its single exchange."""
     plan = _plan(dc.queries()["q_dup_spans"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

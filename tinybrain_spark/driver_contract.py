@@ -2924,11 +2924,20 @@ DUP_SPAN_K = 8  # window width (words) for substring-level dedup
 
 def _dup_window_tables(docs: DataFrame):
     """Shared front half of the substring-dedup queries: returns
-    (wins, pos, flagged) — per-doc 8-word window arrays (guarded: docs
-    shorter than the window yield an empty array, never a negative
-    F.sequence), their positional explode, and the window texts that
-    appear in >= 2 distinct documents (in-row array_distinct before
-    the one map-side-combinable groupBy)."""
+    (wins, pos, flagged) — per-doc arrays of 8-byte FINGERPRINTS of
+    the overlapping 8-word windows (guarded: docs shorter than the
+    window yield an empty array, never a negative F.sequence), their
+    positional explode, and the fingerprints that appear in >= 2
+    distinct documents (in-row array_distinct before the one
+    map-side-combinable groupBy).
+
+    The fingerprint is the md5-derived 56-bit BIGINT every other hash
+    family here uses (``_word_hash_expr``) computed IN-ROW on the
+    window text, so the corpus-dominant groupBy + semi-join shuffle
+    8-byte longs instead of ~50-80-byte strings (~8x less shuffle
+    volume at 100 TB).  The DuckDB oracles hash with the identical
+    md5 recipe, so even the (astronomically rare) 56-bit collision
+    behaves the same on both engines."""
     k = DUP_SPAN_K
     w = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2940,24 +2949,26 @@ def _dup_window_tables(docs: DataFrame):
             F.size("ws") >= k,
             F.transform(
                 F.sequence(F.lit(0), F.size("ws") - k),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at("ws", i + j + 1) for j in range(k)],
+                lambda i: _word_hash_expr(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at("ws", i + j + 1) for j in range(k)],
+                    )
                 ),
             ),
         )
-        .otherwise(F.array().cast("array<string>"))
+        .otherwise(F.array().cast("array<long>"))
         .alias("wins"),
     )
-    pos = wins.select("doc_id", F.posexplode("wins").alias("pos", "w8"))
+    pos = wins.select("doc_id", F.posexplode("wins").alias("pos", "f8"))
     flagged = (
         wins.select(
-            "doc_id", F.explode(F.array_distinct("wins")).alias("w8")
+            "doc_id", F.explode(F.array_distinct("wins")).alias("f8")
         )
-        .groupBy("w8")
+        .groupBy("f8")
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
-        .select("w8")
+        .select("f8")
     )
     return wins, pos, flagged
 
@@ -2976,7 +2987,7 @@ def q_dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, island) — aggregated rows only, still no pair join."""
     docs = load_table(spark, sf_dir, "documents")
     _, pos, flagged = _dup_window_tables(docs)
-    hit = pos.join(flagged, "w8", "left_semi").select("doc_id", "pos")
+    hit = pos.join(flagged, "f8", "left_semi").select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     islands = hit.withColumn(
         "isl", F.col("pos") - F.row_number().over(w_doc)
@@ -2996,15 +3007,16 @@ WITH w AS (
   FROM documents
 ), pos AS (
   SELECT doc_id, i - 1 AS pos,
-         {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))}
-           AS w8
-  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+         CAST(('0x' || substr(md5(
+           {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))}
+         ), 1, 14)) AS BIGINT) AS f8
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - {DUP_SPAN_K - 1}
 ), flagged AS (
-  SELECT w8 FROM (SELECT DISTINCT doc_id, w8 FROM pos)
-  GROUP BY w8 HAVING count(*) >= 2
+  SELECT f8 FROM (SELECT DISTINCT doc_id, f8 FROM pos)
+  GROUP BY f8 HAVING count(*) >= 2
 ), hit AS (
-  SELECT doc_id, pos FROM pos WHERE w8 IN (SELECT w8 FROM flagged)
+  SELECT doc_id, pos FROM pos WHERE f8 IN (SELECT f8 FROM flagged)
 ), isl AS (
   SELECT doc_id, pos,
          pos - row_number() OVER (
@@ -4956,7 +4968,7 @@ WITH w AS (
 ), sh0 AS (
   SELECT DISTINCT doc_id,
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - 2
 ), sh AS (
   SELECT sh0.doc_id, sh0.sh
@@ -5016,7 +5028,7 @@ WITH w AS (
 ), g AS (
   SELECT doc_id,
          ws[i] || ' ' || ws[i+1] AS sh
-  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) t
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) t
   WHERE i <= len(ws) - 1
 ), agg AS (
   SELECT doc_id, count(*) AS n, count(DISTINCT sh) AS nd FROM g
@@ -5475,7 +5487,7 @@ WITH w AS (
 ), sh AS (
   SELECT DISTINCT doc_id,
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - 2
 )
 SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
@@ -5511,7 +5523,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wins, pos, flagged = _dup_window_tables(docs)
     nd = (
-        pos.join(flagged, "w8", "left_semi")
+        pos.join(flagged, "f8", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_dup"))
     )
@@ -5544,16 +5556,17 @@ WITH w AS (
   FROM documents
 ), pos AS (
   SELECT doc_id, i,
-         {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))}
-           AS w8
-  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+         CAST(('0x' || substr(md5(
+           {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))}
+         ), 1, 14)) AS BIGINT) AS f8
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - {DUP_SPAN_K - 1}
 ), flagged AS (
-  SELECT w8 FROM (SELECT DISTINCT doc_id, w8 FROM pos)
-  GROUP BY w8 HAVING count(*) >= 2
+  SELECT f8 FROM (SELECT DISTINCT doc_id, f8 FROM pos)
+  GROUP BY f8 HAVING count(*) >= 2
 ), nd AS (
   SELECT doc_id, count(*) AS n_dup
-  FROM pos WHERE w8 IN (SELECT w8 FROM flagged)
+  FROM pos WHERE f8 IN (SELECT f8 FROM flagged)
   GROUP BY doc_id
 )
 SELECT w.doc_id,
@@ -5653,7 +5666,7 @@ WITH w AS (
 ), sh AS (
   SELECT DISTINCT src,
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - 2
 ), tot AS (
   SELECT src, count(*) AS t FROM sh GROUP BY src
@@ -5753,7 +5766,7 @@ WITH w AS (
 ), sh AS (
   SELECT DISTINCT doc_id,
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 10000)) AS i) g
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - 2
 ), bench AS (
   SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
