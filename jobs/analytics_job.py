@@ -1,7 +1,7 @@
 """spark-submit entry for batch analytics over the fixture tables.
 
-Runs any set of registry queries (the same 119 operators the driver
-contract exposes) against a directory of the engine's parquet tables
+Runs any set of registry queries (all queries the driver contract
+exposes) against a directory of the engine's parquet tables
 and lands each result as parquet — the production path for scheduled
 dashboards/backfills, so "every query a user runs today" really does
 run via spark-submit:

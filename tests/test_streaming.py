@@ -26,6 +26,19 @@ def seq_dir(spark, tmp_path_factory):
     return path
 
 
+def _drain(q, timeout=300):
+    """awaitTermination with the timeout actually CHECKED — a stream
+    that fails to drain must fail loudly here, not as a confusing
+    partial-output set mismatch downstream (and must not keep running
+    against the session-scoped Spark fixture)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise AssertionError(
+            f"stream did not drain within {timeout}s — refusing to "
+            "read a partial end state"
+        )
+
+
 def _state(df):
     return {
         (r["source"], r["time_bucket"]): (
@@ -39,7 +52,7 @@ def test_incremental_stream_equals_batch(spark, seq_dir, workdir):
     q = run_incremental_stream(
         spark, seq_dir, workdir, table="cs", max_files_per_trigger=2
     )
-    q.awaitTermination(300)
+    _drain(q)
     result = Catalog(spark, workdir).read("cs")
     batch = aggregate_batch(spark.read.parquet(seq_dir))
     assert _state(result) == _state(batch)
@@ -49,10 +62,10 @@ def test_stream_resume_is_exactly_once(spark, seq_dir, workdir):
     """Re-running the drained stream with the same checkpoint must not
     double-count anything."""
     q = run_incremental_stream(spark, seq_dir, workdir, table="cs2")
-    q.awaitTermination(300)
+    _drain(q)
     first = _state(Catalog(spark, workdir).read("cs2"))
     q2 = run_incremental_stream(spark, seq_dir, workdir, table="cs2")
-    q2.awaitTermination(300)
+    _drain(q2)
     second = _state(Catalog(spark, workdir).read("cs2"))
     assert first == second
 
@@ -81,7 +94,7 @@ def test_windowed_aggregate_streams(spark, seq_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     got = _state(spark.sql("SELECT * FROM win_agg"))
     want = _state(aggregate_batch(spark.read.parquet(seq_dir)))
     assert got == want
@@ -100,7 +113,7 @@ def test_stateful_running_rollup(spark, seq_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     # last emitted row per source == full batch totals
     rows = spark.sql(
         """SELECT source, n_docs, n_points, token_sum FROM (
@@ -141,7 +154,7 @@ def test_stream_rollup_tier_equals_batch(spark, seq_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     got = {
         r["doc_id"]: tuple(r["tokens"])
         for r in spark.sql("SELECT doc_id, tokens FROM stream_tier").collect()
@@ -186,7 +199,7 @@ def test_stream_dedup_drops_reingested_duplicates(spark, seq_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     got = spark.sql("SELECT fingerprint FROM dedup_stream")
     want = (
         base.withColumn(
@@ -253,7 +266,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
     got = {
         (r["user_id"], r["started_at"]): (r["n_events"], r["duration_s"])
         for r in spark.table("sess_sw").collect()
@@ -273,7 +286,7 @@ def test_cms_stream_equals_batch_and_stays_bounded(spark, seq_dir, tmp_path):
     q = run_cms_stream(
         spark, seq_dir, wd, table="cms", max_files_per_trigger=2
     )
-    q.awaitTermination(300)
+    _drain(q)
     stored = Catalog(spark, wd).read("cms")
     batch = cms_cells(spark.read.parquet(seq_dir))
     got = {(r.r, r.b): r.c for r in stored.collect()}
@@ -288,11 +301,11 @@ def test_cms_stream_resume_no_double_count(spark, seq_dir, tmp_path):
     from tinybrain_spark.streaming import cms_cells, run_cms_stream
 
     wd = str(tmp_path / "wh")
-    run_cms_stream(spark, seq_dir, wd, table="cms").awaitTermination(300)
+    _drain(run_cms_stream(spark, seq_dir, wd, table="cms"))
     first = {
         (r.r, r.b): r.c for r in Catalog(spark, wd).read("cms").collect()
     }
-    run_cms_stream(spark, seq_dir, wd, table="cms").awaitTermination(300)
+    _drain(run_cms_stream(spark, seq_dir, wd, table="cms"))
     again = {
         (r.r, r.b): r.c for r in Catalog(spark, wd).read("cms").collect()
     }
@@ -397,7 +410,7 @@ def test_correction_stream_end_state_equals_batch(spark, seq_dir, workdir):
         spark, ops_dir, workdir, raw_table="rawc", cagg_table="caggc",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(600)
+    _drain(q, 600)
     want_raw = base.where(~kill)
     got_raw = Catalog(spark, workdir).read("rawc")
     assert _state(aggregate_batch(got_raw)) == _state(
@@ -459,7 +472,7 @@ def test_attribution_stream_multibatch_time_ordered(spark, tmp_path):
         str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    _drain(q)
     got = {
         (r["purchase_id"], r["click_id"])
         for r in spark.read.parquet(str(tmp_path / "out")).collect()

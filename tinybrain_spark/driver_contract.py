@@ -6488,15 +6488,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sax_paa": q_sax_paa,
         # (q_asof_join demoted r04b: backward direction green r02/r03;
         # the as-of family keeps fwd + tol + nearest below)
-        # r03 timeseries operators, never driver-verified before r04
-        "q_asof_fwd": q_asof_fwd,
-        "q_asof_tol": q_asof_tol,
+        # (q_asof_fwd, q_asof_tol demoted r05: green r04; the as-of
+        # family keeps q_asof_nearest — the composite rep that runs
+        # BOTH directions' scan machinery — in the head)
         # r04b additions, never driver-verified — promoted on arrival
         "q_asof_nearest": q_asof_nearest,
         "q_ohlc_bars": q_ohlc_bars,
         "q_cusum_alarm": q_cusum_alarm,
-        "q_topn_hours": q_topn_hours,
-        "q_zscore_outliers": q_zscore_outliers,
+        # (q_topn_hours demoted r05: green r04; the top-k family keeps
+        # q_decay_topk — salted partial rank — in the head)
+        # (q_zscore_outliers demoted r05: green r04; the anomaly family
+        # keeps q_cusum_alarm, the stateful-detector rep, in the head)
         "q_histogram_quantile": q_histogram_quantile,
         "q_gapfill_linear": q_gapfill_linear,
         "q_session_window": q_session_window,
@@ -6504,7 +6506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_m4_decimate": q_m4_decimate,
         "q_counter_rate": q_counter_rate,
         "q_value_histogram": q_value_histogram,
-        "q_rolling_24h": q_rolling_24h,
+        # (q_rolling_24h demoted r05: green r04; the rolling-window
+        # family keeps q_rolling_distinct + q_histogram_quantile +
+        # q_counter_rate — all RANGE-frame consumers — in the head)
         # r04d: exact sliding distinct via bounded 24x expand-join (the
         # aggregate RANGE frames can't express) — never driver-verified
         "q_rolling_distinct": q_rolling_distinct,
@@ -6548,8 +6552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfm_segments": q_rfm_segments,
         # r04d: classical additive decomposition (trend/seasonal/resid)
         "q_seasonal_decompose": q_seasonal_decompose,
-        # r04d: KMV sketch — distinct estimate + set-operation overlap
-        "q_kmv_distinct": q_kmv_distinct,
+        # r04d: KMV sketch — set-operation overlap (the superset: the
+        # distinct estimate is its first stage)
+        # (q_kmv_distinct demoted r05: green r04; the KMV family keeps
+        # q_kmv_overlap, whose oracle re-derives the same sketch)
         "q_kmv_overlap": q_kmv_overlap,
         # engine features (q_continuous_agg demoted r04d: green
         # r01-r03; the cagg family keeps q_stream_cagg_equiv — the SAME
@@ -6637,16 +6643,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-format decoders — in the head)
         # r04: real PPM parse behind the binary plumbing, oracle-checked
         "q_multimodal_decode": q_multimodal_decode,
-        # --- tail top: r04f late additions — the head is already full
-        # of never-verified operators this round; these are oracle-green
-        # via check_oracle and are first in line for the r05 head ------
+        # r05: the six r04f late additions promoted into the head — the
+        # last registry queries without a lifetime driver row
         "q_span_corruption": q_span_corruption,
         "q_stream_attribution": q_stream_attribution,
         "q_funnel_times": q_funnel_times,
         "q_logbucket_quantile": q_logbucket_quantile,
         "q_sax_motifs": q_sax_motifs,
         "q_weighted_sample": q_weighted_sample,
-        # --- tail: redundant kernel variants, all green in >=2 rounds --
+        # --- tail: redundant kernel variants, all green in >=2 rounds
+        # (r05 demotions carry 1 green round but their families keep a
+        # head representative — rule 1 of the rotation policy) ---------
+        "q_asof_fwd": q_asof_fwd,
+        "q_asof_tol": q_asof_tol,
+        "q_topn_hours": q_topn_hours,
+        "q_zscore_outliers": q_zscore_outliers,
+        "q_rolling_24h": q_rolling_24h,
+        "q_kmv_distinct": q_kmv_distinct,
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
         # oracle as q_dedup_clusters_star above, which is the scale path)
