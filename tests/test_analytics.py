@@ -402,3 +402,36 @@ def test_pagerank_random_equals_literal(spark, tmp_path, seed):
         for r in dc.q_pagerank(spark, d).collect()
     }
     assert got == want
+
+
+def test_source_overlap_routes_to_kmv_past_source_bound(spark, tmp_path):
+    """VERDICT r04 #4: >SOURCE_OVERLAP_MAX sources must return KMV
+    ESTIMATES, not the r04 runtime raise.  80 sources (one doc each)
+    share a 40-word body plus 10 unique words — the shared shingles hit
+    all 80 sources, far past the in-row collect_set bound of 64."""
+    n_src = dc.SOURCE_OVERLAP_MAX + 16
+    body = " ".join(f"c{i}" for i in range(40))
+    data = [
+        (
+            g,
+            f"{body} " + " ".join(f"u{g}x{j}" for j in range(10)),
+            "en",
+            f"s{g:03d}",
+            100,
+        )
+        for g in range(n_src)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    )
+    d = str(tmp_path / "fx80")
+    df.coalesce(2).write.parquet(d + "/documents.parquet")
+    rows = dc.q_source_overlap(spark, d).collect()
+    # every pair shares the body -> full C(n,2) estimate matrix
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["shared"] >= 1
+        assert 0 < r["jaccard_permille"] <= 1000
+        # ~38 shared body shingles of ~48-58 total per source
+        assert 20 <= r["total_a"] <= 120

@@ -115,3 +115,40 @@ def test_salt_invariance(spark):
             ).collect()
         }
         assert got == one
+
+
+def test_pairwise_overlap_estimates_100_groups(spark):
+    """The >64-group scale path (VERDICT r04 #4): 100 groups sharing a
+    common 200-value core plus 30 unique values each.  Every C(100,2)
+    pair must get an ESTIMATE (no raise), with totals near 230 and
+    Jaccard near 200/260 ≈ 770 permille (loose bands — k=16 here so
+    the estimator is coarse; exactness is pinned separately below k)."""
+    core = [f"core{i}" for i in range(200)]
+    rows = [
+        (f"g{g:03d}", v)
+        for g in range(100)
+        for v in core + [f"u{g}_{j}" for j in range(30)]
+    ]
+    sk = KM.build_kmv(_df(spark, rows), ["grp"], "v", k=K)
+    out = KM.pairwise_overlap(sk, "grp", K).collect()
+    assert len(out) == 100 * 99 // 2
+    for r in out:
+        assert 100 <= r["total_a"] <= 500
+        assert 100 <= r["total_b"] <= 500
+        assert r["shared"] >= 1
+        assert 300 <= r["jaccard_permille"] <= 1000
+    # determinism: a rebuilt pipeline yields identical estimates
+    again = KM.pairwise_overlap(
+        KM.build_kmv(_df(spark, rows), ["grp"], "v", k=K), "grp", K
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pairwise_overlap_disjoint_groups_emit_nothing(spark):
+    """Groups with no shared hashes produce no pair row — mirrors the
+    exact path emitting only overlapping pairs."""
+    rows = [("a", f"x{i}") for i in range(40)] + [
+        ("b", f"y{i}") for i in range(40)
+    ]
+    sk = KM.build_kmv(_df(spark, rows), ["grp"], "v", k=K)
+    assert KM.pairwise_overlap(sk, "grp", K).count() == 0

@@ -5592,17 +5592,40 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: distinct (source, shingle) pairs via in-row array_distinct
     + one groupBy; then ONE more groupBy collects each shingle's
-    source-set in-row (bounded by |sources|, runtime raise past
-    SOURCE_OVERLAP_MAX=64) and emits its C(s,2) pairs by nested
-    transform — NO self-join of the shingle table ever happens, so a
-    shingle shared by s sources costs s^2/2 in-row structs, not a
-    join fan-out.  Totals broadcast back onto the ~|sources|^2-row
-    pair table.  Output is |sources|^2/2 rows however large the
-    corpus."""
+    source-set in-row (bounded by |sources|) and emits its C(s,2)
+    pairs by nested transform — NO self-join of the shingle table ever
+    happens, so a shingle shared by s sources costs s^2/2 in-row
+    structs, not a join fan-out.  Totals broadcast back onto the
+    ~|sources|^2-row pair table.  Output is |sources|^2/2 rows however
+    large the corpus.
+
+    Past SOURCE_OVERLAP_MAX sources the in-row source-set bound no
+    longer holds, so the query ROUTES to the KMV estimator
+    (``kmv.pairwise_overlap``): one sketch row per source, broadcast
+    pair self-join, same output schema with estimated counts — an
+    answer at any source count instead of the r04 runtime raise.  The
+    route is decided by a one-row aggregate over the (src, sh) table's
+    source column (cheap next to the distinct it feeds)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(
         docs, key=F.col("source").alias("src")
     ).distinct()  # cross-doc (src, sh) dedup — the one required exchange
+    n_src = docs.select(
+        F.countDistinct("source").alias("n")
+    ).collect()[0]["n"]
+    if n_src > SOURCE_OVERLAP_MAX:
+        from .kmv import build_kmv, pairwise_overlap
+
+        sk = build_kmv(sh, ["src"], "sh", k=_KMV_K)
+        est = pairwise_overlap(sk, "src", _KMV_K)
+        return est.select(
+            F.col("group_a").alias("source_a"),
+            F.col("group_b").alias("source_b"),
+            "shared",
+            "total_a",
+            "total_b",
+            "jaccard_permille",
+        )
     totals = sh.groupBy("src").agg(F.count("*").cast("long").alias("t"))
     srcs_per_sh = sh.groupBy("sh").agg(
         F.array_sort(F.collect_set("src")).alias("srcs")

@@ -135,3 +135,58 @@ def kmv_union_intersect(df: DataFrame, a: str, b: str, k: int) -> DataFrame:
         )
         .drop("_m")
     )
+
+
+def pairwise_overlap(
+    sketches: DataFrame, group_col: str, k: int
+) -> DataFrame:
+    """All-pairs overlap estimates from per-group KMV sketches: the
+    scale path for overlap matrices past the in-row exact bound.
+
+    Input is ``build_kmv`` output — ONE ROW PER GROUP — so the pair
+    join is a broadcast self-join of a |groups|-row table (the corpus
+    never reshuffles; it was consumed once building the sketches).
+    Emits, for every unordered pair (a < b) whose sketches share at
+    least one observed hash::
+
+        (group_a, group_b, total_a, total_b, shared, jaccard_permille)
+
+    where totals and ``shared`` are KMV estimates (``kmv_estimate`` /
+    the Jaccard-scaled intersect estimator) and ``jaccard_permille``
+    uses the same ``1000 * shared DIV (total_a + total_b - shared)``
+    formula as the exact path, over the estimated values.  Everything
+    is deterministic integer math — the merge law
+    ``kmv(A ∪ B) == kmv_merge(kmv(A), kmv(B))`` is pinned in tests.
+    Output stays |groups|^2/2 rows regardless of corpus size.
+    """
+    a = sketches.select(
+        F.col(group_col).alias("_ga"), F.col("kmin").alias("ka")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("_gb"), F.col("kmin").alias("kb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("_ga") < F.col("_gb"))
+    est = kmv_union_intersect(pairs, "ka", "kb", k).where(
+        F.col("n_common") >= 1
+    )
+    ta = kmv_estimate(F.col("ka"), k)
+    tb = kmv_estimate(F.col("kb"), k)
+    return est.select(
+        F.col("_ga").alias("group_a"),
+        F.col("_gb").alias("group_b"),
+        ta.cast("long").alias("total_a"),
+        tb.cast("long").alias("total_b"),
+        F.col("intersect_est").alias("shared"),
+    ).withColumn(
+        # estimates can wobble independently, so clamp the union-size
+        # denominator at 1 (exact counts can never make it nonpositive,
+        # estimated ones could in a degenerate tiny-set corner)
+        "jaccard_permille",
+        _exact_div(
+            F.lit(1000).cast("long") * F.col("shared"),
+            F.greatest(
+                F.col("total_a") + F.col("total_b") - F.col("shared"),
+                F.lit(1).cast("long"),
+            ),
+        ),
+    )
