@@ -114,6 +114,110 @@ def ewma_ref(v: np.ndarray, alpha_ppt: int) -> np.ndarray:
     return s
 
 
+_LONE_CHUNK = 1024  # speculative chunk length for single-series EWMA
+_LONE_MIN = 4096  # below this a plain scalar loop wins
+
+
+def _ewma_lone(
+    values: np.ndarray,
+    st: int,
+    ln: int,
+    a: int,
+    b: int,
+    out: np.ndarray,
+    chunk_len: int = _LONE_CHUNK,
+) -> None:
+    """Exact EWMA of ONE series without walking Python per point
+    (VERDICT r04 #6): speculative chunked scan.
+
+    Split the series into ``chunk_len`` chunks and run the provisional
+    recurrence VECTORIZED ACROSS CHUNKS (the same time-major trick as
+    the multi-series path), seeding each chunk as if it were a fresh
+    series.  Then a scalar fixup walks each chunk from its TRUE
+    incoming state and stops at the first position where the true
+    state equals the provisional one — from there the suffix is
+    identical, because the recurrence is deterministic given (state,
+    input).  The integer EWMA contracts state differences by b/1000
+    per step, so the fixup typically converges in tens of steps; the
+    provable worst case (alpha near 0, no contraction) degrades to the
+    plain scalar loop, never to a wrong answer.  Bit-identical to
+    :func:`ewma_ref` (differential + hypothesis pinned)."""
+    if ln == 0:
+        return
+    if a == 0:
+        # s_i = (1000 * s_{i-1}) // 1000 = s_0 forever
+        out[st : st + ln] = values[st]
+        return
+    if ln < _LONE_MIN:
+        vl = values[st : st + ln].tolist()
+        s = vl[0]
+        res = [s]
+        for i in range(1, ln):
+            s = (a * vl[i] + b * s) // 1000
+            res.append(s)
+        out[st : st + ln] = res
+        return
+    n_chunks = ln // chunk_len
+    body = n_chunks * chunk_len
+    # time-major (chunk_len, n_chunks): chunk c is column c
+    V = (
+        values[st : st + body]
+        .reshape(n_chunks, chunk_len)
+        .T.copy()
+    )
+    S = np.empty_like(V)
+    S[0] = V[0]
+    prev = S[0]
+    t1 = np.empty(n_chunks, dtype=np.int64)
+    for k in range(1, chunk_len):
+        sk = S[k]
+        np.multiply(prev, b, out=t1)
+        np.multiply(V[k], a, out=sk)
+        sk += t1
+        np.floor_divide(sk, 1000, out=sk)
+        prev = sk
+    # scalar fixup: chunk 0's seed (s = v_0) is the true recurrence
+    # start, so its provisional column is already exact.  Convert only
+    # a prefix window to python ints — contraction means the match
+    # lands within tens of steps, so .tolist() of the full column
+    # would cost more than the fixup itself.
+    carry = int(S[chunk_len - 1, 0])
+    win = 160
+    for c in range(1, n_chunks):
+        s = carry
+        fixed = []
+        matched = chunk_len
+        j = 0
+        while j < chunk_len:
+            hi = min(j + win, chunk_len)
+            vl = V[j:hi, c].tolist()
+            pl = S[j:hi, c].tolist()
+            for i in range(hi - j):
+                s = (a * vl[i] + b * s) // 1000
+                if s == pl[i]:
+                    matched = j + i
+                    break
+                fixed.append(s)
+            if matched < chunk_len:
+                break
+            j = hi
+        if fixed:
+            # prefix the true values; past `matched` (if any) the
+            # provisional suffix is already exact
+            S[: len(fixed), c] = fixed
+        carry = int(S[chunk_len - 1, c])
+    out[st : st + body] = S.T.reshape(-1)
+    # ragged tail: scalar from the true final body state
+    if body < ln:
+        vl = values[st + body : st + ln].tolist()
+        s = carry
+        res = []
+        for x in vl:
+            s = (a * x + b * s) // 1000
+            res.append(s)
+        out[st + body : st + ln] = res
+
+
 def ewma_many(
     values: np.ndarray,
     lengths: np.ndarray,
@@ -129,9 +233,10 @@ def ewma_many(
     contiguous row) and run ONE python iteration per time step doing
     whole-width numpy arithmetic.  10^5 points as 100-1000 series run
     ~5-6x faster than the per-element loop (BENCH/NOTES.md), and the
-    gap widens with bucket width; a lone series falls back to a plain
-    python-int loop (~2x the numpy-scalar loop — there is nothing to
-    vectorize across).
+    gap widens with bucket width; a lone series runs the speculative
+    chunked scan (:func:`_ewma_lone` — vectorize across CHUNKS of the
+    one series, then scalar-fix each chunk's short convergence prefix;
+    5x at 100k points, 23x at 10^7, exact in every alpha regime).
 
     Padding cost is bounded by chunking: series are processed in
     length-sorted column groups capped at ``2^24`` padded cells
@@ -160,13 +265,7 @@ def ewma_many(
         cols = order[g0:g1]
         if len(cols) == 1:
             st, ln = int(starts[cols[0]]), int(lengths[cols[0]])
-            vl = values[st : st + ln].tolist()
-            s = vl[0]
-            res = [s]
-            for i in range(1, ln):
-                s = (a * vl[i] + b * s) // 1000
-                res.append(s)
-            out[st : st + ln] = res
+            _ewma_lone(values, st, ln, a, b, out)
             g0 = g1
             continue
         lens_g = lengths[cols]
