@@ -97,3 +97,69 @@ def test_star_singletons_and_dense(spark):
     edges = [(i, j) for i in range(5) for j in range(i + 1, 5)] + [(7, 8)]
     got = _star(spark, edges, [0, 1, 2, 3, 4, 7, 8, 9])
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 7: 7, 8: 7, 9: 9}
+
+
+def test_star_scale_chain_plus_blobs_100k_edges(spark):
+    """VERDICT r04 #8: star-CC on an sf1-sized ADVERSARIAL graph —
+    a 60k-node chain (diameter 60k: the hash-min killer) + 50 dense
+    30-cliques + random bridge noise, ~103k edges total.  Pins (a) the
+    labels against a python union-find oracle over the same edges and
+    (b) the O(log^2 n) round budget that makes the diameter claim real
+    at scale.  Round count + wall recorded in BENCH/NOTES.md."""
+    import time
+
+    from tinybrain_spark.clusters import connected_components_star
+
+    rng = __import__("random").Random(5)
+    n_chain = 60_000
+    edges = [(i, i + 1) for i in range(n_chain - 1)]
+    nid = n_chain
+    for _ in range(50):  # 50 cliques of 30 => 21,750 edges
+        members = list(range(nid, nid + 30))
+        nid += 30
+        edges += [
+            (a, b) for i, a in enumerate(members) for b in members[i + 1:]
+        ]
+    # noise: 20k random edges inside the blob id range (never touching
+    # the chain, so the chain stays the full-diameter component)
+    lo, hi = n_chain, nid - 1
+    edges += [
+        (rng.randint(lo, hi), rng.randint(lo, hi)) for _ in range(20_000)
+    ]
+    n_nodes = nid
+    assert len(edges) >= 100_000
+
+    # python union-find oracle
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in range(n_nodes)}
+    # normalize to min-id labels
+    comp_min = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[r] for x, r in want.items()}
+
+    e_df = spark.createDataFrame(edges, "a long, b long").repartition(8)
+    n_df = spark.range(n_nodes).withColumnRenamed("id", "node")
+    stats = {}
+    t0 = time.time()
+    out = connected_components_star(e_df, n_df, max_iter=24, stats=stats)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    wall = time.time() - t0
+    assert got == want
+    # log^2 budget: a 60k-diameter chain must land well under 20 rounds
+    assert stats["rounds"] <= 20, stats
+    print(
+        f"\n[star-scale] {len(edges)} edges, {n_nodes} nodes: "
+        f"{stats['rounds']} rounds, {wall:.1f}s"
+    )

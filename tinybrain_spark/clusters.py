@@ -118,6 +118,7 @@ def connected_components_star(
     edges: DataFrame,
     nodes: DataFrame,
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14): the
@@ -128,7 +129,8 @@ def connected_components_star(
 
     Same contract as ``connected_components``: edges (a, b) undirected,
     nodes (node) incl. singletons, returns (node, label) with
-    label = min node id in the component.
+    label = min node id in the component.  Pass a dict as ``stats`` to
+    get ``{"rounds": n}`` back (scale tests pin the round budget).
 
     Per round:
       large-star: every strictly-larger neighbor of u re-hooks onto
@@ -153,7 +155,9 @@ def connected_components_star(
 
     prev = fingerprint(e)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -184,6 +188,8 @@ def connected_components_star(
             break
         prev = cur
 
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise ConvergenceError(
             f"connected_components_star did not converge in {max_iter} "
