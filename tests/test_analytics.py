@@ -435,3 +435,27 @@ def test_source_overlap_routes_to_kmv_past_source_bound(spark, tmp_path):
         assert 0 < r["jaccard_permille"] <= 1000
         # ~38 shared body shingles of ~48-58 total per source
         assert 20 <= r["total_a"] <= 120
+
+
+def test_markov_stitches_cross_day_transitions(spark, tmp_path):
+    """r05 (ADVICE r04 #4): the (user, day)-bounded lag must still see
+    transitions across midnight — u1's last day-0 event (view at
+    23:59:50) chains into its first day-1 event (click at 00:00:05),
+    and a user with a lone event per day yields ONLY stitched edges."""
+    rows = [
+        (86390, 1, "view", 1),    # day 0 23:59:50
+        (86405, 1, "click", 1),   # day 1 00:00:05 (stitched edge)
+        (86500, 1, "view", 1),    # day 1 in-day edge
+        (10, 2, "error", 1),      # day 0 lone
+        (86410, 2, "purchase", 1),  # day 1 lone (stitched edge)
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in dc.q_markov_transitions(spark, d).collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "view"): 1,
+        ("error", "purchase"): 1,
+    }

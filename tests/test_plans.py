@@ -322,16 +322,22 @@ def test_decay_topk_salted_partial_rank(spark):
 
 
 def test_markov_single_scan_windows_partitioned(spark):
-    """r04f: the transition lag partitions by user (high-cardinality),
-    row totals ride a full-frame window over the aggregated |types|^2
-    table in the SAME subtree — one scan, no join, both windows
+    """r04f/r05: the transition lag partitions by (user, DAY) — a hot
+    user never sorts in one task — with cross-day edges from the
+    interarrival-style boundary stitch (lag over the tiny days-per-user
+    table, still no join anywhere); the pruned events scan appears once
+    per union branch (in-day + stitch), and every window is
     partitioned."""
     df = dc.queries()["q_markov_transitions"](spark, SF_DIR)
     assert_no_unpartitioned_windows(df)
     plan = _plan(df)
     tree = plan.split("\n\n")[0]
     assert "Join" not in tree
-    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Scan parquet") == 2, tree
+    # the day bound actually reaches the lag window spec
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(user_id" in opt
+    assert opt.count("user_id#") >= 1 and "day" in opt
 
 
 def test_dup_islands_no_pair_join(spark):

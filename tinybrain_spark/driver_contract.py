@@ -2856,29 +2856,48 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     next-action prediction and anomaly scoring ('error after purchase
     jumped 3x').
 
-    Shape: ONE lag window partitioned by user (the natural high-
-    cardinality key — millions of partitions, each a user's own
-    history).  NOTE the partition is a user's FULL raw-event history:
-    this query reads the events table directly, so a pathologically
-    hot user sorts in one task — at web scale either pre-cap per user
-    (the token path's MAX_SEQ treatment) or stitch (user, day)
-    partitions the way q_interarrival does; transition counts compose
-    across the stitch because edges are local.  Then one map-side-
-    combinable groupBy onto the |types|^2-row transition table; row
-    totals come from a full-frame sum window over THAT tiny table
-    (|types| rows per partition — a second scan-and-aggregate branch
-    would cost more than it saves).  Permille = 1000*n DIV row_total:
-    truncating division, identical on both engines."""
+    Shape (r05, ADVICE r04 #4): the lag window partitions by
+    (user, DAY) — never a user's full history — so a pathologically
+    hot user costs one task per day, not one task forever.  Cross-day
+    transitions come from the q_interarrival stitch: per (user, day)
+    the deterministic FIRST and LAST events (struct-min/max over
+    (us, event_id) — unique, so no tie exists), then a lag over the
+    tiny days-per-user table pairs each day's first event with the
+    previous active day's last.  Edges are local, so the stitched
+    union is the SAME transition multiset as a full-history lag (the
+    oracle still computes the naive full-user window).  Then one
+    map-side-combinable groupBy onto the |types|^2-row transition
+    table; row totals come from a full-frame sum window over THAT tiny
+    table (|types| rows per partition — a second scan-and-aggregate
+    branch would cost more than it saves).  Permille =
+    1000*n DIV row_total: truncating division, identical on both
+    engines."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "event_id",
         F.col("event_type").alias("next_type"),
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    trans = (
+    ).withColumn("day", F.expr("us DIV 86400000000"))
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    in_day = (
         ev.withColumn("prev_type", F.lag("next_type").over(w))
         .where(F.col("prev_type").isNotNull())
+        .select("prev_type", "next_type")
+    )
+    bounds = ev.groupBy("user_id", "day").agg(
+        F.min(F.struct("us", "event_id", "next_type")).alias("first"),
+        F.max(F.struct("us", "event_id", "next_type")).alias("last"),
+    )
+    w_days = Window.partitionBy("user_id").orderBy("day")
+    stitch = (
+        bounds.withColumn(
+            "prev_type", F.lag("last.next_type").over(w_days)
+        )
+        .where(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("first.next_type").alias("next_type"))
+    )
+    trans = (
+        in_day.unionByName(stitch)
         .groupBy("prev_type", "next_type")
         .agg(F.count("*").cast("long").alias("n"))
     )
