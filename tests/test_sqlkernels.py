@@ -39,6 +39,14 @@ CASES = [
     ("avg", 2, 4, False),  # w=2 engine extension (cycle 8)
     ("mode", 4, 2, False),  # COUNTLESS chain, mode-of-modes
     ("mode", 4, 2, True),   # stippled sparse
+    ("avg", 8, 2, False),   # 2x2x2 family
+    ("avg", 8, 2, True),    # sparse 2x2x2 (w=8 renorm sits at tier 9
+    #                         = 8^9 tokens/row — unreachable here, like
+    #                         everywhere else in the engine)
+    ("mode", 8, 2, False),  # counting mode, scan-order tie-break
+    ("mode", 8, 2, True),   # sparse counting mode
+    ("mode", 2, 3, False),  # pair mode: first ties-or-wins
+    ("mode", 2, 3, True),   # sparse pair mode
 ]
 
 
@@ -82,9 +90,9 @@ def test_sql_pool_rejects_below_one_window(spark):
 
 def test_sql_pool_unsupported_combo_raises():
     with pytest.raises(ValueError):
-        pool_tiers_sql("mode", window=8)
-    with pytest.raises(ValueError):
         pool_tiers_sql("max", window=4)
+    with pytest.raises(ValueError):
+        pool_tiers_sql("avg", window=3)
 
 
 def test_sql_pool_whole_stage_codegen_no_python(spark):

@@ -125,20 +125,62 @@ def _stippled4_chain(
     return F.when(pair != 0, pair).otherwise(fallback)
 
 
-def _mode_tier(c: Column, sparse: bool) -> Column:
-    """One w=4 mode tier over a bound array column."""
-    p = _pad_mode(c, 4)
-    n_out = (F.size(p) / 4).cast("int")
-    chain = _stippled4_chain if sparse else _mode4_chain
-    return F.transform(
-        F.sequence(F.lit(1), n_out),
-        lambda i: chain(
+def _mode8_window(p: Column, i, sparse: bool) -> Column:
+    """Counting mode of the 8-element window ending the reference's
+    way: first scan-order occurrence wins ties (encode as array_max of
+    struct(count, 8-position, value) — among equal counts the larger
+    8-t, i.e. the EARLIER position, wins; value rides along).  Sparse:
+    zeros count -1 (never win unless the window is all zeros -> 0)."""
+    win = F.slice(p, (i - 1) * 8 + 1, 8)
+    cand = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda t: F.struct(
+            (
+                F.when(F.element_at(win, t) == 0, F.lit(-1))
+                if sparse
+                else F.when(F.lit(False), F.lit(-1))
+            )
+            .otherwise(
+                F.size(
+                    F.filter(win, lambda y: y == F.element_at(win, t))
+                )
+            )
+            .alias("cnt"),
+            (F.lit(8) - t).alias("ord"),
+            F.element_at(win, t).alias("val"),
+        ),
+    )
+    best = F.array_max(cand)["val"]
+    if sparse:
+        all_zero = F.size(F.filter(win, lambda y: y != 0)) == 0
+        return F.when(all_zero, F.lit(0).cast("long")).otherwise(best)
+    return best
+
+
+def _mode_tier(c: Column, sparse: bool, window: int = 4) -> Column:
+    """One mode tier over a bound array column (w in {2, 4, 8})."""
+    p = _pad_mode(c, window)
+    n_out = (F.size(p) / window).cast("int")
+    if window == 2:
+        if sparse:
+            win_fn = lambda i: F.when(  # noqa: E731
+                F.element_at(p, (i - 1) * 2 + 1) != 0,
+                F.element_at(p, (i - 1) * 2 + 1),
+            ).otherwise(F.element_at(p, (i - 1) * 2 + 2))
+        else:
+            # pair mode: a always ties-or-wins
+            win_fn = lambda i: F.element_at(p, (i - 1) * 2 + 1)  # noqa: E731
+    elif window == 4:
+        chain = _stippled4_chain if sparse else _mode4_chain
+        win_fn = lambda i: chain(  # noqa: E731
             F.element_at(p, (i - 1) * 4 + 1),
             F.element_at(p, (i - 1) * 4 + 2),
             F.element_at(p, (i - 1) * 4 + 3),
             F.element_at(p, (i - 1) * 4 + 4),
-        ),
-    )
+        )
+    else:
+        win_fn = lambda i: _mode8_window(p, i, sparse)  # noqa: E731
+    return F.transform(F.sequence(F.lit(1), n_out), win_fn)
 
 
 def pool_tiers_sql(
@@ -152,14 +194,13 @@ def pool_tiers_sql(
     array<array<int>>`` with bit-identical kernel semantics, entirely
     inside whole-stage codegen.
 
-    Supported: ``avg`` with window 2 or 4 (dense + sparse), ``mode``
-    with window 4 (dense COUNTLESS + stippled sparse).  Anything else
-    raises ValueError so callers fall back to the Arrow path (w=8
-    needs the counting/scan-order kernels — expressible but not yet
-    profitable to port)."""
-    if kind == "avg" and window in (2, 4):
-        pass
-    elif kind == "mode" and window == 4:
+    Supported: ``avg`` and ``mode`` with window 2, 4, or 8 (dense +
+    sparse), i.e. the whole accelerated int32 family: COUNTLESS /
+    stippled chains at w=4, counting mode with first-scan-occurrence
+    tie-break at w=8, cycle-8 renorm (incl. the w=8 sparse denominator
+    shift quirk) for avg.  Anything else raises ValueError so callers
+    fall back to the Arrow path."""
+    if kind in ("avg", "mode") and window in (2, 4, 8):
         pass
     else:
         raise ValueError(
@@ -193,7 +234,8 @@ def pool_tiers_sql(
             tiers = []
             for m in range(num_tiers):
                 out = out.withColumn(
-                    f"_t{m + 1}", _mode_tier(F.col(f"_t{m}"), sparse)
+                    f"_t{m + 1}",
+                    _mode_tier(F.col(f"_t{m}"), sparse, window),
                 )
                 tiers.append(f"_t{m + 1}")
             return out.select(
@@ -238,17 +280,22 @@ def pool_tiers_sql(
                 )
             if m == num_tiers - 1:
                 break
-            nxt = acc
+            nxt, nxt_den = acc, den
             if shift == log2w * cycle:
-                # raw floor renorm shift (pyx:240-241); w=4 never
-                # renorms the sparse denominator (quirk replicated)
+                # raw floor renorm shift (pyx:240-241); the w=8 path
+                # shifts the denominator too (pyx:758-761), the w=4
+                # path does NOT — quirk replicated from kernels.py
                 nxt = F.transform(acc, lambda x: F.shiftright(x, shift))
+                if sparse and window == 8:
+                    nxt_den = F.transform(
+                        den, lambda x: F.shiftright(x, shift)
+                    )
             out = out.withColumn(
                 f"_acc{m + 1}", _window_sums(nxt, window)
             )
             if sparse:
                 out = out.withColumn(
-                    f"_den{m + 1}", _window_sums(den, window)
+                    f"_den{m + 1}", _window_sums(nxt_den, window)
                 )
         return out.select(
             F.array(
