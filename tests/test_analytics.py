@@ -459,3 +459,179 @@ def test_markov_stitches_cross_day_transitions(spark, tmp_path):
         ("click", "view"): 1,
         ("error", "purchase"): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# r05b: alert episodes, source drift, shingle coverage, dod census
+# ---------------------------------------------------------------------------
+
+TB0 = 473352  # hour-bucket of T0 (2024-01-01T00:00Z): 1704067200 / 3600
+
+
+def _hourly_events(hours):
+    """(source, hour_index, count) triples -> event rows: `count`
+    events inside that hour."""
+    rows = []
+    for src, h, c in hours:
+        for j in range(c):
+            rows.append((h * 3600 + j, 1, src, 1))
+    return rows
+
+
+def test_alert_episodes_chains_across_midnight(spark, tmp_path):
+    """A hot run spanning hours 22..25 (crossing midnight) must emit
+    ONE episode; a below-threshold hour breaks the run; an isolated
+    hot hour is its own episode; a 25-hour always-hot stream chains
+    transitively through two midnights."""
+    hours = (
+        [("view", h, 4) for h in (22, 23, 24, 25)]
+        + [("view", 27, 3)]          # below ALERT_HOT: not an episode
+        + [("view", 29, 5)]          # isolated hot hour
+        + [("click", h, 4) for h in range(24, 49)]  # 25h through 2 days
+    )
+    d = _events_dir(spark, tmp_path, _hourly_events(hours))
+    got = {
+        (r["source"], r["start_tb"], r["end_tb"],
+         r["n_hours"], r["peak_n"], r["total_n"])
+        for r in dc.q_alert_episodes(spark, d).collect()
+    }
+    assert got == {
+        ("view", TB0 + 22, TB0 + 25, 4, 4, 16),
+        ("view", TB0 + 29, TB0 + 29, 1, 5, 5),
+        ("click", TB0 + 24, TB0 + 48, 25, 4, 100),
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_alert_episodes_random_equals_naive_islands(spark, tmp_path, seed):
+    """The day-bounded segments + boundary chain must equal the naive
+    single-pass islands on random hot/cold hour patterns."""
+    import random
+
+    rng = random.Random(seed)
+    hours = []
+    for src in ("view", "click"):
+        for h in sorted(rng.sample(range(120), 70)):
+            hours.append((src, h, rng.randint(1, 8)))
+    d = _events_dir(spark, tmp_path, _hourly_events(hours))
+
+    # literal reference: group consecutive hot hours per source
+    want = set()
+    for src in ("view", "click"):
+        hot = sorted(
+            (h, c) for s, h, c in hours if s == src and c >= dc.ALERT_HOT
+        )
+        run = []
+        for h, c in hot + [(None, None)]:
+            if run and (h is None or h != run[-1][0] + 1):
+                want.add((
+                    src, TB0 + run[0][0], TB0 + run[-1][0], len(run),
+                    max(c2 for _, c2 in run), sum(c2 for _, c2 in run),
+                ))
+                run = []
+            if h is not None:
+                run.append((h, c))
+    got = {
+        (r["source"], r["start_tb"], r["end_tb"],
+         r["n_hours"], r["peak_n"], r["total_n"])
+        for r in dc.q_alert_episodes(spark, d).collect()
+    }
+    assert got == want
+
+
+def _src_docs_dir(spark, tmp_path, docs):
+    """(source, text) pairs -> documents.parquet fixture."""
+    data = [
+        (i, t, "en", s, len(t)) for i, (s, t) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    )
+    out = str(tmp_path / "fx")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        out + "/documents.parquet"
+    )
+    return out
+
+
+def test_source_drift_matches_literal_l1(spark, tmp_path):
+    """The in-row pair decomposition S_a + S_b - 2*sum(min) must equal
+    the literal fixed-point L1 computed over the FULL union vocabulary
+    (one-sided words included), and a disjoint-vocab pair must score
+    exactly 1000 permille."""
+    FP = 1 << dc.DRIFT_FP_BITS
+    d = _src_docs_dir(spark, tmp_path, [
+        ("src0", "a a b"),
+        ("src1", "a b b b"),
+        ("src2", "x x"),
+    ])
+    dist = {
+        "src0": {"a": (2 * FP) // 3, "b": FP // 3},
+        "src1": {"a": FP // 4, "b": (3 * FP) // 4},
+        "src2": {"x": (2 * FP) // 2},
+    }
+
+    def l1(a, b):
+        words = set(dist[a]) | set(dist[b])
+        return sum(
+            abs(dist[a].get(w, 0) - dist[b].get(w, 0)) for w in words
+        )
+
+    got = {
+        (r["source_a"], r["source_b"]):
+            (r["shared_words"], r["l1_fp"], r["drift_permille"])
+        for r in dc.q_source_drift(spark, d).collect()
+    }
+    s = {k: sum(v.values()) for k, v in dist.items()}
+    want = {
+        ("src0", "src1"): (2, l1("src0", "src1"),
+                           l1("src0", "src1") * 1000
+                           // (s["src0"] + s["src1"])),
+        ("src0", "src2"): (0, l1("src0", "src2"), 1000),
+        ("src1", "src2"): (0, l1("src1", "src2"), 1000),
+    }
+    assert got == want
+
+
+def test_vocab_coverage_counts_first_occurrences(spark, tmp_path):
+    """10 docs -> one decile each; doc 7 repeats doc 2's text so decile
+    7 contributes nothing (no row) and the cumulative curve skips it."""
+    texts = [f"a{i} b{i} c{i}" for i in range(10)]
+    texts[7] = texts[2]
+    d = _docs_dir(spark, tmp_path, texts)
+    rows = {
+        r["decile"]: (r["new_words"], r["cum_words"])
+        for r in dc.q_vocab_coverage(spark, d).collect()
+    }
+    want = {}
+    cum = 0
+    for dec in range(10):
+        if dec == 7:
+            continue
+        cum += 1
+        want[dec] = (1, cum)
+    assert rows == want
+
+
+def test_dod_compressibility_hand_census(spark, tmp_path):
+    """Two Gorilla blocks (days) with hand-placed counts hitting every
+    bit class: day 0 [5,5,5,6,8,2500] -> header + 2x c1 + 2x c9 + c36;
+    day 1 [5,105,405,2405] -> header + 2x c12 + c16."""
+    hours = (
+        [("view", h, c) for h, c in
+         zip((0, 1, 2, 3, 4, 5), (5, 5, 5, 6, 8, 2500))]
+        + [("view", 24 + h, c) for h, c in
+           zip((0, 1, 2, 3), (5, 105, 405, 2405))]
+    )
+    d = _events_dir(spark, tmp_path, _hourly_events(hours))
+    rows = dc.q_dod_compressibility(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["blocks"], r["points"]) == (2, 10)
+    assert (r["c1"], r["c9"], r["c12"], r["c16"], r["c36"]) == (
+        2, 2, 2, 1, 1,
+    )
+    # day 0: 64+1+1+9+9+36 = 120; day 1: 64+12+12+16 = 104
+    assert r["bits_total"] == 224
+    assert r["bpp_milli"] == 224 * 1000 // 10

@@ -6474,6 +6474,484 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r05: alerting episodes, source drift, vocabulary coverage, dod census
+# ---------------------------------------------------------------------------
+
+ALERT_HOT = 4  # hourly count at/above which the hour is alerting
+
+
+def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-crossing alert episodes: maximal runs of consecutive
+    hours where a type's event count stays >= ALERT_HOT — the
+    paging/alerting primitive (episode start/end, duration, peak,
+    volume) a monitoring pipeline derives from rollup tiers.
+
+    The naive islands formulation is ONE row_number() window
+    partitioned by type — a handful of types means one task sorts a
+    type's entire history.  This plan bounds every corpus-shaped sort
+    by a day, like q_interarrival's stitch:
+
+    1. islands within (source, day) partitions (<= 24 rows per task):
+       grp = tb - row_number() is constant exactly on consecutive-hour
+       runs, one map-side-combinable groupBy folds each run to a
+       day-local segment row;
+    2. segments that TOUCH a midnight boundary (start at hour 0 or end
+       at hour 23 — at most 2 per (source, day), so the table is
+       hours-of-history-bounded, never corpus-bounded) chain across
+       days via a lag + running-sum window over that tiny table: a
+       segment continues the chain iff it starts at hour 0 and the
+       previous boundary segment ended at exactly start-1 (interior
+       segments can never sit between the two — a right-open segment
+       ends at hour 23 and a left-open one starts at hour 0);
+    3. interior segments ARE episodes and bypass the window entirely.
+
+    The stitched episodes are exactly the single-window islands, which
+    is what the DuckDB oracle computes directly."""
+    hourly = _hourly_counts(spark, sf_dir)
+    hot = hourly.where(F.col("n") >= ALERT_HOT).withColumn(
+        "day", F.expr("tb DIV 24")
+    )
+    w_day = Window.partitionBy("source", "day").orderBy("tb")
+    segs = (
+        hot.withColumn("grp", F.col("tb") - F.row_number().over(w_day))
+        .groupBy("source", "day", "grp")
+        .agg(
+            F.min("tb").alias("s"),
+            F.max("tb").alias("e"),
+            F.count("*").cast("long").alias("h"),
+            F.max("n").alias("p"),
+            F.sum("n").cast("long").alias("t"),
+        )
+    )
+    on_boundary = (F.col("s") % 24 == 0) | (F.col("e") % 24 == 23)
+    interior = segs.where(~on_boundary).select(
+        "source",
+        F.col("s").cast("long").alias("start_tb"),
+        F.col("e").cast("long").alias("end_tb"),
+        F.col("h").alias("n_hours"),
+        F.col("p").cast("long").alias("peak_n"),
+        F.col("t").alias("total_n"),
+    )
+    w_src = Window.partitionBy("source").orderBy("s")
+    w_run = w_src.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chained = (
+        segs.where(on_boundary)
+        .withColumn(
+            "new_chain",
+            F.when(
+                (F.col("s") % 24 == 0)
+                & (F.lag("e").over(w_src) == F.col("s") - 1),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("chain", F.sum("new_chain").over(w_run))
+        .groupBy("source", "chain")
+        .agg(
+            F.min("s").cast("long").alias("start_tb"),
+            F.max("e").cast("long").alias("end_tb"),
+            F.sum("h").cast("long").alias("n_hours"),
+            F.max("p").cast("long").alias("peak_n"),
+            F.sum("t").cast("long").alias("total_n"),
+        )
+        .select(
+            "source", "start_tb", "end_tb", "n_hours", "peak_n", "total_n"
+        )
+    )
+    return interior.unionByName(chained)
+
+
+_ALERT_EPISODES = f"""
+WITH h AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS tb,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), hot AS (
+  SELECT source, tb, n,
+         tb - row_number() OVER (PARTITION BY source ORDER BY tb) AS grp
+  FROM h WHERE n >= {ALERT_HOT}
+)
+SELECT source,
+       CAST(min(tb) AS BIGINT) AS start_tb,
+       CAST(max(tb) AS BIGINT) AS end_tb,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(max(n) AS BIGINT) AS peak_n,
+       CAST(sum(n) AS BIGINT) AS total_n
+FROM hot GROUP BY source, grp
+"""
+
+
+DRIFT_FP_BITS = 26  # per-source unigram distributions in 2^26 fixed point
+DRIFT_C_MAX_BITS = 37  # c * 2^26 must stay < 2^63 under ANSI mode
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise unigram-distribution drift between sources: the L1
+    distance between each pair of per-source word distributions,
+    normalized to 2^26 fixed point — the mixture-shift signal a
+    corpus-mixing pipeline watches when reweighting sources.
+
+    Exact integer arithmetic at ANY corpus size: each (src, word)
+    count c becomes p = c * 2^26 DIV m_src (per-source normalization
+    in fixed point — no floats, so both engines agree bit-for-bit),
+    and the pairwise L1 decomposes as
+
+        sum_w |p_a - p_b| = S_a + S_b - 2 * sum_{{w in both}} min(p_a, p_b)
+
+    so only CO-OCCURRING words need pairing.  Those pair in-row via
+    the q_source_overlap pattern: groupBy(word) collects the bounded
+    (src, p) set and emits C(s,2) structs by nested transform — no
+    self-join of the word table, one map-side-combinable groupBy on
+    (source_a, source_b).  Totals m_src and fixed-point masses S_src
+    are tiny broadcast aggregates.  Bounds are enforced loudly:
+    per-source word mass < 2^37 (keeps c << 26 in int64) and sources
+    per word <= SOURCE_OVERLAP_MAX (keeps the in-row set bounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("source").alias("src"),
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word"),
+    )
+    counts = words.groupBy("src", "word").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = counts.groupBy("src").agg(
+        F.sum("c").cast("long").alias("m")
+    ).select(
+        "src",
+        F.when(F.col("m") < F.lit(1 << DRIFT_C_MAX_BITS), F.col("m"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "q_source_drift: per-source word mass >= "
+                    f"2^{DRIFT_C_MAX_BITS} breaks the fixed-point "
+                    "overflow budget"
+                )
+            ).cast("long")
+        )
+        .alias("m"),
+    )
+    tot_map = totals.agg(
+        F.map_from_entries(F.collect_list(F.struct("src", "m"))).alias("mm")
+    )
+    p = counts.crossJoin(F.broadcast(tot_map)).select(
+        "src",
+        "word",
+        F.expr(f"(c * {1 << DRIFT_FP_BITS}) DIV element_at(mm, src)")
+        .cast("long")
+        .alias("p"),
+    )
+    masses = p.groupBy("src").agg(F.sum("p").cast("long").alias("s"))
+    per_word = p.groupBy("word").agg(
+        F.array_sort(F.collect_list(F.struct("src", "p"))).alias("sp")
+    ).select(
+        F.when(
+            F.size("sp") <= SOURCE_OVERLAP_MAX, F.col("sp")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "q_source_drift: word present in more sources than "
+                    f"the in-row bound {SOURCE_OVERLAP_MAX}"
+                )
+            ).cast("array<struct<src:string,p:bigint>>")
+        ).alias("sp")
+    )
+    pair_min = per_word.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "sp",
+                    lambda a, i: F.transform(
+                        F.slice("sp", i + F.lit(2), F.size("sp")),
+                        lambda b: F.struct(
+                            a["src"].alias("source_a"),
+                            b["src"].alias("source_b"),
+                            F.least(a["p"], b["p"]).alias("mn"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("q")
+    ).select("q.source_a", "q.source_b", "q.mn")
+    shared = pair_min.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("shared_words"),
+        F.sum("mn").cast("long").alias("sum_min"),
+    )
+    sa = masses.select(
+        F.col("src").alias("source_a"), F.col("s").alias("s_a")
+    )
+    sb = masses.select(
+        F.col("src").alias("source_b"), F.col("s").alias("s_b")
+    )
+    base = F.broadcast(sa).crossJoin(F.broadcast(sb)).where(
+        F.col("source_a") < F.col("source_b")
+    )
+    out = base.join(
+        shared, ["source_a", "source_b"], "left"
+    ).withColumn(
+        "l1_fp",
+        F.col("s_a") + F.col("s_b")
+        - 2 * F.coalesce(F.col("sum_min"), F.lit(0)),
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("shared_words"), F.lit(0))
+        .cast("long")
+        .alias("shared_words"),
+        F.col("l1_fp").cast("long").alias("l1_fp"),
+        F.expr("(l1_fp * 1000) DIV (s_a + s_b)")
+        .cast("long")
+        .alias("drift_permille"),
+    )
+
+
+_SOURCE_DRIFT = f"""
+WITH w AS (
+  SELECT source AS src,
+         unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+), c AS (
+  SELECT src, word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY src, word
+), m AS (
+  SELECT src, sum(c) AS m FROM c GROUP BY src
+), p AS (
+  SELECT c.src, c.word,
+         (c.c * {1 << DRIFT_FP_BITS}) // m.m AS p
+  FROM c JOIN m USING (src)
+), s AS (
+  SELECT src, sum(p) AS s FROM p GROUP BY src
+), pm AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         count(*) AS shared_words,
+         sum(least(a.p, b.p)) AS sum_min
+  FROM p a JOIN p b ON a.word = b.word AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT sa.src AS source_a, sb.src AS source_b,
+       CAST(coalesce(pm.shared_words, 0) AS BIGINT) AS shared_words,
+       CAST(sa.s + sb.s - 2 * coalesce(pm.sum_min, 0) AS BIGINT) AS l1_fp,
+       CAST((sa.s + sb.s - 2 * coalesce(pm.sum_min, 0)) * 1000
+            // (sa.s + sb.s) AS BIGINT) AS drift_permille
+FROM s sa JOIN s sb ON sa.src < sb.src
+LEFT JOIN pm ON pm.source_a = sa.src AND pm.source_b = sb.src
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram coverage curve: reading the corpus in doc_id order, how
+    many NEW distinct word-3-gram shingles each decile of documents
+    contributes and the cumulative shingle vocabulary — the
+    diminishing-returns curve behind 'how much more data buys how much
+    more novelty' (the unigram vocabulary saturates in the first few
+    documents of any real corpus; 3-grams are the standard novelty
+    unit, same shingles the dedup family uses).
+
+    Scale shape: document ranks come from ranking.global_rank over the
+    8-byte (doc_id) projection (range partition + offset broadcast —
+    no one-task sort at any corpus size); shingles dedup IN-ROW via
+    _doc_shingles' array_distinct before exploding (the per-doc set-op
+    lesson), join rank on doc_id, and one map-side-combinable
+    groupBy(sh) takes min(rank).  n_docs folds into the plan as a
+    broadcast 1-row aggregate.  The only unpartitioned window runs
+    over the <= 10 decile rows — a constant-size table."""
+    from .ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ranked = global_rank(
+        ids, [F.col("doc_id").asc()], rank_col="r", num_partitions=8
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("nd"))
+    first = _doc_shingles(docs).join(ranked, "doc_id").groupBy("sh").agg(
+        F.min("r").alias("fr")
+    )
+    by_dec = (
+        first.crossJoin(F.broadcast(nd))
+        .select(F.expr("((fr - 1) * 10) DIV nd").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("new_words"))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return by_dec.select(
+        F.col("decile").cast("long").alias("decile"),
+        "new_words",
+        F.sum("new_words").over(w).cast("long").alias("cum_words"),
+    )
+
+
+_VOCAB_COVERAGE = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), r AS (
+  SELECT doc_id, ws, row_number() OVER (ORDER BY doc_id) AS r
+  FROM w
+), nd AS (
+  SELECT count(*) AS nd FROM documents
+), tok AS (
+  SELECT DISTINCT r, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM r CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
+  WHERE i <= len(ws) - 2
+), f AS (
+  SELECT sh, min(r) AS fr FROM tok GROUP BY sh
+), d AS (
+  SELECT ((fr - 1) * 10) // (SELECT nd FROM nd) AS decile,
+         count(*) AS new_words
+  FROM f GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(new_words AS BIGINT) AS new_words,
+       CAST(sum(new_words) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_words
+FROM d
+"""
+
+
+def q_dod_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-of-delta compressibility census: per source, bucket every
+    hourly count's second difference into the Gorilla timestamp bit
+    classes (0 -> 1 bit, [-63,64] -> 9, [-255,256] -> 12,
+    [-2047,2048] -> 16, else 36; Pelkonen et al. §4.1) and estimate
+    total encoded bits — the planning operator that predicts a tier's
+    compressed footprint BEFORE running the encoder (q_gorilla_*).
+
+    Blocks are (source, day), mirroring Gorilla's aligned compression
+    blocks: each day's first point is a 64-bit header and deltas never
+    cross midnight, so every lag window is bounded by 24 rows — no
+    per-source history sort, no stitch needed (block semantics ARE the
+    operator).  One map-side-combinable groupBy(source) folds the
+    census."""
+    hourly = _hourly_counts(spark, sf_dir).withColumn(
+        "day", F.expr("tb DIV 24")
+    )
+    w = Window.partitionBy("source", "day").orderBy("tb")
+    d = (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .withColumn("d1", F.col("n") - F.lag("n").over(w))
+        .withColumn(
+            "dod",
+            F.col("d1") - F.coalesce(F.lag("d1").over(w), F.lit(0)),
+        )
+    )
+    bits = F.when(F.col("rn") == 1, F.lit(64)).otherwise(
+        F.when(F.col("dod") == 0, 1)
+        .when((F.col("dod") >= -63) & (F.col("dod") <= 64), 9)
+        .when((F.col("dod") >= -255) & (F.col("dod") <= 256), 12)
+        .when((F.col("dod") >= -2047) & (F.col("dod") <= 2048), 16)
+        .otherwise(36)
+    )
+
+    out = d.withColumn("bits", bits).groupBy("source").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("blocks"),
+        F.count("*").cast("long").alias("points"),
+        F.sum("bits").cast("long").alias("bits_total"),
+        F.sum(
+            F.when((F.col("rn") > 1) & (F.col("dod") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c1"),
+        F.sum(
+            F.when(
+                (F.col("rn") > 1)
+                & (F.col("dod") != 0)
+                & (F.col("dod") >= -63)
+                & (F.col("dod") <= 64),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c9"),
+        F.sum(
+            F.when(
+                (F.col("rn") > 1)
+                & ((F.col("dod") < -63) | (F.col("dod") > 64))
+                & (F.col("dod") >= -255)
+                & (F.col("dod") <= 256),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c12"),
+        F.sum(
+            F.when(
+                (F.col("rn") > 1)
+                & ((F.col("dod") < -255) | (F.col("dod") > 256))
+                & (F.col("dod") >= -2047)
+                & (F.col("dod") <= 2048),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c16"),
+        F.sum(
+            F.when(
+                (F.col("rn") > 1)
+                & ((F.col("dod") < -2047) | (F.col("dod") > 2048)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c36"),
+    )
+    return out.withColumn(
+        "bpp_milli", F.expr("(bits_total * 1000) DIV points").cast("long")
+    )
+
+
+_DOD_COMPRESS = """
+WITH h AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, tb, n, tb // 24 AS day FROM h
+), d1 AS (
+  SELECT source, day, tb, n,
+         row_number() OVER (PARTITION BY source, day ORDER BY tb) AS rn,
+         n - lag(n) OVER (PARTITION BY source, day ORDER BY tb) AS d1
+  FROM s
+), d2 AS (
+  SELECT source, rn,
+         d1 - coalesce(
+           lag(d1) OVER (PARTITION BY source, day ORDER BY tb), 0) AS dod
+  FROM d1
+)
+SELECT source,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS blocks,
+  CAST(count(*) AS BIGINT) AS points,
+  CAST(sum(CASE WHEN rn = 1 THEN 64
+       WHEN dod = 0 THEN 1
+       WHEN dod BETWEEN -63 AND 64 THEN 9
+       WHEN dod BETWEEN -255 AND 256 THEN 12
+       WHEN dod BETWEEN -2047 AND 2048 THEN 16
+       ELSE 36 END) AS BIGINT) AS bits_total,
+  CAST(sum(CASE WHEN rn > 1 AND dod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+  CAST(sum(CASE WHEN rn > 1 AND dod <> 0
+       AND dod BETWEEN -63 AND 64 THEN 1 ELSE 0 END) AS BIGINT) AS c9,
+  CAST(sum(CASE WHEN rn > 1 AND (dod < -63 OR dod > 64)
+       AND dod BETWEEN -255 AND 256 THEN 1 ELSE 0 END) AS BIGINT) AS c12,
+  CAST(sum(CASE WHEN rn > 1 AND (dod < -255 OR dod > 256)
+       AND dod BETWEEN -2047 AND 2048 THEN 1 ELSE 0 END) AS BIGINT) AS c16,
+  CAST(sum(CASE WHEN rn > 1 AND (dod < -2047 OR dod > 2048)
+       THEN 1 ELSE 0 END) AS BIGINT) AS c36,
+  CAST(sum(CASE WHEN rn = 1 THEN 64
+       WHEN dod = 0 THEN 1
+       WHEN dod BETWEEN -63 AND 64 THEN 9
+       WHEN dod BETWEEN -255 AND 256 THEN 12
+       WHEN dod BETWEEN -2047 AND 2048 THEN 16
+       ELSE 36 END) * 1000 // count(*) AS BIGINT) AS bpp_milli
+FROM d2 GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6535,8 +7013,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BOTH directions' scan machinery — in the head)
         # r04b additions, never driver-verified — promoted on arrival
         "q_asof_nearest": q_asof_nearest,
-        "q_ohlc_bars": q_ohlc_bars,
+        # (q_ohlc_bars demoted r05b: green r04; the bar/decimation
+        # family keeps q_m4_decimate — the same argmin/argmax-encoded
+        # bar machinery plus the 2^24 tie encoding — in the head)
         "q_cusum_alarm": q_cusum_alarm,
+        # r05b: threshold-crossing episodes via day-bounded islands +
+        # boundary-segment chain stitch (never driver-verified,
+        # promoted on arrival)
+        "q_alert_episodes": q_alert_episodes,
         # (q_topn_hours demoted r05: green r04; the top-k family keeps
         # q_decay_topk — salted partial rank — in the head)
         # (q_zscore_outliers demoted r05: green r04; the anomaly family
@@ -6544,10 +7028,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram_quantile": q_histogram_quantile,
         "q_gapfill_linear": q_gapfill_linear,
         "q_session_window": q_session_window,
-        "q_wav_decode": q_wav_decode,
+        # (q_wav_decode demoted r05b: green r04; the multimodal family
+        # keeps q_multimodal_decode — the other REAL byte-format
+        # decoder over the same mapInPandas plumbing — in the head)
         "q_m4_decimate": q_m4_decimate,
-        "q_counter_rate": q_counter_rate,
-        "q_value_histogram": q_value_histogram,
+        # (q_counter_rate demoted r05b: green r04; the window-timeseries
+        # family keeps q_rolling_distinct + q_histogram_quantile —
+        # both RANGE/expand-frame consumers — in the head)
+        # (q_value_histogram demoted r05b: green r04; the histogram
+        # family keeps q_histogram_quantile, which re-derives the same
+        # fixed-bucket histogram as its first stage)
+        # r05b: Gorilla-block delta-of-delta census — the compressed-
+        # footprint planner for the tier encoder (never driver-verified,
+        # promoted on arrival)
+        "q_dod_compressibility": q_dod_compressibility,
         # (q_rolling_24h demoted r05: green r04; the rolling-window
         # family keeps q_rolling_distinct + q_histogram_quantile +
         # q_counter_rate — all RANGE-frame consumers — in the head)
@@ -6651,6 +7145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (never driver-verified, promoted on arrival)
         "q_dup_spans": q_dup_spans,
         "q_source_overlap": q_source_overlap,
+        # r05b: pairwise fixed-point L1 distribution drift (never
+        # driver-verified, promoted on arrival)
+        "q_source_drift": q_source_drift,
         # (q_pack_sequences demoted r04f: green r03; the packing family
         # keeps q_pack_tokens — the materialized superset composing the
         # same pack_offsets prefix-sum — in the head)
@@ -6669,6 +7166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery keeps q_bloom_decontaminate + q_dup_spans in the
         # head, and the split's zero-shuffle plan stays session-checked)
         "q_tokenize_vocab": q_tokenize_vocab,
+        # r05b: first-occurrence vocabulary growth curve over
+        # ranking.global_rank doc order (never driver-verified,
+        # promoted on arrival)
+        "q_vocab_coverage": q_vocab_coverage,
         "q_quality_filter": q_quality_filter,
         # (q_ann_topk demoted r04: same exact-cosine semantics as
         # q_ann_topk_blocked — the GEMM-blocked scale path stays;
@@ -6702,6 +7203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zscore_outliers": q_zscore_outliers,
         "q_rolling_24h": q_rolling_24h,
         "q_kmv_distinct": q_kmv_distinct,
+        "q_ohlc_bars": q_ohlc_bars,
+        "q_wav_decode": q_wav_decode,
+        "q_counter_rate": q_counter_rate,
+        "q_value_histogram": q_value_histogram,
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
         # oracle as q_dedup_clusters_star above, which is the scale path)
@@ -6847,6 +7352,8 @@ FROM win
         "q_asof_nearest": _ASOF_NEAREST,
         "q_ohlc_bars": _OHLC_BARS,
         "q_cusum_alarm": _CUSUM_ALARM,
+        "q_alert_episodes": _ALERT_EPISODES,
+        "q_dod_compressibility": _DOD_COMPRESS,
         "q_topn_hours": _TOPN_HOURS,
         "q_zscore_outliers": _ZSCORE_OUTLIERS,
         "q_wow_delta": _WOW_DELTA,
@@ -6919,6 +7426,8 @@ FROM win
         "q_tfidf_terms": _TFIDF_TERMS,
         "q_hash_split": _HASH_SPLIT,
         "q_tokenize_vocab": _TOKENIZE_VOCAB,
+        "q_source_drift": _SOURCE_DRIFT,
+        "q_vocab_coverage": _VOCAB_COVERAGE,
         "q_quality_filter": _QUALITY_FILTER,
         "q_repetition_score": _REPETITION,
         "q_top_tokens": _TOP_TOKENS,
