@@ -635,3 +635,134 @@ def test_dod_compressibility_hand_census(spark, tmp_path):
     # day 0: 64+1+1+9+9+36 = 120; day 1: 64+12+12+16 = 104
     assert r["bits_total"] == 224
     assert r["bpp_milli"] == 224 * 1000 // 10
+
+
+# ---------------------------------------------------------------------------
+# r05c: retention sweeper, late-arrival census, journey paths, MG heavy
+# hitters
+# ---------------------------------------------------------------------------
+
+DAY0 = 19723  # day-bucket of T0 (2024-01-01): 1704067200 / 86400
+
+
+def test_retention_policy_actions_and_reclaim(spark, tmp_path):
+    """Hand-aged partitions: day 25 (age 0) keeps raw, day 10 (age 15)
+    downsamples to its distinct hours, day 0 (age 25) keeps one daily
+    row."""
+    day = 86400
+    rows = (
+        # day 0: 2 events in 2 distinct hours
+        [(0, 1, "view", 1), (3600, 1, "view", 1)]
+        # day 10: 4 events in 1 hour
+        + [(10 * day + j, 1, "view", 1) for j in range(4)]
+        # day 25: 3 events in 2 distinct hours
+        + [(25 * day, 1, "view", 1), (25 * day + 1, 1, "view", 1),
+           (25 * day + 3600, 1, "view", 1)]
+    )
+    d = _events_dir(spark, tmp_path, rows)
+    got = {
+        r["day"]: (r["age_days"], r["action"], r["n_raw"],
+                   r["rows_kept"], r["rows_reclaimed"])
+        for r in dc.q_retention_policy(spark, d).collect()
+    }
+    assert got == {
+        DAY0 + 25: (0, "keep_raw", 3, 3, 0),
+        DAY0 + 10: (15, "hourly", 4, 1, 3),
+        DAY0: (25, "daily", 2, 1, 1),
+    }
+
+
+def test_late_arrival_census_hand(spark, tmp_path):
+    """Ingest order (= event_id order) with two hand-placed regressions:
+    id2 arrives 50s behind the running max, id4 250s behind."""
+    rows = [
+        (100, 1, "a", 1),  # id0: watermark 100
+        (200, 1, "a", 1),  # id1: watermark 200
+        (150, 1, "a", 1),  # id2: 50s late
+        (300, 1, "b", 1),  # id3: watermark 300
+        (50, 1, "b", 1),   # id4: 250s late
+        (300, 1, "b", 1),  # id5: ties the watermark -> not late
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {
+        r["source"]: (r["n_events"], r["n_late"], r["max_late_us"],
+                      r["late_permille"])
+        for r in dc.q_late_arrival(spark, d).collect()
+    }
+    assert got == {
+        "a": (3, 1, 50_000_000, 333),
+        "b": (3, 1, 250_000_000, 333),
+    }
+
+
+def test_journey_paths_ties_and_threshold(spark, tmp_path):
+    """One user walks view>click>purchase on five separate days (the
+    view and click share a SECOND — event_id must break the tie); a
+    below-threshold journey on a sixth day stays out."""
+    day = 86400
+    rows = []
+    for k in range(5):
+        # same second for the first two: list order = event_id order
+        rows.append((k * day + 100, 7, "view", 1))
+        rows.append((k * day + 100, 7, "click", 1))
+        rows.append((k * day + 200, 7, "purchase", 1))
+    # one lone error>view>click day: count 1 < PATH_MIN_COUNT
+    rows += [(30 * day, 7, "error", 1), (30 * day + 1, 7, "view", 1),
+             (30 * day + 2, 7, "click", 1)]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {(r["path"], r["n"])
+           for r in dc.q_journey_paths(spark, d).collect()}
+    assert got == {("view>click>purchase", 5)}
+
+
+def test_heavy_hitters_mg_differential(spark, tmp_path):
+    """Random zipf-ish corpus, adversarially partitioned 16 ways: the
+    two-pass MG output must equal the exact definition (every word
+    with count * MG_K > n_words, with its exact count)."""
+    import collections
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = []
+    for _ in range(60):
+        words = [vocab[min(int(rng.expovariate(0.018)), 399)]
+                 for _ in range(rng.randint(20, 80))]
+        texts.append(" ".join(words))
+    exact = collections.Counter(
+        w for t in texts for w in t.split()
+    )
+    n = sum(exact.values())
+    expected = {(w, c, n) for w, c in exact.items()
+                if c * dc.MG_K > n}
+    assert expected, "fixture must contain at least one heavy hitter"
+
+    data = [(i, t, "en", f"s{i % 3}", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    ).repartition(16)
+    out = str(tmp_path / "fx")
+    df.write.mode("overwrite").parquet(out + "/documents.parquet")
+
+    got = {(r["word"], r["n"], r["n_words"])
+           for r in dc.q_heavy_hitters_mg(spark, out).collect()}
+    assert got == expected
+
+
+def test_mg_candidates_keeps_guaranteed_survivor():
+    """Batched MG bound: a word with partition count > n_p/(CAPACITY+1)
+    must survive any decrement schedule.  10 batches of 30x hot + 970
+    singleton colds: hot ends >= 300 - 10 decrements."""
+    import pandas as pd
+
+    batches = []
+    for b in range(10):
+        words = ["hot"] * 30 + [f"cold_{b}_{i}" for i in range(970)]
+        batches.append(pd.DataFrame({"word": words}))
+    outs = list(dc._mg_candidates(iter(batches)))
+    cands = set()
+    for o in outs:
+        cands.update(o["word"])
+    assert "hot" in cands
+    assert len(cands) <= dc.MG_CAPACITY

@@ -404,3 +404,53 @@ def test_bloom_probe_corpus_side_shuffle_free(spark):
     # distinct + bloom build; nothing on the corpus probe path
     assert plan.count("Exchange SinglePartition") <= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_pass1_shuffle_free(spark):
+    """The MG candidate pass must run on the scan partitions directly:
+    no Exchange may sit below MapInPandas (the whole point is that the
+    full word stream is never shuffled — only candidates and their
+    partial counts are)."""
+    df = dc.q_heavy_hitters_mg(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    lines = tree.splitlines()
+    (idx,) = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+    depth = len(lines[idx]) - len(lines[idx].lstrip())
+    for line in lines[idx + 1:]:
+        if len(line) - len(line.lstrip()) <= depth and line.strip():
+            break
+        assert "Exchange" not in line, ("exchange under MapInPandas", line)
+    # downstream: candidate distinct + candidate recount + 1-row total
+    # + 2 broadcasts — never a full-word-stream shuffle
+    assert tree.count("Exchange") == 5, tree
+    assert tree.count("BroadcastExchange") == 2, tree
+
+
+def test_journey_paths_two_exchanges_no_window(spark):
+    """Day-journey assembly is ONE groupBy (in-row sort + trigrams),
+    the path count another — and no Window node anywhere (the journey
+    unit is (user, day), so nothing needs a running ordinal)."""
+    df = dc.q_journey_paths(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "Window" not in tree, tree
+
+
+def test_retention_policy_census_single_pass(spark):
+    """The census is localCheckpoint-pinned, so the sweep plan and the
+    as-of watermark both read the materialized metadata (two
+    ExistingRDD scans) and events is NEVER re-scanned for the max —
+    zero parquet scans survive into the final plan."""
+    df = dc.q_retention_policy(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0, tree
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert tree.count("BroadcastExchange") == 1, tree
+    assert_no_unpartitioned_windows(df)
+
+
+def test_late_arrival_bounded_windows_only(spark):
+    """The global ingest-order running max ses the two-level prefix
+    machinery: every Window node is partitioned (by the range
+    partition id) — no one-task sort at any corpus size."""
+    assert_no_unpartitioned_windows(dc.q_late_arrival(spark, SF_DIR))

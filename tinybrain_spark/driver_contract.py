@@ -6952,6 +6952,319 @@ FROM d2 GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# r05c: retention sweeper, late-arrival census, session paths, MG heavy
+# hitters
+# ---------------------------------------------------------------------------
+
+RETENTION_RAW_DAYS = 7  # raw points survive this many days
+RETENTION_HOURLY_DAYS = 21  # then hourly rollups, then daily forever
+
+
+def q_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention sweeper's work plan: for every (source, day)
+    partition, which tier the policy keeps (raw < 7d old, hourly < 21d,
+    daily after) and how many rows each downsample step reclaims — the
+    metadata query a tiered-retention engine (the reference's pyramid,
+    TimescaleDB's drop_chunks) runs before every compaction sweep.
+
+    Scale shape: one map-side-combinable groupBy(source, day) over a
+    two-column projection builds the partition census (raw points +
+    distinct hours via exact count_distinct inside the same agg); the
+    as-of watermark is a broadcast 1-row aggregate, so the plan is one
+    exchange on (source, day) — partition metadata at 100 TB is
+    millions of rows, not billions, and the census columns prune to
+    exactly (event_type, ts) at the scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.expr(
+            "CAST(floor(unix_timestamp(date_trunc('hour', ts)) / 3600)"
+            " AS BIGINT)"
+        ).alias("tb"),
+    )
+    census = ev.groupBy(
+        "source", F.expr("tb DIV 24").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.countDistinct("tb").cast("long").alias("n_hours"),
+    )
+    # the census is partition METADATA (millions of rows at 100 TB,
+    # not billions) — pin it so the as-of watermark and the sweep plan
+    # both read it without a second full scan of events
+    census = census.localCheckpoint()
+    as_of = census.agg(F.max("day").alias("as_of"))
+    aged = census.crossJoin(F.broadcast(as_of)).withColumn(
+        "age_days", (F.col("as_of") - F.col("day")).cast("long")
+    )
+    action = (
+        F.when(F.col("age_days") < RETENTION_RAW_DAYS, F.lit("keep_raw"))
+        .when(F.col("age_days") < RETENTION_HOURLY_DAYS, F.lit("hourly"))
+        .otherwise(F.lit("daily"))
+    )
+    rows_kept = (
+        F.when(F.col("age_days") < RETENTION_RAW_DAYS, F.col("n_raw"))
+        .when(F.col("age_days") < RETENTION_HOURLY_DAYS, F.col("n_hours"))
+        .otherwise(F.lit(1))
+    )
+    return aged.select(
+        "source",
+        F.col("day").cast("long").alias("day"),
+        F.col("age_days"),
+        action.alias("action"),
+        F.col("n_raw"),
+        rows_kept.cast("long").alias("rows_kept"),
+        (F.col("n_raw") - rows_kept).cast("long").alias("rows_reclaimed"),
+    )
+
+
+_RETENTION_POLICY = f"""
+WITH ev AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS tb
+  FROM events
+), census AS (
+  SELECT source, tb // 24 AS day,
+         CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(count(DISTINCT tb) AS BIGINT) AS n_hours
+  FROM ev GROUP BY 1, 2
+), aged AS (
+  SELECT *, (SELECT max(day) FROM census) - day AS age_days FROM census
+)
+SELECT source, CAST(day AS BIGINT) AS day,
+       CAST(age_days AS BIGINT) AS age_days,
+       CASE WHEN age_days < {RETENTION_RAW_DAYS} THEN 'keep_raw'
+            WHEN age_days < {RETENTION_HOURLY_DAYS} THEN 'hourly'
+            ELSE 'daily' END AS action,
+       n_raw,
+       CAST(CASE WHEN age_days < {RETENTION_RAW_DAYS} THEN n_raw
+            WHEN age_days < {RETENTION_HOURLY_DAYS} THEN n_hours
+            ELSE 1 END AS BIGINT) AS rows_kept,
+       CAST(n_raw - CASE WHEN age_days < {RETENTION_RAW_DAYS} THEN n_raw
+            WHEN age_days < {RETENTION_HOURLY_DAYS} THEN n_hours
+            ELSE 1 END AS BIGINT) AS rows_reclaimed
+FROM aged
+"""
+
+
+def q_late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingest census: reading events in event_id (ingest)
+    order, an event is LATE when its timestamp is older than the
+    watermark — the running max event time over everything ingested
+    before it.  Per source: events, late events, late rate (permille),
+    worst lateness (µs) — the numbers that size a streaming pipeline's
+    watermark delay and the batch engine's late-data reconciliation
+    window.
+
+    Scale shape: the watermark is a GLOBAL running max over ingest
+    order — the textbook one-task sort — so it rides
+    prefix.running_mins (max = -min of negation): range partition by
+    event_id, per-partition totals cumulated driver-side, bounded
+    within-partition windows only.  Inclusive running max makes
+    depth = rmax - ts exactly 0 for in-order events, no null handling.
+    The lateness sum is intentionally NOT emitted (n × span µs can pass
+    2^63 on a year-long 10^12-event corpus); count/max/permille are
+    overflow-free at any size."""
+    from .prefix import running_mins
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").alias("source"),
+        # NTZ parquet timestamps + UTC session tz: the cast is exactly
+        # DuckDB's epoch_us on the same naive values
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withColumn("neg_ts", -F.col("ts_us"))
+    marked = running_mins(
+        ev, ["neg_ts"], ["event_id"], num_partitions=32
+    ).withColumn("late_us", (-F.col("rm_neg_ts")) - F.col("ts_us"))
+    return marked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    ).withColumn(
+        "late_permille",
+        F.expr("(n_late * 1000) DIV n_events").cast("long"),
+    )
+
+
+_LATE_ARRIVAL = """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         event_type AS source,
+         epoch_us(ts) AS ts_us
+  FROM events
+), marked AS (
+  SELECT source,
+         max(ts_us) OVER (ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) - ts_us AS late_us
+  FROM ev
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(max(late_us) AS BIGINT) AS max_late_us,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS late_permille
+FROM marked GROUP BY source
+"""
+
+
+PATH_MIN_COUNT = 5  # emit trigram paths occurring at least this often
+
+
+def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey discovery: every 3-step event-type sequence inside a
+    user's DAY of activity, counted corpus-wide, emitting paths seen
+    >= PATH_MIN_COUNT times — the path-mining complement to
+    q_funnel_steps' fixed funnel (funnels test a hypothesis; this
+    surfaces the hypotheses).
+
+    Scale shape: the journey unit is (user, day) — the same bound the
+    Markov/interarrival fixes adopted, so no per-user history ever
+    sorts in one task and there is NO window at all: one groupBy
+    builds each journey's ordered type array in-row via
+    array_sort(collect_list(struct)), trigram windows come from an
+    in-row transform (never an explode-and-self-join), and the final
+    path count is a map-side-combinable groupBy.  A threshold (not
+    top-k) keeps the output deterministic — no rank ties to break.
+
+    Microsecond timestamps + event_id tie-break give both engines an
+    identical within-journey order even when a user fires two events
+    in the same second."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_type").alias("typ"),
+    ).withColumn("day", F.expr("ts_us DIV 86400000000"))
+    ordered = ev.groupBy("user_id", "day").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "typ"))),
+            lambda s: s["typ"],
+        ).alias("types")
+    )
+    tri = ordered.where(F.size("types") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("types") - 2),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at("types", i),
+                    F.element_at("types", i + 1),
+                    F.element_at("types", i + 2),
+                ),
+            )
+        ).alias("path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= PATH_MIN_COUNT)
+    )
+
+
+_JOURNEY_PATHS = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(event_id AS BIGINT) AS event_id,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) // 86400000000 AS day,
+         event_type AS typ
+  FROM events
+), ordered AS (
+  SELECT user_id, day, list(typ ORDER BY ts_us, event_id) AS types
+  FROM ev GROUP BY user_id, day
+), tri AS (
+  SELECT types[i] || '>' || types[i+1] || '>' || types[i+2] AS path
+  FROM ordered
+  CROSS JOIN (SELECT unnest(generate_series(1,
+       (SELECT coalesce(max(len(types)), 0) FROM ordered))) AS i) g
+  WHERE len(types) >= 3 AND i <= len(types) - 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY path HAVING count(*) >= {PATH_MIN_COUNT}
+"""
+
+
+MG_K = 50  # heavy hitter bar: true count > n_words / MG_K
+MG_CAPACITY = 4 * MG_K  # per-partition summary size (>= MG_K - 1 required)
+
+
+def _mg_candidates(batches):
+    """Per-partition batched Misra–Gries over a single string column.
+
+    Exact pandas value_counts per Arrow batch (vectorized — no
+    per-word Python), merged into one running counter; when the
+    counter exceeds MG_CAPACITY keys, subtract the (CAPACITY+1)-th
+    largest count from everything and drop the non-positive rows (the
+    batched MG decrement: every unit removed from a survivor pairs
+    with >= CAPACITY units removed elsewhere, so any word with
+    partition count > n_p/(CAPACITY+1) survives — a superset of the
+    words with global count > n/MG_K, whatever the partitioning)."""
+    import pandas as pd
+
+    counts = None
+    for pdf in batches:
+        batch = pdf["word"].value_counts()
+        counts = batch if counts is None else counts.add(batch, fill_value=0)
+        if len(counts) > MG_CAPACITY:
+            cut = counts.nlargest(MG_CAPACITY + 1).iloc[-1]
+            counts = counts - cut
+            counts = counts[counts > 0]
+    if counts is not None and len(counts):
+        yield pd.DataFrame({"word": counts.index})
+
+
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heavy hitters: every word whose EXACT corpus count
+    exceeds n/MG_K, found without ever shuffling the full word stream —
+    the two-pass Misra–Gries pattern (candidates, then verify).
+
+    Pass 1 is shuffle-free: mapInPandas runs a bounded-memory batched
+    MG summary per scan partition (vectorized value_counts — the
+    candidate set is a guaranteed superset of the true heavy hitters
+    for ANY partitioning, see _mg_candidates).  Pass 2 recounts ONLY
+    candidate words exactly: the candidate list (<= CAPACITY ×
+    partitions rows) broadcast-semi-joins the word stream, one
+    map-side-combinable groupBy, filter n*MG_K > n_words.  Exact
+    output from a sketch-sized shuffle; the CMS variant (q_cms_heavy)
+    trades this two-pass exactness for one-pass mergeability.
+
+    Oracle = the definition itself: exact counts filtered at the same
+    bar."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word")
+    )
+    cands = words.mapInPandas(_mg_candidates, "word string").distinct()
+    total = words.agg(F.count("*").cast("long").alias("n_words"))
+    counted = (
+        words.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("n") * MG_K > F.col("n_words"))
+        .select("word", "n", "n_words")
+    )
+
+
+_HEAVY_HITTERS_MG = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+), c AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_words FROM w
+)
+SELECT word, n, n_words FROM c, t WHERE n * {MG_K} > n_words
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7049,7 +7362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregate RANGE frames can't express) — never driver-verified
         "q_rolling_distinct": q_rolling_distinct,
         # r04: the scale-safe prefix-sum primitive, driver-verified
-        "q_global_running_sum": q_global_running_sum,
+        # (q_global_running_sum demoted r05c: green r04; the prefix-
+        # machinery family keeps q_pack_tokens and gains q_late_arrival
+        # — the running_mins consumer — in the head)
+        # r05c: out-of-order ingest census over the distributed global
+        # prefix max (never driver-verified, promoted on arrival)
+        "q_late_arrival": q_late_arrival,
         # r04: bucket-expanded range-overlap join (never a nested loop)
         "q_interval_join": q_interval_join,
         # (q_sessionize demoted r04b: green r02/r03, q_session_window
@@ -7064,15 +7382,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family fully proven across rounds)
         # r04b additions promoted on arrival (never driver-verified)
         "q_wow_delta": q_wow_delta,
-        "q_cms_heavy": q_cms_heavy,
+        # (q_cms_heavy demoted r05c: green r04; the heavy-hitter family
+        # gains q_heavy_hitters_mg — the exact two-pass complement to
+        # the CMS one-pass sketch — and keeps q_logbucket_quantile)
+        # r05c: Misra-Gries candidates + exact verify (never
+        # driver-verified, promoted on arrival)
+        "q_heavy_hitters_mg": q_heavy_hitters_mg,
         # r04e: correlation analytics — float-free moment numerators
         # (never driver-verified, promoted on arrival)
         "q_acf_lags": q_acf_lags,
         "q_xcorr_types": q_xcorr_types,
         # r04e: event analytics — ordered funnel + cohort retention
         # (never driver-verified, promoted on arrival)
-        "q_funnel_steps": q_funnel_steps,
-        "q_cohort_retention": q_cohort_retention,
+        # (q_funnel_steps demoted r05c: green r04; the session/funnel
+        # family keeps q_funnel_times — the latency superset — and
+        # gains q_journey_paths)
+        # r05c: day-journey trigram path mining (never
+        # driver-verified, promoted on arrival)
+        "q_journey_paths": q_journey_paths,
+        # (q_cohort_retention demoted r05c: green r04; the retention
+        # family keeps q_retention_ladder and gains q_retention_policy)
         # r04f: day-bounded inter-arrival stats + decayed heavy hitters
         # (never driver-verified, promoted on arrival)
         "q_interarrival": q_interarrival,
@@ -7108,6 +7437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cagg_hierarchy": q_cagg_hierarchy,
         # r04d: retention enforcement graded in the driver
         "q_retention_ladder": q_retention_ladder,
+        # r05c: the tier sweeper's keep/downsample/drop work plan
+        # (never driver-verified, promoted on arrival)
+        "q_retention_policy": q_retention_policy,
         # (q_gorilla_decode demoted r04f: green r02/r03, and the
         # roundtrip sibling has >=2 recorded rounds — the whole gorilla
         # family rotates; both stay oracle-checked every session)
@@ -7207,6 +7539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wav_decode": q_wav_decode,
         "q_counter_rate": q_counter_rate,
         "q_value_histogram": q_value_histogram,
+        "q_global_running_sum": q_global_running_sum,
+        "q_cms_heavy": q_cms_heavy,
+        "q_funnel_steps": q_funnel_steps,
+        "q_cohort_retention": q_cohort_retention,
         # (q_min_rollup_t1: near-dup of q_max_rollup_t1, un-exported in
         # the reference; q_dedup_clusters: hash-min CC — same output +
         # oracle as q_dedup_clusters_star above, which is the scale path)
@@ -7338,6 +7674,10 @@ FROM win
         "q_cube_metrics": _CUBE_METRICS,
         "q_running_sum": _RUNNING_SUM,
         "q_global_running_sum": _GLOBAL_RUNNING_SUM,
+        "q_late_arrival": _LATE_ARRIVAL,
+        "q_retention_policy": _RETENTION_POLICY,
+        "q_journey_paths": _JOURNEY_PATHS,
+        "q_heavy_hitters_mg": _HEAVY_HITTERS_MG,
         "q_topk_users": _TOPK_USERS,
         "q_asof_join": _ASOF_JOIN,
         "q_asof_fwd": _ASOF_FWD,
