@@ -56,6 +56,11 @@ HEADLINE = [
     "q_pagerank",
     "q_dup_spans",
     "q_rfm_segments",
+    # r05 additions (NOTES.md explains the total-wall delta vs r04)
+    "q_alert_episodes",
+    "q_slo_ribbon",
+    "q_heavy_hitters_mg",
+    "q_journey_paths",
 ]
 
 

@@ -766,3 +766,34 @@ def test_mg_candidates_keeps_guaranteed_survivor():
         cands.update(o["word"])
     assert "hot" in cands
     assert len(cands) <= dc.MG_CAPACITY
+
+
+def test_slo_ribbon_exact_discrete_quantiles(spark, tmp_path):
+    """n=10 evenly spread values: p50 is the 5th smallest (ceil(.5n)),
+    p95 the 10th (ceil(9.5)); a tie-heavy day picks the smallest value
+    whose cumulative count crosses the bar."""
+    rows = [(j, 1, "a", float(10 * (j + 1))) for j in range(10)]
+    rows += [(j, 1, "b", v) for j, v in enumerate([1.0, 1.0, 1.0, 3.0])]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {r["source"]: (r["n"], r["p50_c"], r["p95_c"], r["max_c"])
+           for r in dc.q_slo_ribbon(spark, d).collect()}
+    assert got == {
+        "a": (10, 5000, 10000, 10000),
+        "b": (4, 100, 300, 300),
+    }
+
+
+def test_mad_outliers_robust_to_extremes(spark, tmp_path):
+    """[10,12,14,16,100]: median 14.00, deviations [400,200,0,200,8600]
+    cents -> MAD 200; only the 100 exceeds 5*MAD.  The mean/stddev
+    detector would have been dragged toward the outlier; the median
+    pair is not."""
+    rows = [(j, 1, "a", v)
+            for j, v in enumerate([10.0, 12.0, 14.0, 16.0, 100.0])]
+    d = _events_dir(spark, tmp_path, rows)
+    rows_out = dc.q_mad_outliers(spark, d).collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert (r["n"], r["med_c"], r["mad_c"], r["n_outliers"]) == (
+        5, 1400, 200, 1,
+    )

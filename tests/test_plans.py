@@ -454,3 +454,22 @@ def test_late_arrival_bounded_windows_only(spark):
     machinery: every Window node is partitioned (by the range
     partition id) — no one-task sort at any corpus size."""
     assert_no_unpartitioned_windows(dc.q_late_arrival(spark, SF_DIR))
+
+
+def test_robust_stats_bounded_windows_broadcast_joins(spark):
+    """Both exact-quantile passes window over (source, day) value
+    histograms — never an unpartitioned sort.  The MAD query scans
+    events exactly ONCE (the checkpointed histogram feeds every later
+    pass — zero parquet scans survive into the final plan) and the
+    median/MAD tables come back via broadcast joins (sources x days
+    rows)."""
+    for q in ("q_slo_ribbon", "q_mad_outliers"):
+        df = dc.queries()[q](spark, SF_DIR)
+        assert_no_unpartitioned_windows(df)
+    tree = _plan(dc.q_mad_outliers(spark, SF_DIR)).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0, tree
+    # 3 = med join (replayed for the MAD branch and the final branch —
+    # both replays read the checkpointed histogram, not events) + mad
+    # join; every join is broadcast, nothing event-sized ever shuffles
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert "SortMergeJoin" not in tree, tree

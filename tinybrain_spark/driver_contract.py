@@ -7264,6 +7264,202 @@ SELECT word, n, n_words FROM c, t WHERE n * {MG_K} > n_words
 """
 
 
+def _day_value_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, day, v): per-event integer cents keyed by source and
+    day bucket — the shared input of the robust-stats queries."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.expr(
+            "CAST(floor(unix_timestamp(date_trunc('hour', ts)) / 3600)"
+            " AS BIGINT) DIV 24"
+        ).alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+
+def _day_value_hist(vals: DataFrame) -> DataFrame:
+    """Collapse an event-sized (source, day, v) stream to its value
+    histogram (source, day, v, cnt) — ONE map-side-combinable groupBy;
+    everything quantile-shaped downstream works on histogram rows
+    (bounded by the distinct-cents domain per source-day, never by
+    event count)."""
+    return vals.groupBy("source", "day", "v").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def _exact_day_quantiles(c: DataFrame) -> DataFrame:
+    """Histogram (source, day, v, cnt) -> n, p50_c, p95_c, max_c:
+    EXACT discrete quantiles (smallest v with cumulative count >=
+    ceil(q*n)) in pure integer arithmetic — cum*2 >= n and cum*20 >=
+    19*n are the division-free forms of ceil(n/2) and ceil(19n/20).
+    The cumulative window runs over histogram rows only; the final
+    conditional-min groupBy is map-side combinable and reuses the
+    window's hash partitioning."""
+    wd = Window.partitionBy("source", "day").orderBy("v")
+    w_cum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    # same (partition, order) spec for the total => one WindowExec, one
+    # sort; the full frame is computed once per partition (never the
+    # O(n^2) per-row re-scan of a growing-tail frame)
+    w_all = wd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    return cum.groupBy("source", "day").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v")))
+        .cast("long")
+        .alias("p50_c"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("v")))
+        .cast("long")
+        .alias("p95_c"),
+        F.max("v").cast("long").alias("max_c"),
+    )
+
+
+def q_slo_ribbon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, day) latency-style SLO ribbon: event count, exact
+    integer-cents p50 / p95 / max — the daily percentile bands a
+    service dashboard draws from a rollup tier.  Exactness via the
+    cumulative-histogram formulation (see _exact_day_quantiles); no
+    float percentile ever enters the plan."""
+    return _exact_day_quantiles(
+        _day_value_hist(_day_value_cents(spark, sf_dir))
+    )
+
+
+_SLO_RIBBON = """
+WITH ev AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT)
+           // 24 AS day,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+), c AS (
+  SELECT source, day, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2, 3
+), w AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY source, day ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY source, day) AS n
+  FROM c
+)
+SELECT source, day,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN 2 * cum >= n THEN v END) AS BIGINT) AS p50_c,
+       CAST(min(CASE WHEN 20 * cum >= 19 * n THEN v END) AS BIGINT)
+         AS p95_c,
+       CAST(max(v) AS BIGINT) AS max_c
+FROM w GROUP BY source, day
+"""
+
+
+MAD_SCALE = 5  # alarm when |v - median| > MAD_SCALE * MAD
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly census: per (source, day), how many events sit
+    more than MAD_SCALE median-absolute-deviations from the day's
+    median — the outlier detector that, unlike q_zscore_outliers'
+    mean/stddev, a handful of extreme points cannot poison (they move
+    a mean arbitrarily; they cannot move a median past its neighbor).
+
+    Two passes of the SAME exact-quantile machinery, both over the
+    VALUE HISTOGRAM: events collapse to (source, day, v, cnt) once
+    (the only event-wide exchange) and that histogram is
+    localCheckpoint-pinned, so the median pass, the deviation
+    histogram (|v - median| re-binned by a histogram-sized groupBy,
+    counts summed — never a second pass over raw events), the MAD
+    pass, and the final outlier count all read the pinned metadata.
+    The median/MAD tables are sources x days rows and come back via
+    broadcast joins.  Pure integers throughout; ties resolve
+    identically on both engines because the quantile definition is
+    the same explicit formula."""
+    hist = _day_value_hist(
+        _day_value_cents(spark, sf_dir)
+    ).localCheckpoint()
+    med = _exact_day_quantiles(hist).select(
+        "source", "day", F.col("p50_c").alias("med")
+    )
+    devhist = (
+        hist.join(F.broadcast(med), ["source", "day"])
+        .groupBy(
+            "source",
+            "day",
+            "med",
+            F.abs(F.col("v") - F.col("med")).alias("v"),
+        )
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    mad = _exact_day_quantiles(
+        devhist.select("source", "day", "v", "cnt")
+    ).select("source", "day", F.col("p50_c").alias("mad"))
+    return (
+        devhist.join(F.broadcast(mad), ["source", "day"])
+        .groupBy("source", "day")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.max("med").cast("long").alias("med_c"),
+            F.max("mad").cast("long").alias("mad_c"),
+            F.sum(
+                F.when(
+                    F.col("v") > F.lit(MAD_SCALE) * F.col("mad"),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+_MAD_OUTLIERS = f"""
+WITH ev AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT)
+           // 24 AS day,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+), c1 AS (
+  SELECT source, day, v, count(*) AS cnt FROM ev GROUP BY 1, 2, 3
+), w1 AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY source, day ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY source, day) AS n
+  FROM c1
+), med AS (
+  SELECT source, day, min(CASE WHEN 2 * cum >= n THEN v END) AS med
+  FROM w1 GROUP BY source, day
+), dev AS (
+  SELECT ev.source, ev.day, abs(ev.v - med.med) AS av, med.med
+  FROM ev JOIN med USING (source, day)
+), c2 AS (
+  SELECT source, day, av, count(*) AS cnt FROM dev GROUP BY 1, 2, 3
+), w2 AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY source, day ORDER BY av
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY source, day) AS n
+  FROM c2
+), mad AS (
+  SELECT source, day, min(CASE WHEN 2 * cum >= n THEN av END) AS mad
+  FROM w2 GROUP BY source, day
+)
+SELECT dev.source, dev.day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(dev.med) AS BIGINT) AS med_c,
+       CAST(max(mad.mad) AS BIGINT) AS mad_c,
+       CAST(sum(CASE WHEN dev.av > {MAD_SCALE} * mad.mad
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (source, day)
+GROUP BY dev.source, dev.day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7338,9 +7534,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_decay_topk — salted partial rank — in the head)
         # (q_zscore_outliers demoted r05: green r04; the anomaly family
         # keeps q_cusum_alarm, the stateful-detector rep, in the head)
-        "q_histogram_quantile": q_histogram_quantile,
+        # (q_histogram_quantile demoted r05d: green r04; the quantile
+        # family keeps q_logbucket_quantile and gains q_slo_ribbon —
+        # the same fixed-bucket histogram machinery per (source, day))
+        # r05d: exact integer p50/p95/max ribbon via the cumulative
+        # histogram (never driver-verified, promoted on arrival)
+        "q_slo_ribbon": q_slo_ribbon,
         "q_gapfill_linear": q_gapfill_linear,
-        "q_session_window": q_session_window,
+        # (q_session_window demoted r05d: green r04; the streaming
+        # family keeps q_stream_upsert_refresh + q_stream_attribution)
+        # r05d: MAD robust outlier census — two exact-quantile passes
+        # (never driver-verified, promoted on arrival)
+        "q_mad_outliers": q_mad_outliers,
         # (q_wav_decode demoted r05b: green r04; the multimodal family
         # keeps q_multimodal_decode — the other REAL byte-format
         # decoder over the same mapInPandas plumbing — in the head)
@@ -7535,6 +7740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zscore_outliers": q_zscore_outliers,
         "q_rolling_24h": q_rolling_24h,
         "q_kmv_distinct": q_kmv_distinct,
+        "q_histogram_quantile": q_histogram_quantile,
+        "q_session_window": q_session_window,
         "q_ohlc_bars": q_ohlc_bars,
         "q_wav_decode": q_wav_decode,
         "q_counter_rate": q_counter_rate,
@@ -7689,6 +7896,8 @@ FROM win
         "q_wav_decode": _WAV_DECODE,
         "q_gapfill_linear": _GAPFILL_LINEAR,
         "q_session_window": _SESSION_WINDOW,
+        "q_slo_ribbon": _SLO_RIBBON,
+        "q_mad_outliers": _MAD_OUTLIERS,
         "q_asof_nearest": _ASOF_NEAREST,
         "q_ohlc_bars": _OHLC_BARS,
         "q_cusum_alarm": _CUSUM_ALARM,
