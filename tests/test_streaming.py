@@ -481,3 +481,45 @@ def test_attribution_stream_multibatch_time_ordered(spark, tmp_path):
     # 2 (38m earlier, cross-batch) and 4 (5m, same batch); purchase 6
     # matches nothing (91m > 1h window)
     assert got == {(3, 1), (5, 2), (5, 4)}
+
+
+def test_alert_episode_stream_state_survives_batches(spark, tmp_path):
+    """An episode straddling two micro-batches must chain through
+    GroupState: hot hours [10,11] arrive in trigger 1, [12] in trigger
+    2 -> ONE episode (10..12).  A gap inside trigger 2 closes and
+    reopens; the sentinel closes the final open episode; a
+    below-threshold row closes immediately."""
+    from tinybrain_spark.streaming import run_alert_episode_stream
+
+    hot_dir = str(tmp_path / "hot")
+    schema = "source string, tb long, n long"
+
+    def phase(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            hot_dir, mode=mode
+        )
+
+    phase([("a", 10, 5), ("a", 11, 4), ("b", 10, 7)], "overwrite")
+    # trigger 2: 'a' extends through 12 then gaps to 20; 'b' hits a
+    # below-threshold hour (closes 10..10) then restarts at 15
+    phase([("a", 12, 6), ("a", 20, 4), ("b", 14, 0), ("b", 15, 9)],
+          "append")
+    # sentinel phase: below threshold, closes every open episode
+    phase([("a", 99, 0), ("b", 99, 0)], "append")
+
+    q = run_alert_episode_stream(
+        spark, hot_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        threshold=4, max_files_per_trigger=1,
+    )
+    _drain(q)
+    got = {
+        (r["source"], r["start_tb"], r["end_tb"], r["n_hours"],
+         r["peak_n"], r["total_n"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        ("a", 10, 12, 3, 6, 15),
+        ("a", 20, 20, 1, 4, 4),
+        ("b", 10, 10, 1, 7, 7),
+        ("b", 15, 15, 1, 9, 9),
+    }

@@ -7357,6 +7357,70 @@ FROM w GROUP BY source, day
 """
 
 
+def q_stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alert-episode tracker as a STATEFUL STREAM
+    (streaming.alert_episode_stream): hot hourly counts replay in three
+    time-ordered phases (episodes deliberately straddle the phase cuts,
+    so open-episode state must survive micro-batch boundaries) plus a
+    below-threshold sentinel per source that closes the last open
+    episode; the closed episodes landed exactly-once under the
+    streaming checkpoint must value-hash-equal the batch islands
+    oracle (_ALERT_EPISODES)."""
+    import shutil
+    import tempfile
+
+    from .streaming import run_alert_episode_stream
+
+    hot = (
+        _hourly_counts(spark, sf_dir)
+        .where(F.col("n") >= ALERT_HOT)
+        .select("source", "tb", "n")
+        .localCheckpoint()
+    )
+    lo, hi = hot.agg(F.min("tb"), F.max("tb")).first()
+    if lo is None:  # no hot hours at this scale: no episodes
+        return spark.createDataFrame(
+            [],
+            "source string, start_tb long, end_tb long, "
+            "n_hours long, peak_n long, total_n long",
+        )
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    sentinel = hot.select("source").distinct().select(
+        "source",
+        F.lit(hi + 2).cast("long").alias("tb"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    work = tempfile.mkdtemp(prefix="tb_alert_stream_")
+    try:
+        hot_dir = f"{work}/hot"
+        # phase files are ordered by modification time (the same
+        # FileStreamSource contract run_attribution_stream pins)
+        hot.where(F.col("tb") <= cut1).coalesce(1).write.parquet(hot_dir)
+        hot.where(
+            (F.col("tb") > cut1) & (F.col("tb") <= cut2)
+        ).coalesce(1).write.parquet(hot_dir, mode="append")
+        hot.where(F.col("tb") > cut2).coalesce(1).write.parquet(
+            hot_dir, mode="append"
+        )
+        sentinel.coalesce(1).write.parquet(hot_dir, mode="append")
+        q = run_alert_episode_stream(
+            spark, hot_dir, f"{work}/out", f"{work}/ckpt",
+            threshold=ALERT_HOT, max_files_per_trigger=1,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "alert episode stream did not drain within 600s — "
+                "refusing to return a partial episode set"
+            )
+        return spark.read.parquet(f"{work}/out").select(
+            "source", "start_tb", "end_tb", "n_hours", "peak_n",
+            "total_n",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 MAD_SCALE = 5  # alarm when |v - median| > MAD_SCALE * MAD
 
 
@@ -7525,7 +7589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_ohlc_bars demoted r05b: green r04; the bar/decimation
         # family keeps q_m4_decimate — the same argmin/argmax-encoded
         # bar machinery plus the 2^24 tie encoding — in the head)
-        "q_cusum_alarm": q_cusum_alarm,
+        # (q_cusum_alarm demoted r05e: green r04; the anomaly family
+        # keeps q_mad_outliers + q_alert_episodes in the head)
+        # r05e: the episode tracker as a stateful stream — open-episode
+        # GroupState across micro-batches, drained replay == batch
+        # islands (never driver-verified, promoted on arrival)
+        "q_stream_alert_episodes": q_stream_alert_episodes,
         # r05b: threshold-crossing episodes via day-bounded islands +
         # boundary-segment chain stitch (never driver-verified,
         # promoted on arrival)
@@ -7742,6 +7811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_distinct": q_kmv_distinct,
         "q_histogram_quantile": q_histogram_quantile,
         "q_session_window": q_session_window,
+        "q_cusum_alarm": q_cusum_alarm,
         "q_ohlc_bars": q_ohlc_bars,
         "q_wav_decode": q_wav_decode,
         "q_counter_rate": q_counter_rate,
@@ -7902,6 +7972,7 @@ FROM win
         "q_ohlc_bars": _OHLC_BARS,
         "q_cusum_alarm": _CUSUM_ALARM,
         "q_alert_episodes": _ALERT_EPISODES,
+        "q_stream_alert_episodes": _ALERT_EPISODES,
         "q_dod_compressibility": _DOD_COMPRESS,
         "q_topn_hours": _TOPN_HOURS,
         "q_zscore_outliers": _ZSCORE_OUTLIERS,

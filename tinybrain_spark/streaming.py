@@ -598,3 +598,122 @@ def run_attribution_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_HOT_STREAM_SCHEMA = "source string, tb long, n long"
+
+
+def alert_episode_stream(stream: DataFrame, threshold: int) -> DataFrame:
+    """Stateful threshold-episode tracker (the streaming analog of
+    q_alert_episodes): per source, chain consecutive hot hours
+    (n >= threshold) into open episodes held in GroupState across
+    micro-batches, and EMIT an episode the moment it closes — a gap in
+    the hour sequence, or any below-threshold hour, ends it.
+
+    Contract: each source's rows arrive in non-decreasing tb order
+    across triggers (file-phase ordering, like run_attribution_stream's
+    option (b)); within a trigger the operator sorts its batch.  A
+    drained stream ends with a below-threshold sentinel row per source
+    so the final open episode closes deterministically — production
+    would use an event-time timeout instead; the sentinel keeps the
+    drained replay bit-equal to the batch islands query.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("source", StringType(), False),
+            StructField("start_tb", LongType(), False),
+            StructField("end_tb", LongType(), False),
+            StructField("n_hours", LongType(), False),
+            StructField("peak_n", LongType(), False),
+            StructField("total_n", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s", LongType(), False),
+            StructField("e", LongType(), False),
+            StructField("h", LongType(), False),
+            StructField("p", LongType(), False),
+            StructField("t", LongType(), False),
+        ]
+    )
+
+    def _update(key, pdfs, state):
+        source = key[0]
+        open_ep = list(state.get) if state.exists else None
+        closed = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("tb", ignore_index=True)
+        for tb, n in zip(batch["tb"], batch["n"]):
+            tb, n = int(tb), int(n)
+            if n >= threshold:
+                if open_ep is not None and tb == open_ep[1] + 1:
+                    open_ep[1] = tb
+                    open_ep[2] += 1
+                    open_ep[3] = max(open_ep[3], n)
+                    open_ep[4] += n
+                else:
+                    if open_ep is not None:
+                        closed.append(open_ep)
+                    open_ep = [tb, tb, 1, n, n]
+            else:
+                if open_ep is not None:
+                    closed.append(open_ep)
+                    open_ep = None
+        if open_ep is not None:
+            state.update(tuple(open_ep))
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "source": [source] * len(closed),
+                    "start_tb": [c[0] for c in closed],
+                    "end_tb": [c[1] for c in closed],
+                    "n_hours": [c[2] for c in closed],
+                    "peak_n": [c[3] for c in closed],
+                    "total_n": [c[4] for c in closed],
+                }
+            )
+
+    return stream.groupBy("source").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_alert_episode_stream(
+    spark: SparkSession,
+    hot_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    threshold: int,
+    max_files_per_trigger: int | None = 1,
+):
+    """Drive alert_episode_stream over a directory of time-phased
+    (source, tb, n) parquet files, landing closed episodes exactly-once
+    in out_dir; availableNow drains and terminates."""
+    reader = spark.readStream.format("parquet").schema(_HOT_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    episodes = alert_episode_stream(reader.load(hot_dir), threshold)
+    return (
+        episodes.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
