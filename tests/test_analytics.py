@@ -797,3 +797,55 @@ def test_mad_outliers_robust_to_extremes(spark, tmp_path):
     assert (r["n"], r["med_c"], r["mad_c"], r["n_outliers"]) == (
         5, 1400, 200, 1,
     )
+
+
+def test_triangle_counts_hand_graph(spark, tmp_path):
+    """Stream order 1,2,3,1,3,4 (one stream, one day) builds edges
+    {1-2, 2-3, 1-3, 3-4} (the duplicate 1-3 dedupes, direction
+    normalizes): exactly one triangle (1,2,3); user 4 participates in
+    none and must not appear."""
+    rows = [(j * 10, u, "view", 1) for j, u in enumerate([1, 2, 3, 1, 3, 4])]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {(r["user_id"], r["n_triangles"])
+           for r in dc.q_triangle_counts(spark, d).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_triangle_counts_hub_kept_out_of_wedges(spark, tmp_path):
+    """A hub star (user 9 linked to 20 leaves, no leaf-leaf edges) has
+    zero triangles: the degree orientation points every edge INTO the
+    hub, so the hub contributes no wedges at all (the scale property);
+    adding one leaf-leaf edge creates exactly one triangle."""
+    # star: 9,1,9,2,9,3,... consecutive pairs give (9,k) edges
+    seq = []
+    for k in range(1, 21):
+        seq += [9, k]
+    rows = [(j * 10, u, "view", 1) for j, u in enumerate(seq)]
+    # leaf-leaf edges via the walk's tail: ...,9,20,1,2 adds (20,1)
+    # and (1,2) -> triangles (9,1,2) and (9,1,20)
+    n0 = len(rows)
+    rows += [(n0 * 10, 1, "view", 1), (n0 * 10 + 10, 2, "view", 1)]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {(r["user_id"], r["n_triangles"])
+           for r in dc.q_triangle_counts(spark, d).collect()}
+    assert got == {(9, 2), (1, 2), (2, 1), (20, 1)}
+
+
+def test_inverted_index_postings_capped_and_exact(spark, tmp_path):
+    """'a' appears in 10 docs (df 10, postings capped at 8), 'b' in 3
+    with varying tf, 'c' in 2 (below IDX_MIN_DF -> absent)."""
+    texts = []
+    for i in range(10):
+        t = "a"
+        if i < 3:
+            t += " b" * (i + 1)  # tf(b) = 1, 2, 3 in docs 0, 1, 2
+        if i in (4, 7):
+            t += " c"
+        texts.append(t)
+    d = _docs_dir(spark, tmp_path, texts)
+    got = {r["term"]: (r["df"], r["tf_total"], r["postings"])
+           for r in dc.q_inverted_index(spark, d).collect()}
+    assert got == {
+        "a": (10, 10, "0:1,1:1,2:1,3:1,4:1,5:1,6:1,7:1"),
+        "b": (3, 6, "0:1,1:2,2:3"),
+    }

@@ -473,3 +473,15 @@ def test_robust_stats_bounded_windows_broadcast_joins(spark):
     # join; every join is broadcast, nothing event-sized ever shuffles
     assert tree.count("BroadcastHashJoin") == 3, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_triangle_counts_checkpointed_no_cartesian(spark):
+    """The edge set and its orientation are checkpoint-pinned (zero
+    parquet scans survive into the enumeration plan) and the wedge/
+    closing joins are equi-joins — never a cartesian/nested-loop."""
+    df = dc.q_triangle_counts(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert_no_unpartitioned_windows(df)

@@ -7421,6 +7421,232 @@ def q_stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+IDX_POSTING_CAP = 8  # posting list keeps the first K docs by doc_id
+IDX_MIN_DF = 3  # index only terms appearing in >= this many docs
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index: for every term with document frequency
+    >= IDX_MIN_DF, the exact df, the total term frequency, and a
+    posting string of the first IDX_POSTING_CAP docs by doc_id as
+    'doc:tf,doc:tf,...' — the retrieval-serving structure a corpus
+    pipeline materializes next to the token tables.
+
+    Scale shape: per-doc term frequencies compute IN-ROW (explode only
+    the DISTINCT terms, tf = size(filter(ws, == term)) against the
+    retained word array — one exploded row per (doc, distinct term),
+    the smallest exchange that can carry tf, and never a
+    (doc_id, word) pre-aggregation shuffle of the full word stream);
+    ONE map-side-combinable groupBy(term) then builds df/tf totals and
+    the capped posting in the same aggregate:
+    array_sort(collect_list(struct)) + slice keeps only K entries per
+    term in the output row, and the min-df filter prunes the hapax
+    tail before it is ever emitted.  Deterministic: postings order by
+    doc_id, ties impossible (doc_id unique)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        F.explode(F.array_distinct("ws")).alias("term"),
+    ).select(
+        "doc_id",
+        "term",
+        F.size(
+            F.filter("ws", lambda x: x == F.col("term"))
+        ).cast("long").alias("tf"),
+    )
+    agg = per_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+            1,
+            IDX_POSTING_CAP,
+        ).alias("post"),
+    )
+    return agg.where(F.col("df") >= IDX_MIN_DF).select(
+        "term",
+        "df",
+        "tf_total",
+        F.array_join(
+            F.transform(
+                "post",
+                lambda s: F.concat_ws(
+                    ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+_INVERTED_INDEX = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split_regex(trim(text), ' +')) AS term
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, term
+), agg AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS tf_total,
+         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+           FILTER (WHERE rn <= {IDX_POSTING_CAP}) AS postings
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM per_doc
+  ) GROUP BY term
+)
+SELECT term, df, tf_total, postings FROM agg WHERE df >= {IDX_MIN_DF}
+"""
+
+
+TRI_ID_BITS = 24  # rank encoding deg*2^24 + id: ids must stay < 2^24
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle participation over the follows-in-stream
+    interaction graph (q_pagerank's linear edge construction,
+    undirected + deduped) — the clustering-coefficient numerator, the
+    standard cohesion signal on behavioral graphs.
+
+    Scale shape is the degree-ordered orientation (Schank–Wagner /
+    Cohen MapReduce): every undirected edge points from its
+    lower-(degree, id) endpoint to the higher, so each triangle is
+    enumerated EXACTLY once as two out-edges of its lowest-ranked
+    vertex plus one closing edge, and a vertex's out-degree is
+    O(sqrt(E)) — the wedge join can't quadratically fan out on a hub
+    the way the naive a<b<c id-ordering can (a celebrity node with
+    10^6 followers contributes zero wedges if its rank is high, not
+    C(10^6, 2)).  Ranks encode as deg * 2^24 + id (one BIGINT compare,
+    same on both engines) with a loud domain guard; edges checkpoint
+    once; the enumeration is two self-equi-joins + an explode and a
+    map-side-combinable count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stream"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "user_id",
+    ).withColumn("day", F.expr(f"us DIV {DAY_US}"))
+    w = Window.partitionBy("stream", "day").orderBy("us", "event_id")
+    raw = (
+        ev.withColumn("src", F.lag("user_id").over(w))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("user_id")))
+        .select(
+            F.least("src", "user_id").cast("long").alias("x"),
+            F.greatest("src", "user_id").cast("long").alias("y"),
+        )
+    )
+    bound = 1 << TRI_ID_BITS
+    guard = F.when(
+        F.col("y") < bound, F.col("y")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q_triangle_counts: user ids must stay below "
+                f"2^{TRI_ID_BITS} for the rank encoding"
+            )
+        ).cast("long")
+    )
+    sym = raw.select("x", guard.alias("y")).distinct().localCheckpoint()
+    deg = (
+        sym.select(F.col("x").alias("u"))
+        .unionAll(sym.select(F.col("y").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("d"))
+        .select("u", (F.col("d") * bound + F.col("u")).alias("rk"))
+    )
+    oriented = (
+        sym.join(deg.select(F.col("u").alias("x"), F.col("rk").alias("rkx")), "x")
+        .join(deg.select(F.col("u").alias("y"), F.col("rk").alias("rky")), "y")
+        .select(
+            F.when(F.col("rkx") < F.col("rky"), F.col("x"))
+            .otherwise(F.col("y"))
+            .alias("lo"),
+            F.when(F.col("rkx") < F.col("rky"), F.col("rky"))
+            .otherwise(F.col("rkx"))
+            .alias("hi_rk"),
+            F.when(F.col("rkx") < F.col("rky"), F.col("y"))
+            .otherwise(F.col("x"))
+            .alias("hi"),
+        )
+        .localCheckpoint()
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("a"),
+        F.col("hi").alias("b"),
+        F.col("hi_rk").alias("rk_b"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("a"),
+        F.col("hi").alias("c"),
+        F.col("hi_rk").alias("rk_c"),
+    )
+    wedges = e1.join(e2, "a").where(F.col("rk_b") < F.col("rk_c"))
+    closing = oriented.select(
+        F.col("lo").alias("b"), F.col("hi").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return (
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("user_id")
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+_TRIANGLE_COUNTS = f"""
+WITH ev AS (
+  SELECT event_type AS stream,
+         epoch_us(ts) AS us,
+         event_id, user_id,
+         epoch_us(ts) // {DAY_US} AS day
+  FROM events
+), lagged AS (
+  SELECT user_id,
+         lag(user_id) OVER (PARTITION BY stream, day
+                            ORDER BY us, event_id) AS src
+  FROM ev
+), sym AS (
+  SELECT DISTINCT
+         CAST(least(src, user_id) AS BIGINT) AS x,
+         CAST(greatest(src, user_id) AS BIGINT) AS y
+  FROM lagged WHERE src IS NOT NULL AND src <> user_id
+), deg AS (
+  SELECT u, count(*) * {1 << TRI_ID_BITS} + u AS rk FROM (
+    SELECT x AS u FROM sym UNION ALL SELECT y AS u FROM sym
+  ) GROUP BY u
+), oriented AS (
+  SELECT CASE WHEN dx.rk < dy.rk THEN sym.x ELSE sym.y END AS lo,
+         CASE WHEN dx.rk < dy.rk THEN sym.y ELSE sym.x END AS hi,
+         CASE WHEN dx.rk < dy.rk THEN dy.rk ELSE dx.rk END AS hi_rk
+  FROM sym
+  JOIN deg dx ON dx.u = sym.x
+  JOIN deg dy ON dy.u = sym.y
+), tris AS (
+  SELECT e1.a, e1.b, e2.c FROM
+    (SELECT lo AS a, hi AS b, hi_rk AS rk_b FROM oriented) e1
+    JOIN (SELECT lo AS a, hi AS c, hi_rk AS rk_c FROM oriented) e2
+      ON e1.a = e2.a AND e1.rk_b < e2.rk_c
+    JOIN (SELECT lo AS b, hi AS c FROM oriented) e3
+      ON e3.b = e1.b AND e3.c = e2.c
+), members AS (
+  SELECT a AS user_id FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY user_id
+"""
+
+
 MAD_SCALE = 5  # alarm when |v - median| > MAD_SCALE * MAD
 
 
@@ -7643,7 +7869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix max (never driver-verified, promoted on arrival)
         "q_late_arrival": q_late_arrival,
         # r04: bucket-expanded range-overlap join (never a nested loop)
-        "q_interval_join": q_interval_join,
+        # (q_interval_join demoted r05e: green r04; the join family
+        # keeps q_asof_nearest — both directions' scan machinery)
+        # r05e: degree-ordered triangle enumeration on the interaction
+        # graph (never driver-verified, promoted on arrival)
+        "q_triangle_counts": q_triangle_counts,
         # (q_sessionize demoted r04b: green r02/r03, q_session_window
         # above is the same semantics as a native operator;
         # q_user_set_ops demoted r04b: INTERSECT/EXCEPT green r03 +
@@ -7771,7 +8001,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_hash_split demoted r04f: green r03; the md5-content-hash
         # machinery keeps q_bloom_decontaminate + q_dup_spans in the
         # head, and the split's zero-shuffle plan stays session-checked)
-        "q_tokenize_vocab": q_tokenize_vocab,
+        # (q_tokenize_vocab demoted r05e: green r04; the vocabulary
+        # family keeps q_vocab_coverage + q_heavy_hitters_mg)
+        # r05e: capped inverted index — in-row tf, one groupBy(term)
+        # (never driver-verified, promoted on arrival)
+        "q_inverted_index": q_inverted_index,
         # r05b: first-occurrence vocabulary growth curve over
         # ranking.global_rank doc order (never driver-verified,
         # promoted on arrival)
@@ -7812,6 +8046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram_quantile": q_histogram_quantile,
         "q_session_window": q_session_window,
         "q_cusum_alarm": q_cusum_alarm,
+        "q_interval_join": q_interval_join,
+        "q_tokenize_vocab": q_tokenize_vocab,
         "q_ohlc_bars": q_ohlc_bars,
         "q_wav_decode": q_wav_decode,
         "q_counter_rate": q_counter_rate,
@@ -7986,6 +8222,7 @@ FROM win
         "q_interarrival": _INTERARRIVAL,
         "q_decay_topk": _DECAY_TOPK,
         "q_pagerank": _pagerank_sql(),
+        "q_triangle_counts": _TRIANGLE_COUNTS,
         "q_markov_transitions": _MARKOV_TRANSITIONS,
         "q_dup_islands": _DUP_ISLANDS,
         "q_rfm_segments": _RFM_SEGMENTS,
@@ -8046,6 +8283,7 @@ FROM win
         "q_tfidf_terms": _TFIDF_TERMS,
         "q_hash_split": _HASH_SPLIT,
         "q_tokenize_vocab": _TOKENIZE_VOCAB,
+        "q_inverted_index": _INVERTED_INDEX,
         "q_source_drift": _SOURCE_DRIFT,
         "q_vocab_coverage": _VOCAB_COVERAGE,
         "q_quality_filter": _QUALITY_FILTER,
