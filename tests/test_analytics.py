@@ -849,3 +849,25 @@ def test_inverted_index_postings_capped_and_exact(spark, tmp_path):
         "a": (10, 10, "0:1,1:1,2:1,3:1,4:1,5:1,6:1,7:1"),
         "b": (3, 6, "0:1,1:2,2:3"),
     }
+
+
+def test_state_durations_clip_at_midnight(spark, tmp_path):
+    """One user: 'view' at 23:00 day 0, 'click' at 01:00 day 1, last
+    event at 02:00 day 1.  The view interval (2h) must split 1h/1h
+    across the midnight; the click interval (1h) lands whole on day 1;
+    the final event opens no interval."""
+    day = 86400
+    rows = [
+        (23 * 3600, 1, "view", 1),
+        (day + 1 * 3600, 1, "click", 1),
+        (day + 2 * 3600, 1, "error", 1),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    got = {(r["state"], r["day"]): (r["n_intervals"], r["total_us"])
+           for r in dc.q_state_durations(spark, d).collect()}
+    us = 1_000_000
+    assert got == {
+        ("view", DAY0): (1, 3600 * us),
+        ("view", DAY0 + 1): (1, 3600 * us),
+        ("click", DAY0 + 1): (1, 3600 * us),
+    }

@@ -7421,6 +7421,105 @@ def q_stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+STATE_SPAN_MAX_DAYS = 64  # one state interval may cross at most this
+
+
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-in-state rollup (the state_agg/uptime hyperfunction):
+    each user's event stream is a state machine — an event puts the
+    user in state event_type until their next event — and the operator
+    reports, per (state, day), how many intervals touched the day and
+    the total microseconds spent in it (intervals clip exactly at
+    midnight, so a 3-day idle in 'view' lands on three days).
+
+    Scale shape: ONE lead() window per user (the engine's documented
+    per-user history bound, as in q_sessionize); the midnight split is
+    an in-row sequence-explode bounded by a LOUD guard (an interval
+    crossing > STATE_SPAN_MAX_DAYS days raises rather than fanning
+    out unboundedly); one map-side-combinable groupBy(state, day)
+    folds the pieces.  All integer microseconds; the per-group sum
+    stays < 2^63 up to ~10^5 user-years per (state, day) cell —
+    beyond that emit seconds (documented budget, as q_late_arrival)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_type").alias("state"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    iv = ev.withColumn("nxt", F.lead("us").over(w)).where(
+        F.col("nxt").isNotNull() & (F.col("nxt") > F.col("us"))
+    )
+    d0 = F.expr(f"us DIV {DAY_US}")
+    d1 = F.expr(f"(nxt - 1) DIV {DAY_US}")
+    iv = iv.withColumn("d0", d0).withColumn("d1", d1).select(
+        "state",
+        "us",
+        "nxt",
+        "d0",
+        F.when(
+            F.col("d1") - F.col("d0") <= STATE_SPAN_MAX_DAYS, F.col("d1")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "q_state_durations: a state interval crosses more "
+                    f"than {STATE_SPAN_MAX_DAYS} days — split upstream"
+                )
+            ).cast("long")
+        ).alias("d1"),
+    )
+    pieces = iv.select(
+        "state",
+        "us",
+        "nxt",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    ).select(
+        "state",
+        "day",
+        (
+            F.least(F.col("nxt"), (F.col("day") + 1) * DAY_US)
+            - F.greatest(F.col("us"), F.col("day") * DAY_US)
+        ).alias("span_us"),
+    )
+    return pieces.groupBy("state", "day").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("span_us").cast("long").alias("total_us"),
+    )
+
+
+_STATE_DURATIONS = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(event_id AS BIGINT) AS event_id,
+         epoch_us(ts) AS us,
+         event_type AS state
+  FROM events
+), iv AS (
+  SELECT state, us,
+         lead(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) AS nxt
+  FROM ev
+), bounded AS (
+  SELECT state, us, nxt,
+         us // {DAY_US} AS d0, (nxt - 1) // {DAY_US} AS d1
+  FROM iv WHERE nxt IS NOT NULL AND nxt > us
+), pieces AS (
+  SELECT state, day,
+         least(nxt, (day + 1) * {DAY_US})
+           - greatest(us, day * {DAY_US}) AS span_us
+  FROM bounded
+  CROSS JOIN (SELECT unnest(generate_series(0,
+      (SELECT coalesce(max(d1 - d0), 0) FROM bounded))) AS k) g
+  CROSS JOIN LATERAL (SELECT d0 + k AS day) dd
+  WHERE d0 + k <= d1
+)
+SELECT state, CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(span_us) AS BIGINT) AS total_us
+FROM pieces GROUP BY state, day
+"""
+
+
 IDX_POSTING_CAP = 8  # posting list keeps the first K docs by doc_id
 IDX_MIN_DF = 3  # index only terms appearing in >= this many docs
 
@@ -7920,7 +8019,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-verified, promoted on arrival)
         "q_rfm_segments": q_rfm_segments,
         # r04d: classical additive decomposition (trend/seasonal/resid)
-        "q_seasonal_decompose": q_seasonal_decompose,
+        # (q_seasonal_decompose demoted r05f: green r04; the
+        # timeseries-decomposition family keeps q_sax_paa + q_acf_lags)
+        # r05f: duration-in-state rollup with midnight clipping (never
+        # driver-verified, promoted on arrival)
+        "q_state_durations": q_state_durations,
         # r04d: KMV sketch — set-operation overlap (the superset: the
         # distinct estimate is its first stage)
         # (q_kmv_distinct demoted r05: green r04; the KMV family keeps
@@ -8048,6 +8151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cusum_alarm": q_cusum_alarm,
         "q_interval_join": q_interval_join,
         "q_tokenize_vocab": q_tokenize_vocab,
+        "q_seasonal_decompose": q_seasonal_decompose,
         "q_ohlc_bars": q_ohlc_bars,
         "q_wav_decode": q_wav_decode,
         "q_counter_rate": q_counter_rate,
@@ -8223,6 +8327,7 @@ FROM win
         "q_decay_topk": _DECAY_TOPK,
         "q_pagerank": _pagerank_sql(),
         "q_triangle_counts": _TRIANGLE_COUNTS,
+        "q_state_durations": _STATE_DURATIONS,
         "q_markov_transitions": _MARKOV_TRANSITIONS,
         "q_dup_islands": _DUP_ISLANDS,
         "q_rfm_segments": _RFM_SEGMENTS,
