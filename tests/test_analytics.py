@@ -871,3 +871,24 @@ def test_state_durations_clip_at_midnight(spark, tmp_path):
         ("view", DAY0 + 1): (1, 3600 * us),
         ("click", DAY0 + 1): (1, 3600 * us),
     }
+
+
+def test_slo_weekly_merges_day_histograms(spark, tmp_path):
+    """Values spread across two days of the same week must quantile as
+    ONE merged weekly population; a second week stays separate.
+    DAY0 = 19723 -> week 2817 covers days 19719..19725, so day offsets
+    0..2 are week 2817 and offsets 3+ land in week 2818."""
+    day = 86400
+    rows = (
+        [(j, 1, "a", float(10 * (j + 1))) for j in range(5)]       # day 0
+        + [(day + j, 1, "a", float(10 * (j + 6))) for j in range(5)]  # day 1
+        + [(3 * day + j, 1, "a", 7.0) for j in range(4)]           # next wk
+    )
+    d = _events_dir(spark, tmp_path, rows)
+    got = {r["week"]: (r["n"], r["p50_c"], r["p95_c"], r["max_c"])
+           for r in dc.q_slo_weekly(spark, d).collect()}
+    # merged week: values 10..100 cents*100 -> p50 = 5th smallest 5000
+    assert got == {
+        2817: (10, 5000, 10000, 10000),
+        2818: (4, 700, 700, 700),
+    }

@@ -7605,6 +7605,62 @@ SELECT term, df, tf_total, postings FROM agg WHERE df >= {IDX_MIN_DF}
 """
 
 
+def q_slo_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly SLO ribbon by MERGING the stored per-day value histograms
+    (never re-scanning raw at the coarser grain): exact-quantile
+    histograms are sum-mergeable, so the weekly p50/p95/max comes from
+    one groupBy over day-histogram rows — the cagg-hierarchy story
+    (maintain the finest sketch, serve every coarser granularity from
+    it) applied to quantiles, where mean-based rollups can't compose.
+    Bit-identical to computing the week directly from raw, which is
+    what the oracle does."""
+    hist_day = _day_value_hist(_day_value_cents(spark, sf_dir))
+    hist_week = (
+        hist_day.groupBy(
+            F.col("source"),
+            F.expr("day DIV 7").alias("day"),  # week key, helper reuse
+            F.col("v"),
+        )
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    q = _exact_day_quantiles(hist_week)
+    return q.select(
+        "source",
+        F.col("day").alias("week"),
+        "n",
+        "p50_c",
+        "p95_c",
+        "max_c",
+    )
+
+
+_SLO_WEEKLY = """
+WITH ev AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT)
+           // 24 // 7 AS week,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+), c AS (
+  SELECT source, week, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2, 3
+), w AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY source, week ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY source, week) AS n
+  FROM c
+)
+SELECT source, week,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN 2 * cum >= n THEN v END) AS BIGINT) AS p50_c,
+       CAST(min(CASE WHEN 20 * cum >= 19 * n THEN v END) AS BIGINT)
+         AS p95_c,
+       CAST(max(v) AS BIGINT) AS max_c
+FROM w GROUP BY source, week
+"""
+
+
 TRI_ID_BITS = 24  # rank encoding deg*2^24 + id: ids must stay < 2^24
 
 
@@ -7984,7 +8040,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_unique_docs_anti demoted r04d: green r02/r03; set-op
         # family fully proven across rounds)
         # r04b additions promoted on arrival (never driver-verified)
-        "q_wow_delta": q_wow_delta,
+        # (q_wow_delta demoted r05f: green r04; the window-compare
+        # family keeps q_rolling_distinct + q_slo_ribbon)
+        # r05f: weekly quantiles by merging stored day histograms
+        # (never driver-verified, promoted on arrival)
+        "q_slo_weekly": q_slo_weekly,
         # (q_cms_heavy demoted r05c: green r04; the heavy-hitter family
         # gains q_heavy_hitters_mg — the exact two-pass complement to
         # the CMS one-pass sketch — and keeps q_logbucket_quantile)
@@ -8152,6 +8212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_join": q_interval_join,
         "q_tokenize_vocab": q_tokenize_vocab,
         "q_seasonal_decompose": q_seasonal_decompose,
+        "q_wow_delta": q_wow_delta,
         "q_ohlc_bars": q_ohlc_bars,
         "q_wav_decode": q_wav_decode,
         "q_counter_rate": q_counter_rate,
@@ -8328,6 +8389,7 @@ FROM win
         "q_pagerank": _pagerank_sql(),
         "q_triangle_counts": _TRIANGLE_COUNTS,
         "q_state_durations": _STATE_DURATIONS,
+        "q_slo_weekly": _SLO_WEEKLY,
         "q_markov_transitions": _MARKOV_TRANSITIONS,
         "q_dup_islands": _DUP_ISLANDS,
         "q_rfm_segments": _RFM_SEGMENTS,
