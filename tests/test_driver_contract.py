@@ -43,6 +43,24 @@ def test_registry_consistent():
     assert len(qs) >= 25
 
 
+def test_registry_has_no_shadowed_entries():
+    """A dict literal silently keeps only the LAST duplicate key — a
+    rotation edit that leaves a query name in both the head and the
+    tail would drop the head entry without any error (nearly happened
+    twice in r05).  Pin the textual key count to the dict size."""
+    import inspect
+    import re
+
+    from tinybrain_spark import driver_contract as dc
+
+    src = inspect.getsource(dc.queries)
+    names = re.findall(r'^\s+"(q_\w+)"\s*:', src, re.M)
+    assert len(names) == len(set(names)), sorted(
+        n for n in set(names) if names.count(n) > 1
+    )
+    assert len(names) == len(dc.queries())
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_query_matches_oracle(spark, name):
     con = _duck_con(SF_DIR)
