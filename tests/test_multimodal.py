@@ -114,3 +114,22 @@ def test_decode_images_spark_pipeline_golden(spark):
         assert out[did]["n_pix"] == w * h
         assert out[did]["pix_sum"] == int(b.sum())
         assert out[did]["r_sum"] == int(b[0::3].sum())
+
+
+def test_parse_pgm_known_bytes_and_magic_guard():
+    """3x2 grayscale with bytes 0..5: row-major reshape puts 0 and 4 on
+    the diagonal; P4 (bitmap) raises like any unsupported codec."""
+    import numpy as np
+    import pytest
+
+    from tinybrain_spark.multimodal import parse_pgm
+
+    payload = b"P5\n# comment\n3 2\n255\n" + bytes(range(6))
+    w, h, pix = parse_pgm(payload)
+    assert (w, h) == (3, 2)
+    assert pix.shape == (2, 3)
+    assert int(np.diagonal(pix).sum()) == 0 + 4
+    with pytest.raises(NotImplementedError):
+        parse_pgm(b"P4\n3 2\n255\n" + bytes(6))
+    with pytest.raises(ValueError):
+        parse_pgm(b"P5\n3 2\n255\n" + bytes(3))  # truncated body

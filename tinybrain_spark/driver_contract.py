@@ -7421,6 +7421,50 @@ def q_stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_multimodal_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL grayscale decode end to end: deterministic PGM P5 payloads
+    (ASCII header with a comment + raw 8-bit body, every byte a pure
+    function of (doc_id, position)) through Arrow batches, parsed back
+    by the real netpbm reader (multimodal.parse_pgm), emitting header
+    dimensions, total pixel sum, and the MAIN-DIAGONAL sum — the
+    diagonal is wrong under any reshape/stride mistake, which a
+    byte-count statistic can't see.  The oracle recomputes every
+    decoded byte arithmetically.  Completes the binary-netpbm family
+    next to q_multimodal_decode's 3-channel P6."""
+    from .multimodal import decode_grayscale, synth_pgm_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return decode_grayscale(synth_pgm_payloads(docs))
+
+
+_MULTIMODAL_GRAY = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 11 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 5 + 4 AS BIGINT) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS i
+  FROM d
+), sums AS (
+  SELECT doc_id, w, h,
+         CAST(sum((doc_id * 37 + i) % 241) AS BIGINT) AS pix_sum
+  FROM px GROUP BY doc_id, w, h
+), diag AS (
+  SELECT doc_id,
+         CAST(sum((doc_id * 37 + k * w + k) % 241) AS BIGINT) AS diag_sum
+  FROM d CROSS JOIN (SELECT unnest(range(0, 15)) AS k) g
+  WHERE k < least(w, h)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.w AS width, s.h AS height,
+       CAST(s.w * s.h AS BIGINT) AS n_pix, s.pix_sum, diag.diag_sum
+FROM sums s JOIN diag USING (doc_id)
+"""
+
+
 STATE_SPAN_MAX_DAYS = 64  # one state interval may cross at most this
 
 
@@ -8074,7 +8118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04f: behavioral transition matrix + maximal duplicated spans
         # (never driver-verified, promoted on arrival)
         "q_markov_transitions": q_markov_transitions,
-        "q_dup_islands": q_dup_islands,
+        # (q_dup_islands demoted r05f: green r04; the substring-dup
+        # family keeps q_dup_spans — the fingerprinted window stage
+        # the islands merge composes on)
+        # r05f: real PGM P5 grayscale decode (never driver-verified,
+        # promoted on arrival)
+        "q_multimodal_gray": q_multimodal_gray,
         # r04f: RFM segmentation over ranking.global_rank (never
         # driver-verified, promoted on arrival)
         "q_rfm_segments": q_rfm_segments,
@@ -8213,6 +8262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenize_vocab": q_tokenize_vocab,
         "q_seasonal_decompose": q_seasonal_decompose,
         "q_wow_delta": q_wow_delta,
+        "q_dup_islands": q_dup_islands,
         "q_ohlc_bars": q_ohlc_bars,
         "q_wav_decode": q_wav_decode,
         "q_counter_rate": q_counter_rate,
@@ -8390,6 +8440,7 @@ FROM win
         "q_triangle_counts": _TRIANGLE_COUNTS,
         "q_state_durations": _STATE_DURATIONS,
         "q_slo_weekly": _SLO_WEEKLY,
+        "q_multimodal_gray": _MULTIMODAL_GRAY,
         "q_markov_transitions": _MARKOV_TRANSITIONS,
         "q_dup_islands": _DUP_ISLANDS,
         "q_rfm_segments": _RFM_SEGMENTS,

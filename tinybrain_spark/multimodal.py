@@ -30,19 +30,18 @@ META_SCHEMA = StructType(
 )
 
 
-def parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Parse a binary PPM (netpbm ``P6``) image: returns
-    ``(width, height, pixels)`` with ``pixels`` shaped (h, w, 3) uint8.
-
-    Real format handling: the ASCII header is ``P6``, then
-    whitespace-separated width, height, maxval, each optionally
-    preceded by ``#`` comment lines, then a single whitespace byte and
-    ``w*h*3`` raw bytes.  Only maxval <= 255 (1 byte/sample) is
-    supported — 16-bit PPMs raise NotImplementedError like any other
-    unsupported codec."""
-    if payload[:2] != b"P6":
+def _parse_netpbm_raw(
+    payload: bytes, magic: bytes, channels: int, kind: str
+) -> tuple[int, int, np.ndarray]:
+    """Shared binary-netpbm reader: ASCII header ``magic``, then
+    whitespace-separated width, height, maxval (each optionally
+    preceded by ``#`` comment lines), one whitespace byte, then
+    ``w*h*channels`` raw bytes.  Only maxval <= 255 (1 byte/sample) is
+    supported — 16-bit variants raise NotImplementedError like any
+    other unsupported codec."""
+    if payload[:2] != magic:
         raise NotImplementedError(
-            f"unsupported image magic {payload[:2]!r} (only P6 PPM)"
+            f"unsupported image magic {payload[:2]!r} (only {kind})"
         )
     pos = 2
     fields: list[int] = []
@@ -61,13 +60,31 @@ def parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos = end
     w, h, maxval = fields
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
+        raise NotImplementedError(f"16-bit {kind} not supported")
     pos += 1  # the single whitespace after maxval
-    n = w * h * 3
+    n = w * h * channels
     raw = payload[pos : pos + n]
     if len(raw) != n:
-        raise ValueError(f"truncated PPM: need {n} bytes, got {len(raw)}")
-    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        raise ValueError(
+            f"truncated {kind}: need {n} bytes, got {len(raw)}"
+        )
+    shape = (h, w, channels) if channels > 1 else (h, w)
+    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(shape)
+
+
+def parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PPM (netpbm ``P6``) image: returns
+    ``(width, height, pixels)`` with ``pixels`` shaped (h, w, 3)
+    uint8."""
+    return _parse_netpbm_raw(payload, b"P6", 3, "P6 PPM")
+
+
+def parse_pgm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PGM (netpbm ``P5``) grayscale image: returns
+    ``(width, height, pixels)`` with ``pixels`` shaped (h, w) uint8 —
+    the single-channel sibling of :func:`parse_ppm`, same header
+    grammar."""
+    return _parse_netpbm_raw(payload, b"P5", 1, "P5 PGM")
 
 
 def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -355,3 +372,72 @@ def extract_features(
             )
 
     return df.mapInPandas(_feat, schema)
+
+
+GRAY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_pix", LongType(), False),
+        StructField("pix_sum", LongType(), False),
+        StructField("diag_sum", LongType(), False),
+    ]
+)
+
+
+def synth_pgm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic PGM P5 payloads per doc (datagen side of
+    the grayscale decode oracle): width = id%11+4, height = id%5+4,
+    pixel byte i = (id*37 + i) % 241 — every byte a pure function of
+    (id, i), same contract as synth_ppm_payloads."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col].astype("int64"):
+                did = int(did)
+                w, h = did % 11 + 4, did % 5 + 4
+                body = (
+                    (did * 37 + np.arange(w * h, dtype=np.int64)) % 241
+                ).astype(np.uint8)
+                header = f"P5\n# synthetic {did}\n{w} {h}\n255\n".encode()
+                payloads.append(header + body.tobytes())
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return df.select(id_col).mapInPandas(_synth, schema)
+
+
+def decode_grayscale(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL grayscale decode through the Spark plumbing: parse each PGM
+    payload and emit integer pixel statistics — dimensions from the
+    header, total pixel sum, and the MAIN-DIAGONAL sum (pix[k, k] for
+    k < min(w, h)), which is wrong under any reshape/stride mistake a
+    byte-count statistic would miss."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "n_pix", "pix_sum",
+                    "diag_sum")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, pix = parse_pgm(bytes(payload))
+                k = min(w, h)
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pix"].append(w * h)
+                out["pix_sum"].append(int(pix.sum(dtype=np.int64)))
+                out["diag_sum"].append(
+                    int(np.diagonal(pix)[:k].sum(dtype=np.int64))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, GRAY_SCHEMA)
