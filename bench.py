@@ -98,6 +98,60 @@ def _fault_in_mbps(mb: int = 64, samples: int = 3) -> float:
     return round(rates[len(rates) // 2], 1)
 
 
+def _thp_fault_worker(nbytes: int, q) -> None:
+    """Child process: madvise(MADV_HUGEPAGE) a fresh mmap and touch
+    every 4K offset (the kernel faults 2 MB at a time); report MB/s."""
+    import ctypes
+    import ctypes.util
+    import mmap
+
+    libc = ctypes.CDLL(ctypes.util.find_library("c"), use_errno=True)
+    m = mmap.mmap(-1, nbytes)
+    addr = ctypes.addressof(ctypes.c_char.from_buffer(m))
+    libc.madvise(ctypes.c_void_p(addr), ctypes.c_size_t(nbytes), 14)
+    t0 = time.time()
+    for off in range(0, nbytes, 4096):
+        m[off] = 1
+    q.put(nbytes / (1 << 20) / (time.time() - t0))
+
+
+def _fault_in_thp_mbps(mb_per_proc: int = 128, nproc: int = 4,
+                       rounds: int = 2) -> float:
+    """Aggregate madvise-THP first-touch throughput (MB/s), the fault
+    path the engine's allocators actually ride (session.py THP
+    hardening: JVM -XX:+UseTransparentHugePages, glibc hugetlb=1,
+    jemalloc thp:always).
+
+    Measured r05g: this VM's host services 4 KB faults at 5-130 MB/s
+    for hours while 2 MB faults in the SAME minutes run 0.2-3.5 GB/s —
+    so the 4K probe alone (``_fault_in_mbps``) is no longer predictive
+    of workload health.  Parallel (nproc=4) because the 32-core
+    workload faults concurrently and the host's fault path scales with
+    parallelism (BENCH/NOTES.md r05g table).
+
+    Conservative: returns the MIN aggregate over ``rounds`` — round 2
+    may recycle round 1's just-freed (already host-backed) pages and
+    read fast on a sick host (the r04f blind spot), so the fresh first
+    round bounds the verdict from below."""
+    import multiprocessing as mp
+
+    aggs = []
+    for _ in range(rounds):
+        q = mp.Queue()
+        ps = [
+            mp.Process(target=_thp_fault_worker,
+                       args=(mb_per_proc << 20, q))
+            for _ in range(nproc)
+        ]
+        t0 = time.time()
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        aggs.append(nproc * mb_per_proc / (time.time() - t0))
+    return round(min(aggs), 1)
+
+
 def _cpu_calib_kips(seconds: float = 1.0, samples: int = 2) -> float:
     """Single-core CPU speed calibration: iterations/sec (in thousands)
     of a fixed cache-resident elementwise numpy loop.  The sandbox VM's
@@ -139,8 +193,17 @@ HEALTH_SLEEP_S = float(os.environ.get("SPARK_GRAFT_HEALTH_SLEEP", "60"))
 
 def is_healthy(load_1m: float, mbps: float,
                max_load: float = HEALTH_MAX_LOAD,
-               min_mbps: float = HEALTH_MIN_MBPS) -> bool:
-    return load_1m <= max_load and mbps >= min_mbps
+               min_mbps: float = HEALTH_MIN_MBPS,
+               thp_mbps: float | None = None) -> bool:
+    """Healthy = load under the bar AND at least one fault path (4K or
+    madvise-THP) at full speed.  The THP path is the one the engine's
+    allocators use (session.py hardening), so a window where only 4K
+    faults are sick is a valid measurement window — both probes are
+    still recorded in the artifact for transparency."""
+    fault_ok = mbps >= min_mbps or (
+        thp_mbps is not None and thp_mbps >= min_mbps
+    )
+    return load_1m <= max_load and fault_ok
 
 
 def check_health(
@@ -151,23 +214,32 @@ def check_health(
     probe=_fault_in_mbps,
     load_fn=_load_1m,
     sleep_fn=time.sleep,
+    thp_probe=_fault_in_thp_mbps,
 ) -> tuple[bool, dict]:
     """Gate a measurement on VM health, with bounded retries.
 
-    Samples (1-min load average, fault-in probe); if either fails the
-    bar, sleeps and retries up to ``retries`` times (bounded: at most
+    Samples (1-min load average, 4K fault-in probe, THP fault-in
+    probe); a window passes when load is under the bar and EITHER
+    fault path is at speed (``is_healthy``).  On failure sleeps and
+    retries up to ``retries`` times (bounded: at most
     ``retries * sleep_s`` seconds of waiting).  Returns
     ``(healthy, record)`` where ``record`` carries every sample taken,
     so the emitted JSON shows the full health history, not just the
-    final verdict.  Injectable probe/load/sleep for unit tests."""
+    final verdict.  Injectable probes/load/sleep for unit tests."""
     history: list[dict] = []
     healthy = False
     for attempt in range(retries + 1):
         load1, mbps = load_fn(), probe()
-        history.append(
-            {"load_1m": round(load1, 2), "fault_in_mbps": round(mbps, 1)}
-        )
-        if is_healthy(load1, mbps, max_load, min_mbps):
+        # only pay for the (heavier) THP probe when the cheap 4K probe
+        # alone would fail the window
+        thp = None
+        if load1 <= max_load and mbps < min_mbps:
+            thp = thp_probe()
+        entry = {"load_1m": round(load1, 2), "fault_in_mbps": round(mbps, 1)}
+        if thp is not None:
+            entry["thp_fault_in_mbps"] = round(thp, 1)
+        history.append(entry)
+        if is_healthy(load1, mbps, max_load, min_mbps, thp_mbps=thp):
             healthy = True
             break
         if attempt < retries:
@@ -181,17 +253,22 @@ def check_health(
 
 
 def invalid_reasons(pre_healthy: bool, post_mbps: float,
-                    min_mbps: float = HEALTH_MIN_MBPS) -> list[str]:
+                    min_mbps: float = HEALTH_MIN_MBPS,
+                    post_thp_mbps: float | None = None) -> list[str]:
     """Why a recorded run must carry ``"invalid": true`` (empty = valid).
 
-    Pre-run: load or probe never reached the bar within the retry
-    budget.  Post-run: the probe re-run AFTER the measurements is sick,
-    i.e. pollution arrived mid-run (load after the run is self-inflated
-    by our own executors, so only the probe is re-checked)."""
+    Pre-run: load or probes never reached the bar within the retry
+    budget.  Post-run: the probes re-run AFTER the measurements are
+    BOTH sick (4K and THP), i.e. pollution arrived mid-run (load after
+    the run is self-inflated by our own executors, so only the fault
+    probes are re-checked)."""
     reasons = []
     if not pre_healthy:
         reasons.append("prerun_unhealthy")
-    if post_mbps < min_mbps:
+    post_ok = post_mbps >= min_mbps or (
+        post_thp_mbps is not None and post_thp_mbps >= min_mbps
+    )
+    if not post_ok:
         reasons.append("postrun_probe_sick")
     return reasons
 
@@ -277,7 +354,9 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     post_mbps = _fault_in_mbps()
-    reasons = invalid_reasons(pre_healthy, post_mbps)
+    post_thp = _fault_in_thp_mbps() if post_mbps < HEALTH_MIN_MBPS else None
+    reasons = invalid_reasons(pre_healthy, post_mbps,
+                              post_thp_mbps=post_thp)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -290,6 +369,7 @@ def main() -> int:
         "points_per_sec": round(points_per_sec, 1),
         "vm_health": health,
         "vm_fault_in_mbps_post": post_mbps,
+        "vm_thp_fault_in_mbps_post": post_thp,
         # single-core speed calibration: divide wall times by
         # (this_round_kips / other_round_kips) before comparing rounds
         "vm_cpu_calib_kips": _cpu_calib_kips(),

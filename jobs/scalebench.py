@@ -95,7 +95,13 @@ def main() -> int:
     ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
     args = ap.parse_args()
 
-    from bench import check_health, invalid_reasons, _fault_in_mbps
+    from bench import (
+        HEALTH_MIN_MBPS,
+        _fault_in_mbps,
+        _fault_in_thp_mbps,
+        check_health,
+        invalid_reasons,
+    )
 
     pre_healthy, health = check_health()
     if not pre_healthy:
@@ -133,7 +139,9 @@ def main() -> int:
     efficiency = (pps_hi / pps_lo) / (hi / lo)
 
     post_mbps = _fault_in_mbps()
-    reasons = invalid_reasons(pre_healthy, post_mbps)
+    post_thp = _fault_in_thp_mbps() if post_mbps < HEALTH_MIN_MBPS else None
+    reasons = invalid_reasons(pre_healthy, post_mbps,
+                              post_thp_mbps=post_thp)
 
     summary = {
         "metric": "scaling_efficiency",
@@ -151,6 +159,7 @@ def main() -> int:
         },
         "health": health,
         "postrun_fault_in_mbps": round(post_mbps, 1),
+        "postrun_thp_fault_in_mbps": post_thp,
     }
     if reasons:
         summary["invalid"] = True

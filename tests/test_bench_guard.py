@@ -14,6 +14,12 @@ import bench
 
 def test_healthy_first_try_no_sleep():
     sleeps: list[float] = []
+    thp_calls: list[int] = []
+
+    def thp_probe():
+        thp_calls.append(1)
+        return 2000.0
+
     ok, rec = bench.check_health(
         max_load=1.5,
         min_mbps=1000,
@@ -22,11 +28,14 @@ def test_healthy_first_try_no_sleep():
         probe=lambda: 2000.0,
         load_fn=lambda: 0.2,
         sleep_fn=sleeps.append,
+        thp_probe=thp_probe,
     )
     assert ok
     assert rec["attempts"] == 1
     assert sleeps == []
     assert rec["history"][0] == {"load_1m": 0.2, "fault_in_mbps": 2000.0}
+    # the heavier THP probe is skipped when the 4K probe already passes
+    assert thp_calls == []
 
 
 def test_recovers_after_retries():
@@ -40,6 +49,7 @@ def test_recovers_after_retries():
         probe=lambda: next(probes),
         load_fn=lambda: 0.1,
         sleep_fn=sleeps.append,
+        thp_probe=lambda: 7.0,  # THP path sick too: 4K recovery decides
     )
     assert ok
     assert rec["attempts"] == 3
@@ -55,6 +65,7 @@ def test_load_alone_fails_the_bar():
         probe=lambda: 5000.0,
         load_fn=lambda: 2.4,  # the r03 pollution signature
         sleep_fn=lambda _s: None,
+        thp_probe=lambda: 5000.0,  # load gates regardless of fault paths
     )
     assert not ok
     assert rec["attempts"] == 3  # initial + 2 retries, then gives up
@@ -70,11 +81,37 @@ def test_never_healthy_is_bounded():
         probe=lambda: 7.4,  # lazily-backed guest memory
         load_fn=lambda: 0.2,
         sleep_fn=sleeps.append,
+        thp_probe=lambda: 220.0,  # THP faults also below the bar
     )
     assert not ok
     assert rec["attempts"] == 5
     assert sleeps == [10] * 4  # never unbounded waiting
     assert all(h["fault_in_mbps"] == 7.4 for h in rec["history"])
+    assert all(h["thp_fault_in_mbps"] == 220.0 for h in rec["history"])
+
+
+def test_thp_window_passes_when_4k_sick():
+    """The r05g case: 4K faults sick for hours while madvise-THP (the
+    engine's actual allocation path after the session.py hardening)
+    runs at GB/s.  The window is valid; BOTH probes land in history."""
+    sleeps: list[float] = []
+    ok, rec = bench.check_health(
+        max_load=1.5,
+        min_mbps=1000,
+        retries=3,
+        sleep_s=60,
+        probe=lambda: 11.7,  # the 2026-08-18 sick reading
+        load_fn=lambda: 0.5,
+        sleep_fn=sleeps.append,
+        thp_probe=lambda: 2993.0,  # parallel THP probe, same minute
+    )
+    assert ok
+    assert sleeps == []
+    assert rec["history"][0] == {
+        "load_1m": 0.5,
+        "fault_in_mbps": 11.7,
+        "thp_fault_in_mbps": 2993.0,
+    }
 
 
 def test_invalid_reasons_matrix():
@@ -89,12 +126,26 @@ def test_invalid_reasons_matrix():
         "prerun_unhealthy",
         "postrun_probe_sick",
     ]
+    # a healthy post-run THP probe clears the postrun verdict
+    assert bench.invalid_reasons(
+        True, 7.4, min_mbps=1000, post_thp_mbps=2400.0
+    ) == []
+    assert bench.invalid_reasons(
+        True, 7.4, min_mbps=1000, post_thp_mbps=300.0
+    ) == ["postrun_probe_sick"]
 
 
 def test_is_healthy_edges():
     assert bench.is_healthy(1.5, 1000.0, max_load=1.5, min_mbps=1000)
     assert not bench.is_healthy(1.51, 5000.0, max_load=1.5, min_mbps=1000)
     assert not bench.is_healthy(0.0, 999.9, max_load=1.5, min_mbps=1000)
+    # either fault path at speed qualifies; load still gates
+    assert bench.is_healthy(0.5, 11.7, max_load=1.5, min_mbps=1000,
+                            thp_mbps=1500.0)
+    assert not bench.is_healthy(0.5, 11.7, max_load=1.5, min_mbps=1000,
+                                thp_mbps=999.0)
+    assert not bench.is_healthy(2.0, 11.7, max_load=1.5, min_mbps=1000,
+                                thp_mbps=5000.0)
 
 
 def test_fault_probe_median_of_fresh_touches(monkeypatch):

@@ -16,6 +16,41 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Transparent-huge-page hardening (SPARK_GRAFT_THP=0 to disable).
+#
+# Production rationale: big-heap JVMs and Arrow-batched python workers
+# fault in GBs of anonymous memory; madvise-THP cuts first-touch page
+# faults 512x (2 MB vs 4 KB granularity) and TLB pressure thereafter —
+# standard tuning for exactly this engine shape on any cluster.
+#
+# Sandbox rationale (measured, BENCH/NOTES.md r05g): this VM's host
+# services 4 KB first-touch faults at 5-130 MB/s for hours at a time
+# while 2 MB (madvised) faults run 0.2-3.5 GB/s in the SAME windows —
+# THP allocation makes the engine's wall times insensitive to the
+# host's 4K-fault pathology instead of 2-5x hostage to it.
+THP_ENABLED = os.environ.get("SPARK_GRAFT_THP", "1") != "0"
+_JVM_THP_FLAG = "-XX:+UseTransparentHugePages"
+
+
+def _thp_env_defaults() -> None:
+    """Export allocator THP knobs BEFORE the JVM starts (the JVM and the
+    pyspark.daemon it spawns inherit this environment; the already-
+    running driver python is unaffected — only child processes).
+
+    - glibc malloc (numpy/pandas buffers in every python worker):
+      ``glibc.malloc.hugetlb=1`` madvises MADV_HUGEPAGE on the mmaps
+      backing large allocations (glibc >= 2.35).
+    - Arrow's bundled jemalloc (pyarrow IPC buffers): ``thp:always``
+      madvises arena chunks; decay -1 retains purged pages at the
+      high-water mark (bounded by the Arrow batch working set) so
+      steady-state batches re-fault nothing.
+    """
+    os.environ.setdefault("GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
+    os.environ.setdefault(
+        "JE_ARROW_MALLOC_CONF",
+        "thp:always,dirty_decay_ms:-1,muzzy_decay_ms:-1",
+    )
+
 # tokens arrays are ~256 int32 ≈ 1 KB/row plus an int64 accumulator
 # column (~2 KB); 4096 rows/batch ≈ 12 MB per Arrow batch per core —
 # bounded python-worker memory even at 10^12-row scale (SURVEY.md §4).
@@ -53,6 +88,16 @@ def get_spark(
     # the Python side, and >8g heaps trigger GC/huge-page stalls in this
     # sandbox (measured: 24g heap degrades a 1s scan to 18s)
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g")
+
+    extra_conf = dict(extra_conf or {})
+    if THP_ENABLED:
+        _thp_env_defaults()
+        user_jvm = extra_conf.get("spark.driver.extraJavaOptions", "")
+        if _JVM_THP_FLAG not in user_jvm:
+            extra_conf["spark.driver.extraJavaOptions"] = (
+                f"{user_jvm} {_JVM_THP_FLAG}".strip()
+            )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -81,7 +126,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    for key, val in (extra_conf or {}).items():
+    for key, val in extra_conf.items():
         builder = builder.config(key, val)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,7 +11,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-from bench import _fault_in_mbps  # noqa: E402
+from bench import _fault_in_mbps, _fault_in_thp_mbps  # noqa: E402
 
 FLAG = "/tmp/tb_bench_running.flag"
 OUT = "/root/repo/BENCH/healthy_r05"
@@ -44,8 +44,11 @@ while True:
         break
     load = os.getloadavg()[0]
     mbps = _fault_in_mbps()
-    note(f"probe mbps={mbps:.1f} load={load:.2f}")
-    if mbps >= 1000 and load <= 1.4:
+    # THP probe (the engine's actual fault path after the session.py
+    # hardening) only when the cheap 4K probe fails — see bench.py r05g
+    thp = _fault_in_thp_mbps() if (mbps < 1000 and load <= 1.4) else None
+    note(f"probe mbps={mbps:.1f} thp={thp} load={load:.2f}")
+    if (mbps >= 1000 or (thp or 0) >= 1000) and load <= 1.4:
         note("HEALTHY window - firing measurements")
         with open(FLAG, "w") as f:
             f.write("bench running\n")
