@@ -2951,12 +2951,21 @@ def _dup_window_tables(docs: DataFrame):
     map-side-combinable groupBy).
 
     The fingerprint is the md5-derived 56-bit BIGINT every other hash
-    family here uses (``_word_hash_expr``) computed IN-ROW on the
-    window text, so the corpus-dominant groupBy + semi-join shuffle
-    8-byte longs instead of ~50-80-byte strings (~8x less shuffle
-    volume at 100 TB).  The DuckDB oracles hash with the identical
-    md5 recipe, so even the (astronomically rare) 56-bit collision
-    behaves the same on both engines."""
+    family here uses (``_word_hash_expr``), so the corpus-dominant
+    groupBy + semi-join shuffle 8-byte longs instead of ~50-80-byte
+    strings (~8x less shuffle volume at 100 TB).  The DuckDB oracles
+    hash with the identical md5 recipe, so even the (astronomically
+    rare) 56-bit collision behaves the same on both engines.
+
+    CRITICAL: the hash is applied AFTER the positional explode, in a
+    flat projection — never inside the ``F.transform`` lambda.
+    Spark's Md5 expression goes through MessageDigest.getInstance per
+    call in the interpreted higher-order-function path; 32 threads
+    contending on the JDK provider lookup made the in-lambda variant
+    ~1000x slower (103 s for 24k windows at sf0.001 vs 4.8 s for the
+    identical plan hashing post-explode — BENCH/NOTES.md r05h).  The
+    projection runs in the SAME stage as the explode, so nothing
+    wider than (doc_id, pos, f8) ever reaches an exchange."""
     k = DUP_SPAN_K
     w = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2968,22 +2977,27 @@ def _dup_window_tables(docs: DataFrame):
             F.size("ws") >= k,
             F.transform(
                 F.sequence(F.lit(0), F.size("ws") - k),
-                lambda i: _word_hash_expr(
-                    F.concat_ws(
-                        " ",
-                        *[F.element_at("ws", i + j + 1) for j in range(k)],
-                    )
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("ws", i + j + 1) for j in range(k)],
                 ),
             ),
         )
-        .otherwise(F.array().cast("array<long>"))
+        .otherwise(F.array().cast("array<string>"))
         .alias("wins"),
     )
-    pos = wins.select("doc_id", F.posexplode("wins").alias("pos", "f8"))
+    pos = wins.select(
+        "doc_id", F.posexplode("wins").alias("pos", "wtext")
+    ).select("doc_id", "pos", _word_hash_expr(F.col("wtext")).alias("f8"))
+    # in-row text dedup (the simhash lesson: no global .distinct()
+    # exchange), then hash in the flat projection after the explode;
+    # (doc, text)-distinct == (doc, f8)-distinct modulo 56-bit md5
+    # collisions, which the oracle mirrors by deduping text too
     flagged = (
         wins.select(
-            "doc_id", F.explode(F.array_distinct("wins")).alias("f8")
+            "doc_id", F.explode(F.array_distinct("wins")).alias("wtext")
         )
+        .select(_word_hash_expr(F.col("wtext")).alias("f8"))
         .groupBy("f8")
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
@@ -3026,13 +3040,15 @@ WITH w AS (
   FROM documents
 ), pos AS (
   SELECT doc_id, i - 1 AS pos,
-         CAST(('0x' || substr(md5(
-           {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))}
-         ), 1, 14)) AS BIGINT) AS f8
+         {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))} AS wtext,
+         CAST(('0x' || substr(md5(wtext), 1, 14)) AS BIGINT) AS f8
   FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - {DUP_SPAN_K - 1}
 ), flagged AS (
-  SELECT f8 FROM (SELECT DISTINCT doc_id, f8 FROM pos)
+  -- dedup on TEXT then hash: mirrors the Spark side's in-row
+  -- array_distinct-before-hash exactly, even under md5 collisions
+  SELECT CAST(('0x' || substr(md5(wtext), 1, 14)) AS BIGINT) AS f8
+  FROM (SELECT DISTINCT doc_id, wtext FROM pos)
   GROUP BY f8 HAVING count(*) >= 2
 ), hit AS (
   SELECT doc_id, pos FROM pos WHERE f8 IN (SELECT f8 FROM flagged)
@@ -5575,13 +5591,15 @@ WITH w AS (
   FROM documents
 ), pos AS (
   SELECT doc_id, i,
-         CAST(('0x' || substr(md5(
-           {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))}
-         ), 1, 14)) AS BIGINT) AS f8
+         {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))} AS wtext,
+         CAST(('0x' || substr(md5(wtext), 1, 14)) AS BIGINT) AS f8
   FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - {DUP_SPAN_K - 1}
 ), flagged AS (
-  SELECT f8 FROM (SELECT DISTINCT doc_id, f8 FROM pos)
+  -- dedup on TEXT then hash: mirrors the Spark side's in-row
+  -- array_distinct-before-hash exactly, even under md5 collisions
+  SELECT CAST(('0x' || substr(md5(wtext), 1, 14)) AS BIGINT) AS f8
+  FROM (SELECT DISTINCT doc_id, wtext FROM pos)
   GROUP BY f8 HAVING count(*) >= 2
 ), nd AS (
   SELECT doc_id, count(*) AS n_dup
