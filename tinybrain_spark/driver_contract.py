@@ -7967,6 +7967,352 @@ GROUP BY dev.source, dev.day
 """
 
 
+def q_haar_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversible integer Haar (S-transform) tier pyramid over the token
+    sequences: three lifting levels of s = (a+b) DIV 2, d = a-b per
+    pair, emitting the per-user detail-energy census (sum |d| per level)
+    plus the coarsest approximation mass — the planning operator that
+    tells the tier encoder how much signal each pyramid level holds
+    BEFORE materializing it (the wavelet analog of the reference's
+    averaging pyramid, tinybrain downsample.py:101's 2x reduce chain,
+    but exactly invertible: a = s + ((d+1) >> 1), b = a - d).
+
+    Everything is in-row array arithmetic (transform/aggregate over the
+    already-collected sequence arrays) — ZERO additional exchanges
+    beyond token_table's one groupBy; sequence lengths are multiples of
+    16 by construction so all three levels pair cleanly.  Plain-integer
+    lambdas only (the r05h md5-in-HOF rule does not apply).  Inversion
+    is pinned bit-exact in tests/test_r05f_ops.py."""
+    def _s(col):  # lifting approximations: (a + b) DIV 2 per pair
+        return F.expr(
+            f"transform(sequence(1, size({col}) DIV 2), i -> "
+            f"(element_at({col}, int(2*i-1)) + element_at({col}, int(2*i)))"
+            " DIV 2)"
+        )
+
+    def _d(col):  # lifting details: a - b per pair
+        return F.expr(
+            f"transform(sequence(1, size({col}) DIV 2), i -> "
+            f"element_at({col}, int(2*i-1)) - element_at({col}, int(2*i)))"
+        )
+
+    tt = token_table(spark, sf_dir).where(F.size("tokens") >= TRUNC)
+    lv1 = tt.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        _s("tokens").alias("s1"),
+        _d("tokens").alias("d1"),
+    )
+    lv2 = lv1.withColumns({"s2": _s("s1"), "d2": _d("s1")})
+    lv3 = lv2.withColumns({"s3": _s("s2"), "d3": _d("s2")})
+    absum = "aggregate({0}, 0L, (a, x) -> a + abs(x))"
+    return lv3.select(
+        "user_id",
+        "n_tokens",
+        F.expr(absum.format("d1")).cast("long").alias("d1_abs"),
+        F.expr(absum.format("d2")).cast("long").alias("d2_abs"),
+        F.expr(absum.format("d3")).cast("long").alias("d3_abs"),
+        F.expr("aggregate(s3, 0L, (a, x) -> a + x)")
+        .cast("long")
+        .alias("s3_sum"),
+    )
+
+
+_HAAR_PYRAMID = SEQ_CTE + """
+, arr AS (
+  SELECT user_id, list(tok ORDER BY pos) AS t FROM seq GROUP BY user_id
+), l1 AS (
+  SELECT user_id, len(t) AS n,
+         [ (t[2*i-1] + t[2*i]) // 2
+           for i in generate_series(1, len(t)//2) ] AS s1,
+         [ t[2*i-1] - t[2*i]
+           for i in generate_series(1, len(t)//2) ] AS d1
+  FROM arr WHERE len(t) >= 16
+), l2 AS (
+  SELECT user_id, n, d1,
+         [ (s1[2*i-1] + s1[2*i]) // 2
+           for i in generate_series(1, len(s1)//2) ] AS s2,
+         [ s1[2*i-1] - s1[2*i]
+           for i in generate_series(1, len(s1)//2) ] AS d2
+  FROM l1
+), l3 AS (
+  SELECT user_id, n, d1, d2,
+         [ (s2[2*i-1] + s2[2*i]) // 2
+           for i in generate_series(1, len(s2)//2) ] AS s3,
+         [ s2[2*i-1] - s2[2*i]
+           for i in generate_series(1, len(s2)//2) ] AS d3
+  FROM l2
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(list_sum([abs(x) for x in d1]) AS BIGINT) AS d1_abs,
+       CAST(list_sum([abs(x) for x in d2]) AS BIGINT) AS d2_abs,
+       CAST(list_sum([abs(x) for x in d3]) AS BIGINT) AS d3_abs,
+       CAST(list_sum(s3) AS BIGINT) AS s3_sum
+FROM l3
+"""
+
+
+_Z_BITS = 8  # 256x256 grid; z-key is 2*_Z_BITS = 16 bits
+_Z_BLOCK = 64  # 64 consecutive z-keys == one aligned 8x8 spatial square
+
+
+def _zkey_sql(x: str, y: str) -> str:
+    """Bit-interleave expression (Morton/z-order): bit b of x lands at
+    position 2b, bit b of y at 2b+1.  Pure integer DIV/%/multiply so
+    Spark and DuckDB fold it identically (no dialect-specific shift
+    operators)."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"(({x} DIV {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(({y} DIV {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def q_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) locality bucketing for 2-D tile serving: map
+    each cell's (x, y) to the interleaved-bit z-key and group into
+    aligned 64-key blocks.  Every block is an 8x8 spatial
+    square, so co-locating tiles by z-block turns 2-D neighborhood
+    reads into single-partition scans — the standard layout for
+    chunked volume stores at 100 TB (one shuffle on an 8-byte key;
+    block extents in the output ARE the locality proof: max-min <= 7
+    on both axes).
+
+    The same derivation the dense-tile queries use (event_id -> grid),
+    one map-side-combinable groupBy, scan pruned to event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("event_id % 256").cast("long").alias("x"),
+        F.expr("(event_id DIV 256) % 256").cast("long").alias("y"),
+        _tok_expr().cast("long").alias("v"),
+    )
+    keyed = base.select(
+        "x", "y", "v", F.expr(_zkey_sql("x", "y")).cast("long").alias("zk")
+    )
+    return (
+        keyed.groupBy(F.expr(f"zk DIV {_Z_BLOCK}").cast("long").alias("zblock"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("v_sum"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+    )
+
+
+_ZORDER_TILES = f"""
+WITH cells AS (
+  SELECT event_id % 256 AS x,
+         (event_id // 256) % 256 AS y,
+         ((event_id % 65521) * 31 + 7) % 256 AS v
+  FROM events
+), keyed AS (
+  SELECT x, y, v, {_zkey_sql("x", "y").replace(" DIV ", " // ")} AS zk
+  FROM cells
+)
+SELECT CAST(zk // {_Z_BLOCK} AS BIGINT) AS zblock,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS v_sum,
+       CAST(min(x) AS BIGINT) AS x_min,
+       CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min,
+       CAST(max(y) AS BIGINT) AS y_max
+FROM keyed GROUP BY zk // {_Z_BLOCK}
+"""
+
+
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-rarity quality scoring: per document, how much of its
+    text is made of corpus-rare word bigrams — the integer-exact proxy
+    for LM surprisal that data-quality pipelines use to separate
+    fluent text from keyword mash (rare-bigram density; cf. CCNet-style
+    LM filtering, re-expressed without a float LM).  Each bigram
+    occurrence scores 64 - bitlen(corpus_count) — bitlen computed
+    EXACTLY as length(bin(n)) on both engines, so no float log2 ever
+    enters the oracle hash — and a hapax census counts bigrams seen
+    nowhere else in the corpus.
+
+    Scale shape: bigrams are built in-row (transform over the split
+    array, short-doc guard BEFORE F.sequence per the CLAUDE.md rule),
+    hashed to 8-byte fingerprints AFTER the positional explode (the
+    r05h md5-in-lambda rule), so the count groupBy and the count join
+    both shuffle only (doc_id, b8) longs.  No window, no pair join;
+    the join is key-partitioned on the same b8 the counts were built
+    on, so AQE reuses the partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    bi = words.select(
+        "doc_id",
+        F.when(
+            F.size("ws") >= 2,
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), i -> "
+                "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bis"),
+    )
+    occ = bi.select("doc_id", F.explode("bis").alias("btext")).select(
+        "doc_id", _word_hash_expr(F.col("btext")).alias("b8")
+    )
+    counts = occ.groupBy("b8").agg(F.count("*").cast("long").alias("cn"))
+    return (
+        occ.join(counts, "b8")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.lit(64) - F.length(F.bin(F.col("cn"))))
+            .cast("long")
+            .alias("rarity_bits"),
+            F.sum(F.when(F.col("cn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+        )
+    )
+
+
+_BIGRAM_RARITY = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 14))
+              AS BIGINT) AS b8
+  FROM w CROSS JOIN (
+    SELECT unnest(generate_series(1,
+      (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
+  WHERE i <= len(ws) - 1
+), c AS (
+  SELECT b8, CAST(count(*) AS BIGINT) AS cn FROM occ GROUP BY b8
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(64 - length(bin(cn))) AS BIGINT) AS rarity_bits,
+       CAST(sum(CASE WHEN cn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+FROM occ JOIN c USING (b8)
+GROUP BY doc_id
+"""
+
+
+TOKEN_BUDGET_PERMILLE = 500  # the mixing budget: half the corpus tokens
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling across sources — the data-mixing
+    planner: given a training budget B (permille of total corpus
+    tokens), fund every source up to a common cap c chosen so that
+    sum(min(tokens_s, c)) <= B with the smallest sources fully funded
+    first (the classic max-min fair allocation).
+
+    Scale shape: one map-side-combinable groupBy(source) compresses
+    the corpus to ONE row per source, then the entire waterfill runs
+    IN-ROW on the collected source array (sort_array + prefix-sum via
+    aggregate + feasibility filter) — zero windows, zero extra
+    exchanges, bounded by source cardinality exactly like
+    q_source_overlap's in-row C(s,2).  Feasibility uses the
+    multiplication form toks_k * (n-k+1) <= B - prefix_{k-1} (no
+    division), keeping every intermediate < 2^63 for corpora to ~1e12
+    tokens per source x 1e6 sources.  The per-source emit is a
+    posexplode of the same row."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " +")))
+        .cast("long")
+        .alias("toks")
+    )
+    packed = per_src.agg(
+        F.sort_array(F.collect_list(F.struct("toks", "source"))).alias("arr")
+    )
+    staged = (
+        packed.withColumn("n", F.expr("size(arr)"))
+        .withColumn(
+            "total", F.expr("aggregate(arr, 0L, (a, x) -> a + x.toks)")
+        )
+        .withColumn(
+            "b", F.expr(f"(total * {TOKEN_BUDGET_PERMILLE}) DIV 1000")
+        )
+        # pre[k] = sum of the (k-1) smallest, i.e. prefix EXCLUSIVE of
+        # rank k; built as a growing array (O(n^2) array copies, fine:
+        # n = source cardinality, not rows)
+        .withColumn(
+            "pre",
+            F.expr(
+                "aggregate(arr, array(0L), (acc, x) -> "
+                "concat(acc, array(element_at(acc, -1) + x.toks)))"
+            ),
+        )
+        .withColumn(
+            "kstar",
+            F.expr(
+                "coalesce(array_max(filter(sequence(1, n), k -> "
+                "element_at(arr, k).toks * (n - k + 1) "
+                "<= b - element_at(pre, k))), 0)"
+            ),
+        )
+        .withColumn(
+            "cap",
+            F.expr(
+                "CASE WHEN kstar < n THEN "
+                "(b - element_at(pre, kstar + 1)) DIV (n - kstar) END"
+            ),
+        )
+    )
+    return staged.select(
+        F.posexplode("arr").alias("idx", "s"), "kstar", "cap"
+    ).select(
+        F.col("s.source").alias("source"),
+        F.col("s.toks").cast("long").alias("toks"),
+        F.when(F.col("idx") + 1 <= F.col("kstar"), F.col("s.toks"))
+        .otherwise(F.col("cap"))
+        .cast("long")
+        .alias("alloc"),
+        F.when(F.col("idx") + 1 <= F.col("kstar"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("funded"),
+    )
+
+
+_TOKEN_BUDGET_FILL = f"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+           AS toks
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, toks,
+         row_number() OVER (ORDER BY toks, source) AS k,
+         count(*) OVER () AS n,
+         coalesce(sum(toks) OVER (ORDER BY toks, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+         (SELECT (sum(toks) * {TOKEN_BUDGET_PERMILLE}) // 1000 FROM s) AS b
+  FROM s
+), ks AS (
+  SELECT coalesce(max(CASE WHEN toks * (n - k + 1) <= b - pre
+                      THEN k END), 0) AS kstar
+  FROM p
+), x AS (
+  SELECT p.*, ks.kstar FROM p, ks
+)
+SELECT source, toks,
+       CAST(CASE WHEN k <= kstar THEN toks
+            ELSE (b - (SELECT coalesce(max(pre), 0) FROM x x2
+                       WHERE x2.k = x.kstar + 1)) // (n - kstar)
+       END AS BIGINT) AS alloc,
+       CAST(CASE WHEN k <= kstar THEN 1 ELSE 0 END AS BIGINT) AS funded
+FROM x
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8005,6 +8351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04d: serving route-and-extend behind the oracle for the
         # first time (tier-1 pyramid served at w^2 == the t2 oracle)
         "q_serve_resolution": q_serve_resolution,
+        # r05f: Morton-order locality bucketing for the 2-D tile store
+        # (never driver-verified, promoted on arrival)
+        "q_zorder_tiles": q_zorder_tiles,
         # (q_stride_rollup_t1, q_tile_avg_2d demoted r04: stride/tile
         # families fully proven — every member >=2 green rounds;
         # q_avg_rollup_w3 demoted r04b: generic-factor variant green
@@ -8072,6 +8421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # footprint planner for the tier encoder (never driver-verified,
         # promoted on arrival)
         "q_dod_compressibility": q_dod_compressibility,
+        # r05f: reversible integer Haar (S-transform) pyramid — the
+        # wavelet detail-energy planner for the tier encoder (never
+        # driver-verified, promoted on arrival)
+        "q_haar_pyramid": q_haar_pyramid,
         # (q_rolling_24h demoted r05: green r04; the rolling-window
         # family keeps q_rolling_distinct + q_histogram_quantile +
         # q_counter_rate — all RANGE-frame consumers — in the head)
@@ -8197,7 +8550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_minhash_verified_pairs demoted r04e: green r02/r03; the
         # near-dup family keeps star clusters — which consume the same
         # sign+band+verify machinery — plus bloom + decontaminate here)
-        "q_dedup_clusters_star": q_dedup_clusters_star,
+        # (q_dedup_clusters_star demoted r05f: green r03+r04; the
+        # near-dup family keeps q_bloom_decontaminate + q_dup_spans in
+        # the head, and the star-CC scale stress stays in pytest)
         # (q_ngram_jaccard demoted r04d: green r02/r03, capped-self-join
         # plan stays pinned; near-dup family keeps minhash verified
         # pairs + star clusters + the bloom pre-filter in the head)
@@ -8217,7 +8572,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_pack_sequences demoted r04f: green r03; the packing family
         # keeps q_pack_tokens — the materialized superset composing the
         # same pack_offsets prefix-sum — in the head)
-        "q_pack_tokens": q_pack_tokens,
+        # (q_pack_tokens demoted r05f: green r03+r04; the prefix-sum
+        # machinery keeps q_late_arrival in the head and the packing
+        # plan pins stand in test_plans.py)
+        # r05f: max-min fair token-budget waterfill across sources —
+        # the data-mixing planner, fully in-row after one groupBy
+        # (never driver-verified, promoted on arrival)
+        "q_token_budget_fill": q_token_budget_fill,
         # (q_tfidf_terms demoted r04e: green r03; the text-analysis
         # family keeps quality_filter + repetition + top_tokens +
         # tokenize_vocab in the head, and the n_docs plan pin stands)
@@ -8240,13 +8601,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranking.global_rank doc order (never driver-verified,
         # promoted on arrival)
         "q_vocab_coverage": q_vocab_coverage,
-        "q_quality_filter": q_quality_filter,
+        # (q_quality_filter demoted r05f: green r03+r04; the quality
+        # family — score/repetition/gate — is fully proven, and the
+        # head gains q_bigram_rarity, the corpus-statistics scorer)
+        # r05f: bigram-rarity scoring via exact bit-length — the
+        # integer LM-surprisal proxy (never driver-verified, promoted
+        # on arrival)
+        "q_bigram_rarity": q_bigram_rarity,
         # (q_ann_topk demoted r04: same exact-cosine semantics as
         # q_ann_topk_blocked — the GEMM-blocked scale path stays;
         # q_embed_stats demoted r04: embedding family keeps 4 reps here)
         # (q_ann_topk_blocked demoted r04d: green r01/r03; ANN family
         # keeps IVF + bucketed-NN in the head)
-        "q_ann_topk_ivf": q_ann_topk_ivf,
+        # (q_ann_topk_ivf demoted r05f: green r03+r04 — every ANN
+        # family member now has >=2 green driver rounds, so the whole
+        # family rotates to the tail per rule 2)
         # (q_ann_nn_bucketed demoted r04e: green r02/r03; the ANN
         # family keeps the IVF scale path above in the head)
         # (q_multimodal_meta demoted r04: binary-plumbing family keeps
@@ -8269,6 +8638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # head representative — rule 1 of the rotation policy) ---------
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
+        "q_dedup_clusters_star": q_dedup_clusters_star,
+        "q_pack_tokens": q_pack_tokens,
+        "q_quality_filter": q_quality_filter,
+        "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_topn_hours": q_topn_hours,
         "q_zscore_outliers": q_zscore_outliers,
         "q_rolling_24h": q_rolling_24h,
@@ -8468,6 +8841,10 @@ FROM win
         "q_logbucket_quantile": _LOGBUCKET_QUANTILE,
         "q_sax_motifs": _sax_motifs_sql(),
         "q_weighted_sample": _WEIGHTED_SAMPLE,
+        "q_haar_pyramid": _HAAR_PYRAMID,
+        "q_zorder_tiles": _ZORDER_TILES,
+        "q_bigram_rarity": _BIGRAM_RARITY,
+        "q_token_budget_fill": _TOKEN_BUDGET_FILL,
         "q_histogram_quantile": _HISTOGRAM_QUANTILE,
         "q_rolling_24h": _ROLLING_24H,
         "q_sessionize": _SESSIONIZE,
