@@ -241,12 +241,18 @@ def test_dup_spans_no_pair_join(spark):
     """r04e: substring dedup never joins documents against documents —
     the flagged-window semi-join keys on an 8-byte md5-derived
     fingerprint of the window text (r05: 2.9x less shuffle volume than
-    shuffling the strings), and the distinct-doc count dedups IN-ROW
-    via array_distinct before its single exchange."""
-    plan = _plan(dc.queries()["q_dup_spans"](spark, SF_DIR))
+    shuffling the strings).  r05j: the Generate explodes the cheap
+    index sequence and the window text + hash are built in the flat
+    post-explode projection — NO higher-order function anywhere, so
+    InferFiltersFromGenerate can't clone the window-build lambda into
+    a per-window filter (the 21-split()-node plan that cost 30 s at
+    sf0.1, BENCH/NOTES.md r05j)."""
+    df = dc.queries()["q_dup_spans"](spark, SF_DIR)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "array_distinct" in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction" not in opt, "HOF crept back into dup-spans"
 
 
 def test_source_overlap_pairs_generated_in_row(spark):

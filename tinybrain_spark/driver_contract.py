@@ -2943,12 +2943,9 @@ DUP_SPAN_K = 8  # window width (words) for substring-level dedup
 
 def _dup_window_tables(docs: DataFrame):
     """Shared front half of the substring-dedup queries: returns
-    (wins, pos, flagged) — per-doc arrays of 8-byte FINGERPRINTS of
-    the overlapping 8-word windows (guarded: docs shorter than the
-    window yield an empty array, never a negative F.sequence), their
-    positional explode, and the fingerprints that appear in >= 2
-    distinct documents (in-row array_distinct before the one
-    map-side-combinable groupBy).
+    (counts, pos, flagged) — per-doc window counts, the positional
+    table of 8-byte FINGERPRINTS of the overlapping 8-word windows,
+    and the fingerprints that appear in >= 2 distinct documents.
 
     The fingerprint is the md5-derived 56-bit BIGINT every other hash
     family here uses (``_word_hash_expr``), so the corpus-dominant
@@ -2957,53 +2954,68 @@ def _dup_window_tables(docs: DataFrame):
     hash with the identical md5 recipe, so even the (astronomically
     rare) 56-bit collision behaves the same on both engines.
 
-    CRITICAL: the hash is applied AFTER the positional explode, in a
-    flat projection — never inside the ``F.transform`` lambda.
-    Spark's Md5 expression goes through MessageDigest.getInstance per
-    call in the interpreted higher-order-function path; 32 threads
-    contending on the JDK provider lookup made the in-lambda variant
-    ~1000x slower (103 s for 24k windows at sf0.001 vs 4.8 s for the
-    identical plan hashing post-explode — BENCH/NOTES.md r05h).  The
-    projection runs in the SAME stage as the explode, so nothing
-    wider than (doc_id, pos, f8) ever reaches an exchange."""
+    CRITICAL shape (r05j): the Generate explodes the cheap INDEX
+    sequence ``sequence(0, size(ws)-k)`` — never an array of built
+    window strings — and the window text + md5 both happen in the
+    flat projection AFTER the explode.  Two pathologies forced this:
+
+    * md5 inside any higher-order-function lambda hits the
+      MessageDigest.getInstance contention wall (~1000x, r05h); and
+    * exploding a transform()-built string array triggers
+      InferFiltersFromGenerate, whose inferred ``size(e) > 0`` filter
+      re-evaluates the WHOLE lambda below the projection with ``ws``
+      collapsed back to ``split(text)`` inside every element_at —
+       8 full-document regex splits per WINDOW (21 split() nodes in
+      the optimized plan; 30.2 s for 236k windows at sf0.1 vs 2.0 s
+      for this shape — BENCH/NOTES.md r05j).
+
+    Post-explode, ``concat_ws(" ", slice(ws, pos+1, k))`` runs in
+    whole-stage codegen in the SAME stage as the Generate, so nothing
+    wider than (doc_id, pos, f8) ever reaches an exchange.  The
+    flagged table needs "appears in >= 2 DISTINCT docs", which over
+    the all-occurrences pos table is exactly ``min(doc_id) <>
+    max(doc_id)`` — one fully map-side-combinable groupBy, no
+    distinct-rewrite double exchange, no in-row text dedup pass (the
+    oracle mirrors the same min<>max rule on the identical f8)."""
     k = DUP_SPAN_K
     w = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.trim(F.col("text")), " +").alias("ws"),
     )
-    wins = w.select(
+    counts = w.select(
         "doc_id",
-        F.when(
-            F.size("ws") >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - k),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at("ws", i + j + 1) for j in range(k)],
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("wins"),
+        F.greatest(F.size("ws") - (k - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
     )
-    pos = wins.select(
-        "doc_id", F.posexplode("wins").alias("pos", "wtext")
-    ).select("doc_id", "pos", _word_hash_expr(F.col("wtext")).alias("f8"))
-    # in-row text dedup (the simhash lesson: no global .distinct()
-    # exchange), then hash in the flat projection after the explode;
-    # (doc, text)-distinct == (doc, f8)-distinct modulo 56-bit md5
-    # collisions, which the oracle mirrors by deduping text too
+    # guard: size() BEFORE sequence() — sequence(0, n) auto-steps -1
+    # when n < 0 (CLAUDE.md), so short docs take the empty branch
+    pos = w.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.when(
+                F.size("ws") >= k,
+                F.sequence(F.lit(0), F.size("ws") - k),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        _word_hash_expr(
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("pos") + 1, k))
+        ).alias("f8"),
+    )
     flagged = (
-        wins.select(
-            "doc_id", F.explode(F.array_distinct("wins")).alias("wtext")
+        pos.groupBy("f8")
+        .agg(
+            F.min("doc_id").alias("dmin"),
+            F.max("doc_id").alias("dmax"),
         )
-        .select(_word_hash_expr(F.col("wtext")).alias("f8"))
-        .groupBy("f8")
-        .agg(F.count("*").alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
+        .where(F.col("dmin") < F.col("dmax"))
         .select("f8")
     )
-    return wins, pos, flagged
+    return counts, pos, flagged
 
 
 def q_dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3045,11 +3057,12 @@ WITH w AS (
   FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - {DUP_SPAN_K - 1}
 ), flagged AS (
-  -- dedup on TEXT then hash: mirrors the Spark side's in-row
-  -- array_distinct-before-hash exactly, even under md5 collisions
-  SELECT CAST(('0x' || substr(md5(wtext), 1, 14)) AS BIGINT) AS f8
-  FROM (SELECT DISTINCT doc_id, wtext FROM pos)
-  GROUP BY f8 HAVING count(*) >= 2
+  -- ">= 2 distinct docs" over the all-occurrences pos table is
+  -- exactly min(doc_id) <> max(doc_id) per fingerprint — mirrors the
+  -- Spark side's map-side-combinable groupBy on the identical f8,
+  -- even under md5 collisions
+  SELECT f8 FROM pos
+  GROUP BY f8 HAVING min(doc_id) <> max(doc_id)
 ), hit AS (
   SELECT doc_id, pos FROM pos WHERE f8 IN (SELECT f8 FROM flagged)
 ), isl AS (
@@ -5556,14 +5569,11 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out positions that genuinely are duplicated — no pair join exists
     anywhere (contrast q_ngram_jaccard's capped self-join)."""
     docs = load_table(spark, sf_dir, "documents")
-    wins, pos, flagged = _dup_window_tables(docs)
+    base, pos, flagged = _dup_window_tables(docs)
     nd = (
         pos.join(flagged, "f8", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_dup"))
-    )
-    base = wins.select(
-        "doc_id", F.size("wins").cast("long").alias("n_windows")
     )
     out = base.join(nd, "doc_id", "left").select(
         "doc_id",
@@ -5596,11 +5606,12 @@ WITH w AS (
   FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - {DUP_SPAN_K - 1}
 ), flagged AS (
-  -- dedup on TEXT then hash: mirrors the Spark side's in-row
-  -- array_distinct-before-hash exactly, even under md5 collisions
-  SELECT CAST(('0x' || substr(md5(wtext), 1, 14)) AS BIGINT) AS f8
-  FROM (SELECT DISTINCT doc_id, wtext FROM pos)
-  GROUP BY f8 HAVING count(*) >= 2
+  -- ">= 2 distinct docs" over the all-occurrences pos table is
+  -- exactly min(doc_id) <> max(doc_id) per fingerprint — mirrors the
+  -- Spark side's map-side-combinable groupBy on the identical f8,
+  -- even under md5 collisions
+  SELECT f8 FROM pos
+  GROUP BY f8 HAVING min(doc_id) <> max(doc_id)
 ), nd AS (
   SELECT doc_id, count(*) AS n_dup
   FROM pos WHERE f8 IN (SELECT f8 FROM flagged)
