@@ -252,6 +252,49 @@ def check_health(
     }
 
 
+POST_RETRIES = int(os.environ.get("SPARK_GRAFT_POST_RETRIES", "2"))
+POST_SLEEP_S = float(os.environ.get("SPARK_GRAFT_POST_SLEEP", "20"))
+
+
+def post_probe(
+    min_mbps: float = HEALTH_MIN_MBPS,
+    retries: int = POST_RETRIES,
+    sleep_s: float = POST_SLEEP_S,
+    probe=_fault_in_mbps,
+    thp_probe=_fault_in_thp_mbps,
+    sleep_fn=time.sleep,
+) -> tuple[float, float | None, list[dict]]:
+    """Re-probe fault-in speed AFTER the measurements, with the same
+    bounded-retry shape as the pre-run gate.
+
+    The instant the headline loop ends, the live JVM still holds its
+    ~6 GB heap and the host is reclaiming the bench's Arrow/parquet
+    churn; a single sample taken right then reads 40-440 MB/s on a
+    machine that probes 4+ GB/s twenty seconds later with 123 GB free
+    (r05k: two otherwise-healthy runs flagged postrun_probe_sick by
+    exactly this transient).  A REAL sick window — r04's lasted hours
+    at 5-14 MB/s across 7 spaced pre-gate attempts — stays sick
+    across this small retry budget, so retrying cannot launder
+    genuine mid-run pollution; every sample lands in the artifact.
+    Returns (post_mbps, post_thp, history) — the FINAL attempt's
+    values plus the full history."""
+    history: list[dict] = []
+    mbps, thp = 0.0, None
+    for attempt in range(retries + 1):
+        mbps = probe()
+        # same economy as check_health: THP probe only when 4K fails
+        thp = thp_probe() if mbps < min_mbps else None
+        entry = {"fault_in_mbps": round(mbps, 1)}
+        if thp is not None:
+            entry["thp_fault_in_mbps"] = round(thp, 1)
+        history.append(entry)
+        if mbps >= min_mbps or (thp is not None and thp >= min_mbps):
+            break
+        if attempt < retries:
+            sleep_fn(sleep_s)
+    return mbps, thp, history
+
+
 def invalid_reasons(pre_healthy: bool, post_mbps: float,
                     min_mbps: float = HEALTH_MIN_MBPS,
                     post_thp_mbps: float | None = None) -> list[str]:
@@ -353,8 +396,7 @@ def main() -> int:
     points_per_sec = (p_avg + p_mode + p_cat) / (t_avg + t_mode + t_cat)
 
     total = round(sum(timings.values()), 3)
-    post_mbps = _fault_in_mbps()
-    post_thp = _fault_in_thp_mbps() if post_mbps < HEALTH_MIN_MBPS else None
+    post_mbps, post_thp, post_history = post_probe()
     reasons = invalid_reasons(pre_healthy, post_mbps,
                               post_thp_mbps=post_thp)
     out = {
@@ -370,6 +412,7 @@ def main() -> int:
         "vm_health": health,
         "vm_fault_in_mbps_post": post_mbps,
         "vm_thp_fault_in_mbps_post": post_thp,
+        "vm_post_history": post_history,
         # single-core speed calibration: divide wall times by
         # (this_round_kips / other_round_kips) before comparing rounds
         "vm_cpu_calib_kips": _cpu_calib_kips(),

@@ -96,11 +96,9 @@ def main() -> int:
     args = ap.parse_args()
 
     from bench import (
-        HEALTH_MIN_MBPS,
-        _fault_in_mbps,
-        _fault_in_thp_mbps,
         check_health,
         invalid_reasons,
+        post_probe,
     )
 
     pre_healthy, health = check_health()
@@ -138,8 +136,11 @@ def main() -> int:
     pps_hi = results[hi]["points_per_sec"]
     efficiency = (pps_hi / pps_lo) / (hi / lo)
 
-    post_mbps = _fault_in_mbps()
-    post_thp = _fault_in_thp_mbps() if post_mbps < HEALTH_MIN_MBPS else None
+    # bounded-retry post probe (bench.post_probe): the instant after a
+    # run the JVM's teardown-reclaim transient reads 40-440 MB/s on a
+    # host that probes 4+ GB/s twenty seconds later (r05k); a real
+    # sick window stays sick across the retries.
+    post_mbps, post_thp, post_history = post_probe()
     reasons = invalid_reasons(pre_healthy, post_mbps,
                               post_thp_mbps=post_thp)
 
@@ -160,6 +161,7 @@ def main() -> int:
         "health": health,
         "postrun_fault_in_mbps": round(post_mbps, 1),
         "postrun_thp_fault_in_mbps": post_thp,
+        "postrun_history": post_history,
     }
     if reasons:
         summary["invalid"] = True

@@ -135,6 +135,66 @@ def test_invalid_reasons_matrix():
     ) == ["postrun_probe_sick"]
 
 
+def test_post_probe_transient_recovers():
+    """r05k: the teardown-reclaim transient — first sample sick on both
+    paths, second sample healthy — must clear within the retry budget,
+    with every sample in the history."""
+    sleeps = []
+    seq_4k = iter([38.9, 3900.0])
+    seq_thp = iter([442.0])
+    mbps, thp, hist = bench.post_probe(
+        min_mbps=1000,
+        retries=2,
+        sleep_s=20,
+        probe=lambda: next(seq_4k),
+        thp_probe=lambda: next(seq_thp),
+        sleep_fn=sleeps.append,
+    )
+    assert mbps == 3900.0 and thp is None
+    assert sleeps == [20]
+    assert hist == [
+        {"fault_in_mbps": 38.9, "thp_fault_in_mbps": 442.0},
+        {"fault_in_mbps": 3900.0},
+    ]
+    assert bench.invalid_reasons(True, mbps, min_mbps=1000,
+                                 post_thp_mbps=thp) == []
+
+
+def test_post_probe_persistent_sick_stays_sick():
+    """A real sick window (r04: hours at 5-14 MB/s) exhausts the retry
+    budget and the final sample still fails both paths — the retry
+    cannot launder genuine pollution."""
+    sleeps = []
+    mbps, thp, hist = bench.post_probe(
+        min_mbps=1000,
+        retries=2,
+        sleep_s=20,
+        probe=lambda: 7.4,
+        thp_probe=lambda: 310.0,
+        sleep_fn=sleeps.append,
+    )
+    assert len(hist) == 3 and sleeps == [20, 20]
+    assert bench.invalid_reasons(True, mbps, min_mbps=1000,
+                                 post_thp_mbps=thp) == [
+        "postrun_probe_sick"
+    ]
+
+
+def test_post_probe_healthy_first_sample_no_thp_cost():
+    """Healthy 4K first sample: no THP probe paid, no sleeps."""
+    mbps, thp, hist = bench.post_probe(
+        min_mbps=1000,
+        retries=2,
+        sleep_s=20,
+        probe=lambda: 2400.0,
+        thp_probe=lambda: (_ for _ in ()).throw(AssertionError("paid")),
+        sleep_fn=lambda s: (_ for _ in ()).throw(AssertionError("slept")),
+    )
+    assert mbps == 2400.0 and thp is None and hist == [
+        {"fault_in_mbps": 2400.0}
+    ]
+
+
 def test_is_healthy_edges():
     assert bench.is_healthy(1.5, 1000.0, max_load=1.5, min_mbps=1000)
     assert not bench.is_healthy(1.51, 5000.0, max_load=1.5, min_mbps=1000)
