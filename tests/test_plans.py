@@ -255,6 +255,23 @@ def test_dup_spans_no_pair_join(spark):
     assert "lambdafunction" not in opt, "HOF crept back into dup-spans"
 
 
+def test_novelty_and_leakage_flat_explode_no_pair_join(spark):
+    """r05l: the novelty curve and the split-leakage audit inherit the
+    dup-span shape from birth — index-sequence Generate, shingle text
+    + md5 in the flat post-explode projection (no HOF lambda for
+    InferFiltersFromGenerate to clone), and no doc-vs-doc pair join.
+    Novelty additionally derives per-doc novel counts by grouping the
+    per-fingerprint min(doc_id) — no join back onto the fingerprint
+    table."""
+    for qn in ("q_ngram_novelty", "q_split_leakage"):
+        df = dc.queries()[qn](spark, SF_DIR)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, qn
+        assert "BroadcastNestedLoopJoin" not in plan, qn
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "lambdafunction" not in opt, f"HOF crept into {qn}"
+
+
 def test_source_overlap_pairs_generated_in_row(spark):
     """r04e: the overlap matrix emits source pairs from each shingle's
     collected source-set IN-ROW — no self-join of the shingle table;

@@ -5629,6 +5629,220 @@ FROM w LEFT JOIN nd USING (doc_id)
 """
 
 
+NGRAM_NOVELTY_K = 3  # shingle width for the corpus-novelty curve
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus novelty (pipeline op): of each doc's
+    DISTINCT word-3-gram fingerprints, how many first appear in the
+    corpus in THIS doc (doc_id order) — the novelty-weighted-sampling
+    signal a curation pipeline uses to rank documents by marginal
+    information (a doc whose shingles all appeared earlier adds ~0).
+
+    Scale shape (the r05j lessons applied from birth): the Generate
+    explodes the cheap index sequence — never a lambda-built string
+    array — and the shingle text + md5 fingerprint are computed in
+    the flat post-explode projection (whole-stage codegen, same
+    stage).  Per-doc dedup is the (doc_id, g8) hash aggregate itself
+    (map-side combine absorbs in-doc repeats before the 16-byte-key
+    exchange).  First occurrence is min(doc_id) per fingerprint —
+    map-side combinable — and the per-doc novel COUNT falls out of
+    grouping those minima by doc, so no join against the fingerprint
+    table exists anywhere.  Permille uses integer DIV on both engines
+    (nonneg, so trunc == floor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = NGRAM_NOVELTY_K
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    # guard: size() BEFORE sequence() — sequence(0, n) auto-steps -1
+    # when n < 0 (CLAUDE.md), so short docs take the empty branch
+    pairs = (
+        w.select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.when(
+                    F.size("ws") >= k,
+                    F.sequence(F.lit(0), F.size("ws") - k),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            _word_hash_expr(
+                F.concat_ws(
+                    " ", F.slice(F.col("ws"), F.col("pos") + 1, k)
+                )
+            ).alias("g8"),
+        )
+        .distinct()  # (doc, shingle) pairs; partials combine map-side
+    )
+    tot = pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_distinct")
+    )
+    nov = (
+        pairs.groupBy("g8")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    return (
+        w.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct", F.lit(0))
+            .cast("long")
+            .alias("n_distinct"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novel_pm",
+            F.expr("(n_novel * 1000) div greatest(n_distinct, 1)").cast(
+                "long"
+            ),
+        )
+    )
+
+
+_NGRAM_NOVELTY = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         {" || ' ' || ".join(f"ws[i+{j}]" for j in range(NGRAM_NOVELTY_K))} AS wtext,
+         CAST(('0x' || substr(md5(wtext), 1, 14)) AS BIGINT) AS g8
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
+  WHERE i <= len(ws) - {NGRAM_NOVELTY_K - 1}
+), pairs AS (
+  SELECT DISTINCT doc_id, g8 FROM pos
+), tot AS (
+  SELECT doc_id, count(*) AS n_distinct FROM pairs GROUP BY doc_id
+), nov AS (
+  SELECT doc_id, count(*) AS n_novel FROM (
+    SELECT g8, min(doc_id) AS doc_id FROM pairs GROUP BY g8
+  ) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(coalesce(tot.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST((coalesce(nov.n_novel, 0) * 1000)
+            // greatest(coalesce(tot.n_distinct, 0), 1) AS BIGINT)
+         AS novel_pm
+FROM w LEFT JOIN tot USING (doc_id) LEFT JOIN nov USING (doc_id)
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split contamination audit (pipeline op): using
+    q_hash_split's deterministic content-hash assignment, count for
+    every TEST document how many of its 8-word windows also occur
+    anywhere in the TRAIN split — the within-corpus decontamination
+    check (contrast q_bloom_decontaminate, which screens against an
+    EXTERNAL benchmark table).  A test doc with leak_pm near 1000 is
+    effectively in the training set.
+
+    Scale shape: the split flags ride the same index-explode as the
+    dup-span family (two booleans wider than (doc_id, pos, f8), still
+    nothing but fixed-width columns at the exchange); the train-side
+    fingerprint set is one map-side-combinable distinct on the 8-byte
+    key, and the probe is a left-semi join on that key (AQE
+    broadcasts it when small).  No doc-vs-doc pair join exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = DUP_SPAN_K
+    b = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 14), 16, 10).cast(
+            "long"
+        )
+        % 1000
+    )
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+        (b < 900).alias("is_train"),
+        (b >= 950).alias("is_test"),
+    )
+    pos = w.select(
+        "doc_id",
+        "ws",
+        "is_train",
+        "is_test",
+        F.explode(
+            F.when(
+                F.size("ws") >= k,
+                F.sequence(F.lit(0), F.size("ws") - k),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "is_train",
+        "is_test",
+        _word_hash_expr(
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("pos") + 1, k))
+        ).alias("f8"),
+    )
+    train_f8 = pos.where("is_train").select("f8").distinct()
+    test_pos = pos.where("is_test")
+    tot = test_pos.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows")
+    )
+    leaked = (
+        test_pos.join(train_f8, "f8", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_leaked"))
+    )
+    return (
+        tot.join(leaked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+        )
+        .withColumn(
+            "leak_pm",
+            F.expr("(n_leaked * 1000) div greatest(n_windows, 1)").cast(
+                "long"
+            ),
+        )
+    )
+
+
+_SPLIT_LEAKAGE = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws,
+         CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) % 1000 AS b
+  FROM documents
+), pos AS (
+  SELECT doc_id, b < 900 AS is_train, b >= 950 AS is_test,
+         {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DUP_SPAN_K))} AS wtext,
+         CAST(('0x' || substr(md5(wtext), 1, 14)) AS BIGINT) AS f8
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
+  WHERE i <= len(ws) - {DUP_SPAN_K - 1}
+), train_f8 AS (
+  SELECT DISTINCT f8 FROM pos WHERE is_train
+), tp AS (
+  SELECT doc_id, f8 FROM pos WHERE is_test
+), tot AS (
+  SELECT doc_id, count(*) AS n_windows FROM tp GROUP BY doc_id
+), lk AS (
+  SELECT doc_id, count(*) AS n_leaked FROM tp
+  WHERE f8 IN (SELECT f8 FROM train_f8) GROUP BY doc_id
+)
+SELECT tot.doc_id,
+       CAST(tot.n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+       CAST((coalesce(lk.n_leaked, 0) * 1000)
+            // greatest(tot.n_windows, 1) AS BIGINT) AS leak_pm
+FROM tot LEFT JOIN lk USING (doc_id)
+"""
+
+
 SOURCE_OVERLAP_MAX = 64  # collect_set(source) per shingle stays in-row
 
 
@@ -8480,7 +8694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04e: correlation analytics — float-free moment numerators
         # (never driver-verified, promoted on arrival)
         "q_acf_lags": q_acf_lags,
-        "q_xcorr_types": q_xcorr_types,
+        # (q_xcorr_types demoted r05l: green r04; the correlation
+        # family keeps q_acf_lags — the same float-free moment
+        # numerators, self- instead of cross-series)
         # r04e: event analytics — ordered funnel + cohort retention
         # (never driver-verified, promoted on arrival)
         # (q_funnel_steps demoted r05c: green r04; the session/funnel
@@ -8531,8 +8747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cagg_refresh": q_cagg_refresh,
         # r04d: CDC upsert/delete stream -> targeted refresh end state
         "q_stream_upsert_refresh": q_stream_upsert_refresh,
-        # r04d: daily cagg derived from hourly STATES (never raw)
-        "q_cagg_hierarchy": q_cagg_hierarchy,
+        # (q_cagg_hierarchy demoted r05l: green r04; the cagg family
+        # keeps q_cagg_refresh — the invalidation superset — and the
+        # CDC stream end-state in the head)
         # r04d: retention enforcement graded in the driver
         "q_retention_ladder": q_retention_ladder,
         # r05c: the tier sweeper's keep/downsample/drop work plan
@@ -8576,6 +8793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r04e: substring-level dedup + corpus-mixing overlap matrix
         # (never driver-verified, promoted on arrival)
         "q_dup_spans": q_dup_spans,
+        # r05l: per-doc corpus-novelty curve (first-occurrence distinct
+        # shingles) + within-corpus train/test window contamination —
+        # never driver-verified, promoted on arrival
+        "q_ngram_novelty": q_ngram_novelty,
+        "q_split_leakage": q_split_leakage,
         "q_source_overlap": q_source_overlap,
         # r05b: pairwise fixed-point L1 distribution drift (never
         # driver-verified, promoted on arrival)
@@ -8647,6 +8869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: redundant kernel variants, all green in >=2 rounds
         # (r05 demotions carry 1 green round but their families keep a
         # head representative — rule 1 of the rotation policy) ---------
+        "q_xcorr_types": q_xcorr_types,
+        "q_cagg_hierarchy": q_cagg_hierarchy,
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
         "q_dedup_clusters_star": q_dedup_clusters_star,
@@ -8901,6 +9125,8 @@ FROM win
         "q_decontaminate": _DECONTAMINATE,
         "q_bloom_decontaminate": _bloom_sql(),
         "q_dup_spans": _DUP_SPANS,
+        "q_ngram_novelty": _NGRAM_NOVELTY,
+        "q_split_leakage": _SPLIT_LEAKAGE,
         "q_source_overlap": _SOURCE_OVERLAP,
         "q_pack_sequences": _PACK_SEQUENCES,
         "q_pack_tokens": _PACK_TOKENS,
