@@ -132,25 +132,32 @@ def asof_join(
     return out
 
 
-def _asof_nearest(
+def asof_both(
     left: DataFrame,
     right: DataFrame,
     keys: list[str],
     left_time: str,
     right_time: str,
     value_cols: list[str],
-    tolerance: int | None,
 ) -> DataFrame:
-    """Nearest-direction as-of: one union, one exchange on ``keys``,
-    two INCREMENTAL window passes (asc running last = backward
-    candidate, desc running last = forward candidate), then a per-row
-    pick by absolute gap with ties to backward.
+    """Both-direction as-of scan: each left row annotated with BOTH
+    its backward neighbor (latest right row at-or-before) and its
+    forward neighbor (earliest right row at-or-after) per ``keys``.
+
+    Returns ``left``'s columns plus ``_t`` (left time as long) and,
+    for each value column ``c``: ``_b_v_c`` / ``_f_v_c`` (backward /
+    forward neighbor values, NULL where unmatched) and ``_b_vt`` /
+    ``_f_vt`` (the matched right times).  One union, ONE exchange on
+    ``keys``, two INCREMENTAL window passes (asc running last =
+    backward candidate, desc running last = forward candidate —
+    never the O(n^2) UnboundedFollowing frame).
 
     A single ``_side`` tagging serves both scans: right rows carry 0,
     left rows 1, and each window breaks equal-time ties with
     ``_side`` ASC so the right row is visible to its equal-time left
     row in BOTH directions (at-or-equal matches both ways, like
-    pandas ``merge_asof(direction="nearest")``)."""
+    pandas ``merge_asof(direction="nearest")``).  This is the shared
+    engine under ``direction="nearest"`` and interpolated as-of."""
     lcols = [c for c in left.columns]
     probe = [f"_v_{c}" for c in value_cols] + ["_vt"]
     l_tagged = left.select(
@@ -184,7 +191,7 @@ def _asof_nearest(
         .orderBy(F.col("_t").desc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    both = unioned.select(
+    return unioned.select(
         *lcols,
         "_side",
         "_t",
@@ -192,7 +199,22 @@ def _asof_nearest(
           for v in probe],
         *[F.last(F.col(v), ignorenulls=True).over(wf).alias(f"_f{v}")
           for v in probe],
-    ).where(F.col("_side") == 1)
+    ).where(F.col("_side") == 1).drop("_side")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance: int | None,
+) -> DataFrame:
+    """Nearest-direction as-of over the shared ``asof_both`` scan:
+    per-row pick by absolute gap with exact ties going backward."""
+    lcols = [c for c in left.columns]
+    both = asof_both(left, right, keys, left_time, right_time, value_cols)
 
     bgap = F.col("_t") - F.col("_b_vt")   # >= 0 when backward matched
     fgap = F.col("_f_vt") - F.col("_t")   # >= 0 when forward matched

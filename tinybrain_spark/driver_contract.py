@@ -2108,6 +2108,103 @@ FROM picked WHERE near_bucket IS NOT NULL
 """
 
 
+def q_asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated as-of join (timescale ``interpolate`` applied at
+    JOIN time / kdb ``aj`` + linear): each event reads the busy-hour
+    state series at its OWN timestamp by linearly interpolating
+    between the surrounding state rows — backward neighbor carries
+    alone before/after the series (LOCF/NOCB at the edges), exact
+    at-or-equal hits return the row itself.  Fixed-point milli values
+    with the pmod floor form (same convention as q_gapfill_linear), so
+    the DuckDB oracle — two native ASOF LEFT JOINs + the same integer
+    formula — matches bit-for-bit.
+
+    Scale shape: ``asof.asof_both`` — one union, ONE exchange on the
+    key, two incremental running-``last`` window passes (asc + desc;
+    never the O(n^2) UnboundedFollowing frame), then pure projection
+    arithmetic.  Same cost envelope as a single sort-merge join at any
+    key skew the as-of family already survives."""
+    from .asof import asof_both
+
+    ev, hourly = _asof_state_inputs(spark, sf_dir)
+    both = asof_both(
+        ev, hourly, keys=["event_type"], left_time="ts_s",
+        right_time="hb", value_cols=["n"],
+    )
+    bt, ft = F.col("_b_vt"), F.col("_f_vt")
+    bv = F.col("_b_v_n").cast("long")
+    fv = F.col("_f_v_n").cast("long")
+    # floor((fv-bv)*(t-bt)*1000 / (ft-bt)) via the nonneg-pmod
+    # subtraction + integer DIV (both engines truncate toward zero;
+    # subtracting pmod first makes that a true floor — exact at any
+    # magnitude, unlike `/`'s double path past 2^53)
+    staged = both.select(
+        "event_id",
+        "event_type",
+        bt.alias("bt"),
+        ft.alias("ft"),
+        bv.alias("bv"),
+        fv.alias("fv"),
+        ((fv - bv) * (F.col("_t") - bt) * F.lit(1000)).alias("num"),
+        (ft - bt).alias("den"),
+    )
+    interp = (
+        F.when(F.col("bt").isNull() & F.col("ft").isNull(),
+               F.lit(None).cast("long"))
+        .when(F.col("bt").isNull(), F.col("fv") * 1000)
+        .when(F.col("ft").isNull() | (F.col("ft") == F.col("bt")),
+              F.col("bv") * 1000)
+        .otherwise(
+            F.col("bv") * 1000
+            + F.expr("(num - pmod(num, den)) DIV den")
+        )
+        .cast("long")
+    )
+    return (
+        staged.select(
+            "event_id",
+            "event_type",
+            interp.alias("v_interp_milli"),
+        )
+        .where(F.col("v_interp_milli").isNotNull())
+    )
+
+
+_ASOF_INTERP = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+), b AS (
+  SELECT l.event_id, l.event_type,
+         CAST(floor(epoch(l.ts)) AS BIGINT) AS t, r.hb AS bt, r.n AS bv
+  FROM events l ASOF LEFT JOIN hourly r
+    ON l.event_type = r.event_type
+   AND CAST(floor(epoch(l.ts)) AS BIGINT) >= r.hb
+), f AS (
+  SELECT l.event_id, r.hb AS ft, r.n AS fv
+  FROM events l ASOF LEFT JOIN hourly r
+    ON l.event_type = r.event_type
+   AND CAST(floor(epoch(l.ts)) AS BIGINT) <= r.hb
+), j AS (
+  SELECT b.event_id, b.event_type, b.t, b.bt, b.bv, f.ft, f.fv
+  FROM b JOIN f ON b.event_id = f.event_id
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(CASE
+              WHEN bt IS NULL THEN fv * 1000
+              WHEN ft IS NULL OR ft = bt THEN bv * 1000
+              ELSE bv * 1000
+                   + ((fv - bv) * (t - bt) * 1000
+                      - (((fv - bv) * (t - bt) * 1000) % (ft - bt)
+                         + (ft - bt)) % (ft - bt))
+                     // (ft - bt)
+            END AS BIGINT) AS v_interp_milli
+FROM j WHERE bt IS NOT NULL OR ft IS NOT NULL
+"""
+
+
 OHLC_V_BITS = 24  # centi-values fit 24 bits (value < 167772.16)
 
 
@@ -4678,11 +4775,10 @@ _LANG_MARKERS = {
 }
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic (pipeline op: language ID).
-    The oracle encodes the identical scoring, so parity checks the
-    whole pipeline, not agreement with the `lang` column."""
-    docs = load_table(spark, sf_dir, "documents")
+def _lang_guess_expr():
+    """Marker-word language guess as a Column over ``text`` (shared by
+    q_lang_id and q_token_fertility; the oracle mirrors the scoring
+    via ``_lang_sql``'s CASE precedence)."""
     padded = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
     scores = {
         lang: sum(_occurrences(padded, f" {w} ") for w in words)
@@ -4694,8 +4790,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = scores[lang]
         guess = F.when(s > best, F.lit(lang)).otherwise(guess)
         best = F.when(s > best, s).otherwise(best)
+    return guess
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (pipeline op: language ID).
+    The oracle encodes the identical scoring, so parity checks the
+    whole pipeline, not agreement with the `lang` column."""
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), guess.alias("guess_lang")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _lang_guess_expr().alias("guess_lang"),
     )
 
 
@@ -8539,6 +8644,322 @@ FROM x
 
 
 # ---------------------------------------------------------------------------
+# r05m: collocation mining (PMI), tokenizer fertility, hot-key skew census,
+# embedding-quantization dedup
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5   # classic collocation support floor
+_PMI_TOPK = 100
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-k word bigrams by pointwise mutual
+    information (Church & Hanks 1990), the standard phrase detector a
+    tokenizer-training pipeline runs before choosing merge candidates.
+    PMI = log2(c_xy * N / (c_x * c_y)) is ranked by its EXACT integer
+    bit-length form bitlen(c_xy) + bitlen(N) - bitlen(c_x) -
+    bitlen(c_y) (bitlen = length(bin(n)), identical on both engines) —
+    no float log ever enters the oracle hash, and no product is formed
+    (c_xy * N overflows int64 at corpus scale; the bit form never
+    multiplies).  Support floor c_xy >= 5 per the original paper.
+
+    Scale shape: unigram and bigram counts are two map-side-combinable
+    groupBys on md5-derived 8-byte fingerprints (the r05j idiom:
+    explode a cheap INDEX sequence, build text + hash in the flat
+    post-explode projection — never md5 in a lambda).  The bigram text
+    rides as a min() PAYLOAD (combined map-side to one short string
+    per distinct bigram per task), the component-count lookups join on
+    8-byte keys AFTER the support filter has shrunk candidates (AQE
+    broadcasts), the corpus total folds in as a broadcast 1-row
+    aggregate, and the final top-k is TakeOrderedAndProject — no
+    global sort, no window over the corpus.  Ties break on the b8
+    fingerprint (integer — engine-agnostic, unlike string collation).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.split(F.trim(F.col("text")), " +").alias("ws"))
+    uh = w.select(F.explode("ws").alias("word")).select(
+        _word_hash_expr(F.col("word")).alias("h")
+    )
+    uc = uh.groupBy("h").agg(F.count("*").cast("long").alias("c"))
+    total = uh.agg(F.count("*").cast("long").alias("n_tokens"))
+    # guard: size() BEFORE sequence() — sequence(1, n) auto-steps -1
+    # when n < 1 (CLAUDE.md), so 1-word docs take the empty branch
+    big = w.select(
+        "ws",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.sequence(F.lit(1), F.size("ws") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), 2)).alias("btext"),
+        _word_hash_expr(F.element_at("ws", F.col("i"))).alias("lh"),
+        _word_hash_expr(F.element_at("ws", F.col("i") + 1)).alias("rh"),
+    )
+    bc = (
+        big.select(_word_hash_expr(F.col("btext")).alias("b8"),
+                   "btext", "lh", "rh")
+        .groupBy("b8")
+        .agg(
+            F.count("*").cast("long").alias("c_xy"),
+            F.min("btext").alias("bigram"),
+            F.min("lh").alias("lh"),
+            F.min("rh").alias("rh"),
+        )
+        .where(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    scored = (
+        bc.join(uc.select(F.col("h").alias("lh"),
+                          F.col("c").alias("c_left")), "lh")
+        .join(uc.select(F.col("h").alias("rh"),
+                        F.col("c").alias("c_right")), "rh")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "b8", "bigram", "c_xy", "c_left", "c_right",
+            (bits(F.col("c_xy")) + bits(F.col("n_tokens"))
+             - bits(F.col("c_left")) - bits(F.col("c_right"))
+             ).alias("pmi_bits"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_bits").desc(), F.col("c_xy").desc(), F.col("b8").asc()
+    ).limit(_PMI_TOPK)
+    rk = Window.orderBy(
+        F.col("pmi_bits").desc(), F.col("c_xy").desc(), F.col("b8").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(rk)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "bigram",
+        "c_xy",
+        "c_left",
+        "c_right",
+        "pmi_bits",
+    )
+
+
+_PMI_BIGRAMS = f"""
+WITH w AS (
+  SELECT string_split_regex(trim(text), ' +') AS ws FROM documents
+), idx AS (
+  SELECT unnest(generate_series(1,
+    (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i
+), occ AS (
+  SELECT ws[i] AS wd FROM w CROSS JOIN idx WHERE i <= len(ws)
+), uc AS (
+  SELECT CAST(('0x' || substr(md5(wd), 1, 14)) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM occ GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM occ
+), big AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS btext,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 14))
+              AS BIGINT) AS b8,
+         CAST(('0x' || substr(md5(ws[i]), 1, 14)) AS BIGINT) AS lh,
+         CAST(('0x' || substr(md5(ws[i + 1]), 1, 14)) AS BIGINT) AS rh
+  FROM w CROSS JOIN idx WHERE i <= len(ws) - 1
+), bc AS (
+  SELECT b8, CAST(count(*) AS BIGINT) AS c_xy, min(btext) AS bigram,
+         min(lh) AS lh, min(rh) AS rh
+  FROM big GROUP BY b8 HAVING count(*) >= {_PMI_MIN_COUNT}
+), scored AS (
+  SELECT b8, bigram, c_xy, lc.c AS c_left, rc.c AS c_right,
+         CAST(length(bin(c_xy)) + length(bin(n_tokens))
+              - length(bin(lc.c)) - length(bin(rc.c)) AS BIGINT)
+           AS pmi_bits
+  FROM bc JOIN uc lc ON bc.lh = lc.h
+          JOIN uc rc ON bc.rh = rc.h
+          CROSS JOIN tot
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pmi_bits DESC, c_xy DESC, b8 ASC)
+         AS rank
+  FROM scored
+)
+SELECT CAST(rank AS BIGINT) AS rank, bigram, c_xy, c_left, c_right, pmi_bits
+FROM ranked WHERE rank <= {_PMI_TOPK}
+"""
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by detected language: BPE-ish pieces per
+    whitespace word (milli-scaled), the multilingual-mix diagnostic a
+    tokenizer report always carries (high fertility = the vocabulary
+    under-serves that language, cf. the fertility tables in the XLM-R
+    and BLOOM tokenizer analyses).  Composes three already-proven
+    scalar pipelines — the q_lang_id marker scoring, q_token_count_bpe
+    piece counting, q_quality_score word counting — into one zero-join
+    census.
+
+    Scale shape: every feature is a pure Catalyst projection on the
+    document row; the only exchange is the final groupBy on the
+    5-value language guess (map-side combined to ~5 rows per task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nwords = F.length(
+        F.replace(
+            F.regexp_replace(F.trim(F.col("text")), "[^ ]+", "x"),
+            F.lit(" "),
+            F.lit(""),
+        )
+    ).cast("long")
+    staged = docs.select(
+        _lang_guess_expr().alias("guess_lang"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN))
+        .cast("long")
+        .alias("pieces"),
+        nwords.alias("words"),
+    )
+    return (
+        staged.groupBy("guess_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("pieces").cast("long").alias("sum_pieces"),
+            F.sum("words").cast("long").alias("sum_words"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr("sum_pieces * 1000 DIV greatest(sum_words, 1)"),
+        )
+    )
+
+
+def _token_fertility_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+           AS pieces,
+         CAST(length(replace(regexp_replace(trim(text), '[^ ]+', 'x', 'g'),
+                             ' ', '')) AS BIGINT) AS words
+  FROM documents
+)
+SELECT l.guess_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(m.pieces) AS BIGINT) AS sum_pieces,
+       CAST(sum(m.words) AS BIGINT) AS sum_words,
+       CAST(sum(m.pieces) * 1000 // greatest(sum(m.words), 1) AS BIGINT)
+         AS fertility_milli
+FROM ({_lang_sql()}) l JOIN m USING (doc_id)
+GROUP BY l.guess_lang
+"""
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew census — the shuffle-planning diagnostic this
+    engine's own CLAUDE.md rules keep invoking (salting, AQE skew
+    join): per event_type, the distribution of per-user row counts —
+    key cardinality, max, exact dyadic quantiles (x4, the
+    q_value_percentiles trick), and the hottest key's traffic share in
+    ppm.  This is what decides salting factors BEFORE a 100 TB shuffle
+    runs.
+
+    Scale shape: two stacked map-side-combinable groupBys — raw rows
+    collapse to one row per (event_type, user_id) in the map stage, so
+    the second agg sees key-cardinality rows, never raw traffic.
+    hot_share_ppm = max * 1e6 DIV total stays < 2^63 for totals to
+    ~9e12 rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    agg = kc.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.expr("percentile(cnt, array(0.5, 0.75))").alias("p"),
+    )
+    return agg.select(
+        "event_type",
+        "n_keys",
+        "n_events",
+        "max_cnt",
+        (F.element_at("p", 1) * 4).cast("long").alias("p50_x4"),
+        (F.element_at("p", 2) * 4).cast("long").alias("p75_x4"),
+    ).withColumn(
+        "hot_share_ppm", F.expr("max_cnt * 1000000 DIV n_events")
+    )
+
+
+_KEY_SKEW = """
+WITH kc AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(quantile_cont(cnt, 0.5) * 4 AS BIGINT) AS p50_x4,
+       CAST(quantile_cont(cnt, 0.75) * 4 AS BIGINT) AS p75_x4,
+       CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS hot_share_ppm
+FROM kc GROUP BY event_type
+"""
+
+
+SEMDEDUP_DIMS = 4   # quantized prefix dims — the coarse semantic key
+SEMDEDUP_SCALE = 4  # power of two: f32 -> f64 widen + *4 are both exact
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quantization near-dup (the SemDeDup shape, Abbas et
+    al. 2023, arXiv:2303.09540): vectors whose first SEMDEDUP_DIMS
+    coordinates quantize identically (floor(v * 4), a power-of-two
+    scale so the f32->f64 widen and the multiply are both EXACT on
+    both engines) land in one semantic bucket; each bucket keeps its
+    min vec_id — the deterministic keep policy q_dedup_exact uses for
+    text.  sf0.01 probe: 500 vectors -> 62 buckets, avg 8 candidates
+    per bucket.
+
+    Scale shape: one map-side-combinable groupBy on an md5-derived
+    8-byte bucket fingerprint — the embedding array itself NEVER
+    reaches the exchange (quantize + hash happen in the scan-stage
+    projection), so shuffle volume is (8B key + two longs) per vector
+    regardless of embedding width.  This is the cheap first pass that
+    IVF/LSH exact-cosine verification (q_ann_topk_ivf machinery) runs
+    inside buckets afterward."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = [
+        F.floor(
+            F.element_at("embedding", i).cast("double")
+            * F.lit(SEMDEDUP_SCALE)
+        ).cast("long").cast("string")
+        for i in range(1, SEMDEDUP_DIMS + 1)
+    ]
+    bucket8 = _word_hash_expr(F.concat_ws(",", *qs))
+    return (
+        emb.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            bucket8.alias("bucket8"),
+        )
+        .groupBy("bucket8")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("vec_id").cast("long").alias("keep_vec_id"),
+        )
+    )
+
+
+_SEMANTIC_DEDUP = f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(('0x' || substr(md5(
+           {" || ',' || ".join(
+             "CAST(CAST(floor(CAST(embedding[%d] AS DOUBLE) * %d) AS BIGINT)"
+             " AS VARCHAR)" % (i, SEMDEDUP_SCALE)
+             for i in range(1, SEMDEDUP_DIMS + 1)
+           )}
+         ), 1, 14)) AS BIGINT) AS bucket8
+  FROM embeddings
+)
+SELECT bucket8,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(vec_id) AS BIGINT) AS keep_vec_id
+FROM q GROUP BY bucket8
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8601,8 +9022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_asof_fwd, q_asof_tol demoted r05: green r04; the as-of
         # family keeps q_asof_nearest — the composite rep that runs
         # BOTH directions' scan machinery — in the head)
-        # r04b additions, never driver-verified — promoted on arrival
-        "q_asof_nearest": q_asof_nearest,
+        # (q_asof_nearest demoted r05m: green r04; the as-of family
+        # keeps q_asof_interp — the interpolating superset over the
+        # SAME asof_both two-direction scan — in the head)
+        # r05m: interpolated as-of join (timescale interpolate-at-join
+        # / kdb aj+linear) — never driver-verified, promoted on arrival
+        "q_asof_interp": q_asof_interp,
         # (q_ohlc_bars demoted r05b: green r04; the bar/decimation
         # family keeps q_m4_decimate — the same argmin/argmax-encoded
         # bar machinery plus the 2^24 tie encoding — in the head)
@@ -8707,9 +9132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_journey_paths": q_journey_paths,
         # (q_cohort_retention demoted r05c: green r04; the retention
         # family keeps q_retention_ladder and gains q_retention_policy)
-        # r04f: day-bounded inter-arrival stats + decayed heavy hitters
+        # (q_interarrival demoted r05m: green r04; the day-bounded
+        # boundary-stitch machinery keeps q_state_durations and the
+        # r05-day-bounded q_markov_transitions in the head)
+        # r05m: hot-key skew census — the shuffle/salting planner
         # (never driver-verified, promoted on arrival)
-        "q_interarrival": q_interarrival,
+        "q_key_skew": q_key_skew,
         "q_decay_topk": q_decay_topk,
         # r04f: exact fixed-point PageRank (iterative dataflow exemplar)
         "q_pagerank": q_pagerank,
@@ -8722,9 +9150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05f: real PGM P5 grayscale decode (never driver-verified,
         # promoted on arrival)
         "q_multimodal_gray": q_multimodal_gray,
-        # r04f: RFM segmentation over ranking.global_rank (never
-        # driver-verified, promoted on arrival)
-        "q_rfm_segments": q_rfm_segments,
+        # (q_rfm_segments demoted r05m: green r04; see the note at
+        # q_pmi_bigrams — global_rank keeps q_vocab_coverage here)
         # r04d: classical additive decomposition (trend/seasonal/resid)
         # (q_seasonal_decompose demoted r05f: green r04; the
         # timeseries-decomposition family keeps q_sax_paa + q_acf_lags)
@@ -8735,16 +9162,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinct estimate is its first stage)
         # (q_kmv_distinct demoted r05: green r04; the KMV family keeps
         # q_kmv_overlap, whose oracle re-derives the same sketch)
-        "q_kmv_overlap": q_kmv_overlap,
+        # (q_kmv_overlap demoted r05m: green r04; the KMV machinery
+        # stays in the head inside q_source_overlap's >64-source
+        # estimator path, and both kmv queries stay session-checked)
+        # r05m: embedding-quantization near-dup (SemDeDup shape) —
+        # never driver-verified, promoted on arrival
+        "q_semantic_dedup": q_semantic_dedup,
         # engine features (q_continuous_agg demoted r04d: green
         # r01-r03; the cagg family keeps q_stream_cagg_equiv — the SAME
         # continuous aggregate verified through the streaming path)
         # (q_stream_cagg_equiv demoted r04e: green r03; the cagg family
         # keeps q_cagg_refresh — the SAME _CONT_AGG oracle — plus the
         # CDC stream end-state and the hierarchy rep in the head)
-        # r04d: invalidation-range refresh (late UPDATE corrections) —
-        # never driver-verified, promoted on arrival
-        "q_cagg_refresh": q_cagg_refresh,
+        # (q_cagg_refresh demoted r05m: green r04; the cagg family
+        # keeps q_stream_upsert_refresh — the CDC stream whose end
+        # state the SAME _CONT_AGG oracle verifies — in the head)
+        # r05m: tokenizer fertility by detected language — never
+        # driver-verified, promoted on arrival
+        "q_token_fertility": q_token_fertility,
         # r04d: CDC upsert/delete stream -> targeted refresh end state
         "q_stream_upsert_refresh": q_stream_upsert_refresh,
         # (q_cagg_hierarchy demoted r05l: green r04; the cagg family
@@ -8841,6 +9276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer LM-surprisal proxy (never driver-verified, promoted
         # on arrival)
         "q_bigram_rarity": q_bigram_rarity,
+        # (q_rfm_segments demoted r05m: green r04; the
+        # ranking.global_rank machinery keeps q_vocab_coverage — the
+        # doc-order consumer — in the head, and the zero-unpartitioned-
+        # windows plan pin stands in test_plans.py)
+        # r05m: PMI collocation mining — exact bit-length scoring,
+        # TakeOrderedAndProject top-k (never driver-verified,
+        # promoted on arrival)
+        "q_pmi_bigrams": q_pmi_bigrams,
         # (q_ann_topk demoted r04: same exact-cosine semantics as
         # q_ann_topk_blocked — the GEMM-blocked scale path stays;
         # q_embed_stats demoted r04: embedding family keeps 4 reps here)
@@ -8873,6 +9316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cagg_hierarchy": q_cagg_hierarchy,
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
+        # r05m demotions (each green r04; family reps stay in the head)
+        "q_asof_nearest": q_asof_nearest,
+        "q_interarrival": q_interarrival,
+        "q_kmv_overlap": q_kmv_overlap,
+        "q_cagg_refresh": q_cagg_refresh,
+        "q_rfm_segments": q_rfm_segments,
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_pack_tokens": q_pack_tokens,
         "q_quality_filter": q_quality_filter,
@@ -9046,6 +9495,11 @@ FROM win
         "q_slo_ribbon": _SLO_RIBBON,
         "q_mad_outliers": _MAD_OUTLIERS,
         "q_asof_nearest": _ASOF_NEAREST,
+        "q_asof_interp": _ASOF_INTERP,
+        "q_key_skew": _KEY_SKEW,
+        "q_semantic_dedup": _SEMANTIC_DEDUP,
+        "q_token_fertility": _token_fertility_sql(),
+        "q_pmi_bigrams": _PMI_BIGRAMS,
         "q_ohlc_bars": _OHLC_BARS,
         "q_cusum_alarm": _CUSUM_ALARM,
         "q_alert_episodes": _ALERT_EPISODES,
