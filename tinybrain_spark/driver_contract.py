@@ -4775,22 +4775,40 @@ _LANG_MARKERS = {
 }
 
 
-def _lang_guess_expr():
-    """Marker-word language guess as a Column over ``text`` (shared by
-    q_lang_id and q_token_fertility; the oracle mirrors the scoring
-    via ``_lang_sql``'s CASE precedence)."""
+def _lang_scored(docs: DataFrame, extras: list) -> DataFrame:
+    """Marker-word language guess as a TWO-projection pipeline (shared
+    by q_lang_id and q_token_fertility; the oracle mirrors the scoring
+    via ``_lang_sql``'s CASE precedence): the four marker scores are
+    computed ONCE as columns in a lower projection, and the 4-way
+    precedence CASE sits on top referencing those columns.
+
+    Building guess+best as one nested when-chain over inline score
+    expressions duplicates each 3-replace score exponentially through
+    the chain (the CLAUDE.md Catalyst-expression-size trap): 13 KB of
+    optimized plan and 0.73 s warm at sf0.01 vs 2.9 KB / 0.13 s for
+    this shape (5.6x, r05m).  CollapseProject declines to re-inline
+    non-cheap aliases referenced more than once, so the split survives
+    optimization.  ``extras`` = [(alias, Column), ...] carried through
+    both projections alongside the guess."""
     padded = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
-    scores = {
-        lang: sum(_occurrences(padded, f" {w} ") for w in words)
-        for lang, words in _LANG_MARKERS.items()
-    }
+    scored = docs.select(
+        *[c.alias(a) for a, c in extras],
+        *[
+            sum(_occurrences(padded, f" {w} ") for w in words).alias(
+                f"s_{lang}"
+            )
+            for lang, words in _LANG_MARKERS.items()
+        ],
+    )
     guess = F.lit("und")
     best = F.lit(0).cast("long")
     for lang in ("en", "es", "fr", "de"):  # fixed precedence for ties
-        s = scores[lang]
+        s = F.col(f"s_{lang}")
         guess = F.when(s > best, F.lit(lang)).otherwise(guess)
         best = F.when(s > best, s).otherwise(best)
-    return guess
+    return scored.select(
+        *[a for a, _ in extras], guess.alias("guess_lang")
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4798,10 +4816,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle encodes the identical scoring, so parity checks the
     whole pipeline, not agreement with the `lang` column."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        _lang_guess_expr().alias("guess_lang"),
-    )
+    return _lang_scored(
+        docs, [("doc_id", F.col("doc_id").cast("long"))]
+    ).select("doc_id", "guess_lang")
 
 
 def _lang_sql() -> str:
@@ -5262,40 +5279,78 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     padded = F.concat(F.lit(" "), F.trim(F.col("text")), F.lit(" "))
     ws = F.split(F.trim(F.col("text")), " +")
-    words = F.size(ws).cast("long")
     stop = sum(
         _occurrences(padded, f" {w} ") for w in ("the", "a", "and", "of")
     )
-    stop_ppt = (stop * 1000 / F.greatest(words, F.lit(1))).cast("long")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-        ),
-    )
-    # guard BEFORE sequence(): size==1 docs reverse the range (F.sequence
-    # auto-steps -1) — same gotcha as q_repetition_score
-    n_grams = F.when(words >= 2, F.size(grams)).otherwise(F.lit(0))
-    n_rep = F.when(
-        words >= 2, F.size(grams) - F.size(F.array_distinct(grams))
-    ).otherwise(F.lit(0))
-    rep_pm = F.floor(
-        n_rep * 1000 / F.greatest(n_grams, F.lit(1))
-    ).cast("long")
-    reason = (
-        F.when(words < 30, F.lit("short"))
-        .when(stop_ppt < 20, F.lit("low_stopword"))
-        .when(stop_ppt > 400, F.lit("high_stopword"))
-        .when(rep_pm >= 150, F.lit("repetitive"))
-        .otherwise(F.lit("ok"))
-    )
-    return docs.select(
+    # STAGED projections (r05m, the _lang_scored lesson): ws/grams are
+    # each aliased ONCE and consumed by column reference — building the
+    # whole gate in one projection re-inlined split(text) into every
+    # use of the bigram array (~8 KB plan, 4.8 s warm at sf0.01 vs
+    # 0.15 s staged).  The bigram array itself is arrays_zip over two
+    # slice()s — vectorized codegen, NOT a transform() lambda, so no
+    # interpreted-HOF per-element cost and nothing for
+    # InferFiltersFromGenerate to clone (words never contain spaces —
+    # split on ' +' — so struct distinct == the oracle's string
+    # distinct count).
+    base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        words.alias("n_words"),
-        stop_ppt.alias("stop_ppt"),
-        rep_pm.alias("rep_pm"),
-        reason.alias("reason"),
-        (reason == "ok").cast("long").alias("keep"),
+        ws.alias("ws"),
+        stop.alias("n_stop"),
+    )
+    wsc = F.col("ws")
+    grams = base.select(
+        "doc_id",
+        "n_stop",
+        F.size(wsc).cast("long").alias("n_words"),
+        F.when(
+            F.size(wsc) >= 2,
+            F.arrays_zip(
+                F.slice(wsc, 1, F.size(wsc) - 1),
+                F.slice(wsc, 2, F.size(wsc) - 1),
+            ),
+        ).alias("grams"),
+    )
+    feats = grams.select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.size("grams"), F.lit(0)).cast("long").alias("n_grams"),
+        (
+            F.coalesce(F.size("grams"), F.lit(0))
+            - F.coalesce(F.size(F.array_distinct("grams")), F.lit(0))
+        ).cast("long").alias("n_rep"),
+        (F.col("n_stop") * 1000 / F.greatest(F.col("n_words"), F.lit(1)))
+        .cast("long")
+        .alias("stop_ppt"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "n_words",
+        "stop_ppt",
+        F.floor(
+            F.col("n_rep") * 1000 / F.greatest(F.col("n_grams"), F.lit(1))
+        )
+        .cast("long")
+        .alias("rep_pm"),
+    )
+    reasoned = scored.select(
+        "doc_id",
+        "n_words",
+        "stop_ppt",
+        "rep_pm",
+        F.when(F.col("n_words") < 30, F.lit("short"))
+        .when(F.col("stop_ppt") < 20, F.lit("low_stopword"))
+        .when(F.col("stop_ppt") > 400, F.lit("high_stopword"))
+        .when(F.col("rep_pm") >= 150, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+    )
+    return reasoned.select(
+        "doc_id",
+        "n_words",
+        "stop_ppt",
+        "rep_pm",
+        "reason",
+        (F.col("reason") == "ok").cast("long").alias("keep"),
     )
 
 
@@ -8803,12 +8858,17 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         )
     ).cast("long")
-    staged = docs.select(
-        _lang_guess_expr().alias("guess_lang"),
-        F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN))
-        .cast("long")
-        .alias("pieces"),
-        nwords.alias("words"),
+    staged = _lang_scored(
+        docs,
+        [
+            (
+                "pieces",
+                F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN)).cast(
+                    "long"
+                ),
+            ),
+            ("words", nwords),
+        ],
     )
     return (
         staged.groupBy("guess_lang")
