@@ -171,6 +171,32 @@ def test_token_fertility_single_exchange_no_joins(spark):
     assert "Window" not in tree
 
 
+def test_trend_slope_split_division_is_exact_milli_floor():
+    """The split-division form q*1000 + (r*1000) DIV den must equal
+    floor(num * 1000 / den) for every sign of num — without ever
+    forming num*1000 (the overflow the split exists to avoid).
+    Property-checked against Fraction over a grid including negative
+    numerators and den near 1."""
+    from fractions import Fraction
+
+    for num in (-10**15, -999983, -6001, -7, -1, 0, 1, 6001, 10**15):
+        for den in (1, 2, 3, 59, 1440, 999983):
+            q, r = divmod(num, den)  # python divmod IS pmod-floor
+            got = q * 1000 + (r * 1000) // den
+            want = Fraction(num * 1000, den).__floor__()
+            assert got == want, (num, den, got, want)
+
+
+def test_trend_slope_plan_single_exchange(spark):
+    """Five moment sums in ONE map-side-combinable groupBy: a single
+    exchange, no windows, no joins; slope math on aggregated rows."""
+    df = dc.q_trend_slope(spark, SF_DIR)
+    tree = _tree(df)
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree
+    assert "Join" not in tree
+
+
 def test_semantic_dedup_buckets_partition_vectors(spark):
     """Every vector lands in exactly one bucket (counts partition the
     table) and each keep_vec_id is a member of its own bucket (min)."""

@@ -8700,8 +8700,154 @@ FROM x
 
 # ---------------------------------------------------------------------------
 # r05m: collocation mining (PMI), tokenizer fertility, hot-key skew census,
-# embedding-quantization dedup
+# embedding-quantization dedup, least-squares trend slope
 # ---------------------------------------------------------------------------
+
+TREND_N_MAX = 32768    # events per (type, day): n^2 * 2^28 < 2^59
+TREND_V_BITS = 17      # centi-value domain [0, 2^17), like q_zscore
+TREND_Q_MAX = 1 << 40  # sanity bound on the integer slope quotient
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) least-squares trend slope — the
+    ``stats_agg -> slope`` hyperfunction every monitoring stack derives
+    alarms from ("is this metric drifting up?").  Time is minutes into
+    the day, values centi-scaled; slope comes out milli-scaled
+    (centi-units per minute x1000) as an EXACT integer floor via split
+    division: q = floor(num/den) with the pmod form, then
+    q*1000 + (r*1000) DIV den — never forming num*1000, which would
+    overflow int64 where num alone cannot (the moment numerators are
+    bounded by n^2 * 2^28 < 2^59 under the runtime guards below, but
+    three more decimal digits are not).
+
+    Overflow budget, enforced with the q_zscore raise_error convention:
+    centi-values in [0, 2^17), n <= 32768 per (type, day) — both named
+    in the error text.  Shape: ONE map-side-combinable groupBy of the
+    five moment sums (n, St, Sv, Stv, Stt); raw events shuffle nowhere,
+    the slope arithmetic runs on |types| x |days| aggregated rows.
+    Degenerate days (all events in one minute: den = 0) are excluded,
+    mirrored exactly by the oracle."""
+    vmax = 1 << TREND_V_BITS
+    raw = load_table(spark, sf_dir, "events")
+    guard_v = F.floor(F.col("value") * 100).cast("long")
+    ev = raw.select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) DIV 86400").alias("day"),
+        F.expr(
+            "(CAST(unix_timestamp(ts) AS LONG) % 86400) DIV 60"
+        ).alias("t"),
+        F.when(guard_v.between(0, vmax - 1), guard_v)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"q_trend_slope: value outside [0, 2^"
+                        f"{TREND_V_BITS}) centi-value domain: "
+                    ),
+                    guard_v.cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("v"),
+    )
+    g = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("t") * F.col("v")).cast("long").alias("stv"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    ).select(
+        "event_type",
+        "day",
+        F.when(F.col("n") <= TREND_N_MAX, F.col("n"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"q_trend_slope: group larger than {TREND_N_MAX}"
+                        " breaks the overflow budget: "
+                    ),
+                    F.col("n").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("n"),
+        "st", "sv", "stv", "stt",
+    )
+    staged = g.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).alias("num"),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("den"),
+    ).where(F.col("den") > 0)
+    # floor(num/den) via pmod, then the milli digits from the remainder
+    qq = staged.select(
+        "event_type",
+        "day",
+        "n",
+        "den",
+        F.expr("(num - pmod(num, den)) DIV den").alias("q"),
+        F.pmod(F.col("num"), F.col("den")).alias("r"),
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        "den",
+        F.when(F.abs(F.col("q")) <= TREND_Q_MAX, F.col("q"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("q_trend_slope: slope quotient beyond 2^40 "
+                          "(degenerate time spread): "),
+                    F.col("q").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("q"),
+        "r",
+    )
+    return qq.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "n",
+        (
+            F.col("q") * 1000
+            + F.expr("(r * 1000) DIV den")
+        ).cast("long").alias("slope_milli"),
+    )
+
+
+_TREND_SLOPE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 60 AS t,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(t * v) AS BIGINT) AS stv,
+         CAST(sum(t * t) AS BIGINT) AS stt
+  FROM ev GROUP BY 1, 2
+), s AS (
+  SELECT event_type, day, n,
+         n * stv - st * sv AS num,
+         n * stt - st * st AS den
+  FROM g WHERE n * stt - st * st > 0
+), d AS (
+  SELECT event_type, day, n, den,
+         (num - ((num % den + den) % den)) // den AS q,
+         ((num % den + den) % den) AS r
+  FROM s
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, n,
+       CAST(q * 1000 + (r * 1000) // den AS BIGINT) AS slope_milli
+FROM d
+"""
 
 _PMI_MIN_COUNT = 5   # classic collocation support floor
 _PMI_TOPK = 100
@@ -9176,9 +9322,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05c: Misra-Gries candidates + exact verify (never
         # driver-verified, promoted on arrival)
         "q_heavy_hitters_mg": q_heavy_hitters_mg,
-        # r04e: correlation analytics — float-free moment numerators
-        # (never driver-verified, promoted on arrival)
-        "q_acf_lags": q_acf_lags,
+        # (q_acf_lags demoted r05m: green r04; the float-free-moment
+        # family keeps q_trend_slope — the regression consumer of the
+        # SAME n*Sxy - Sx*Sy numerator machinery — in the head)
+        # r05m: least-squares trend slope per (type, day), exact
+        # split-division floor (never driver-verified, promoted on
+        # arrival)
+        "q_trend_slope": q_trend_slope,
         # (q_xcorr_types demoted r05l: green r04; the correlation
         # family keeps q_acf_lags — the same float-free moment
         # numerators, self- instead of cross-series)
@@ -9377,6 +9527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
         # r05m demotions (each green r04; family reps stay in the head)
+        "q_acf_lags": q_acf_lags,
         "q_asof_nearest": q_asof_nearest,
         "q_interarrival": q_interarrival,
         "q_kmv_overlap": q_kmv_overlap,
@@ -9556,6 +9707,7 @@ FROM win
         "q_mad_outliers": _MAD_OUTLIERS,
         "q_asof_nearest": _ASOF_NEAREST,
         "q_asof_interp": _ASOF_INTERP,
+        "q_trend_slope": _TREND_SLOPE,
         "q_key_skew": _KEY_SKEW,
         "q_semantic_dedup": _SEMANTIC_DEDUP,
         "q_token_fertility": _token_fertility_sql(),
