@@ -30,12 +30,20 @@ def _opt(df) -> str:
 
 
 def _no_unpartitioned_windows(df) -> None:
+    """Unpartitioned windows print ``Window [exprs], [order]`` (two
+    bracket groups, the last being an ORDER spec with ASC/DESC);
+    partitioned-no-order windows ALSO print two groups but the last is
+    the partition column list — distinguish by the ASC/DESC marker."""
     import re
 
     for line in _opt(df).splitlines():
         m = re.search(r"Window \[.*", line)
         if m:
-            assert m.group(0).count("], [") >= 2, (
+            node = m.group(0)
+            if node.count("], [") >= 2:
+                continue  # [exprs], [partition], [order]
+            last = node.rsplit("], [", 1)[-1]
+            assert " ASC" not in last and " DESC" not in last, (
                 "unpartitioned Window node:\n" + line
             )
 
@@ -195,6 +203,31 @@ def test_trend_slope_plan_single_exchange(spark):
     assert tree.count("Exchange") == 1, tree
     assert "Window" not in tree
     assert "Join" not in tree
+
+
+def test_quality_calibration_windows_partitioned_no_cartesian(spark):
+    """One event-wide exchange (the (source, score) histogram groupBy);
+    every window partitions by source over histogram rows; the global
+    median folds in-row (sort_array + aggregate), never through an
+    unpartitioned window; broadcast joins only."""
+    df = dc.q_quality_calibration(spark, SF_DIR)
+    _no_unpartitioned_windows(df)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_calibration_median_is_consistent(spark):
+    """The in-row global median must sit between the per-source p50
+    extremes, and below_ppm must be < 1e6 with n_below < n_docs."""
+    rows = dc.q_quality_calibration(spark, SF_DIR).collect()
+    meds = {r["global_med"] for r in rows}
+    assert len(meds) == 1
+    (gmed,) = meds
+    p50s = [r["p50_score"] for r in rows]
+    assert min(p50s) <= gmed <= max(p50s)
+    for r in rows:
+        assert 0 <= r["n_below_global"] <= r["n_docs"]
+        assert 0 <= r["below_ppm"] < 1_000_000
 
 
 def test_semantic_dedup_buckets_partition_vectors(spark):

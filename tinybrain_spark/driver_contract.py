@@ -9103,6 +9103,166 @@ FROM kc GROUP BY event_type
 """
 
 
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-threshold calibration — the per-dump
+    calibration step web-corpus pipelines run before filtering (a
+    fixed global cutoff over-filters some crawls and under-filters
+    others; cf. the per-dump threshold discussion in the FineWeb
+    report): for every source, the exact discrete p50/p90 of the
+    stopword-ratio score, the corpus-global median, and how much of
+    the source falls below that global bar (ppm).
+
+    Scale shape: the score domain is BOUNDED ([0, 1000] permille), so
+    ONE map-side-combinable groupBy collapses the corpus to a
+    (source, score) histogram and every quantile is the
+    division-free cumulative-bar minimum over histogram rows (the
+    q_slo_ribbon formulation; windows partition by source).  The
+    global median folds the score-level histogram into one row and
+    scans it IN-ROW (sort_array + aggregate — the q_token_budget_fill
+    pattern, no unpartitioned window), then broadcasts back onto the
+    per-source histogram for the below-bar census."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.trim(F.col("text")), F.lit(" "))
+    words = F.length(
+        F.replace(
+            F.regexp_replace(F.trim(F.col("text")), "[^ ]+", "x"),
+            F.lit(" "),
+            F.lit(""),
+        )
+    ).cast("long")
+    stop = sum(
+        _occurrences(padded, f" {w} ") for w in ("the", "a", "and", "of")
+    )
+    scored = docs.select(
+        "source",
+        stop.alias("n_stop"),
+        words.alias("n_words"),
+    ).select(
+        "source",
+        (F.col("n_stop") * 1000 / F.greatest(F.col("n_words"), F.lit(1)))
+        .cast("long")
+        .alias("score"),
+    )
+    c = scored.groupBy("source", "score").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source")
+    w = c.select(
+        "source",
+        "score",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    ps = w.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("score"))
+        ).cast("long").alias("p50_score"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("score"))
+        ).cast("long").alias("p90_score"),
+    )
+    hist = c.groupBy("score").agg(F.sum("cnt").alias("cnt"))
+    packed = hist.agg(
+        F.sort_array(F.collect_list(F.struct("score", "cnt"))).alias("arr"),
+        F.sum("cnt").alias("tot"),
+    )
+    gm = packed.select(
+        F.expr(
+            "aggregate(arr, named_struct('cum', 0L, 'med', -1L),"
+            " (a, x) -> named_struct("
+            "   'cum', a.cum + x.cnt,"
+            "   'med', IF(a.med >= 0, a.med,"
+            "             IF(2 * (a.cum + x.cnt) >= tot, x.score, -1L)))"
+            ").med"
+        ).cast("long").alias("global_med")
+    )
+    below = (
+        c.crossJoin(F.broadcast(gm))
+        .where(F.col("score") < F.col("global_med"))
+        .groupBy("source")
+        .agg(F.sum("cnt").cast("long").alias("n_below"))
+    )
+    return (
+        ps.crossJoin(F.broadcast(gm))
+        .join(below, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "p50_score",
+            "p90_score",
+            "global_med",
+            F.coalesce(F.col("n_below"), F.lit(0))
+            .cast("long")
+            .alias("n_below_global"),
+            F.expr(
+                "coalesce(n_below, 0L) * 1000000 DIV n_docs"
+            ).cast("long").alias("below_ppm"),
+        )
+    )
+
+
+_QUALITY_CALIBRATION = """
+WITH t AS (
+  SELECT source,
+         ' ' || trim(text) || ' ' AS padded,
+         CAST(length(replace(regexp_replace(trim(text), '[^ ]+', 'x', 'g'),
+                             ' ', '')) AS BIGINT) AS n_words
+  FROM documents
+), s AS (
+  SELECT source,
+     CAST(((length(padded) - length(replace(padded, ' the ', ''))) // 5
+        + (length(padded) - length(replace(padded, ' a ', ''))) // 3
+        + (length(padded) - length(replace(padded, ' and ', ''))) // 5
+        + (length(padded) - length(replace(padded, ' of ', ''))) // 4)
+        * 1000 // greatest(n_words, 1) AS BIGINT) AS score
+  FROM t
+), c AS (
+  SELECT source, score, CAST(count(*) AS BIGINT) AS cnt
+  FROM s GROUP BY 1, 2
+), w AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY source ORDER BY score
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM c
+), ps AS (
+  SELECT source,
+         CAST(max(n) AS BIGINT) AS n_docs,
+         CAST(min(CASE WHEN 2 * cum >= n THEN score END) AS BIGINT)
+           AS p50_score,
+         CAST(min(CASE WHEN 10 * cum >= 9 * n THEN score END) AS BIGINT)
+           AS p90_score
+  FROM w GROUP BY source
+), g AS (
+  SELECT score, sum(cnt) AS cnt FROM c GROUP BY score
+), gw AS (
+  SELECT score,
+         sum(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS n
+  FROM g
+), gm AS (
+  SELECT CAST(min(CASE WHEN 2 * cum >= n THEN score END) AS BIGINT)
+           AS global_med
+  FROM gw
+), b AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_below
+  FROM c CROSS JOIN gm WHERE score < global_med GROUP BY source
+)
+SELECT ps.source, ps.n_docs, ps.p50_score, ps.p90_score, gm.global_med,
+       CAST(coalesce(b.n_below, 0) AS BIGINT) AS n_below_global,
+       CAST(coalesce(b.n_below, 0) * 1000000 // ps.n_docs AS BIGINT)
+         AS below_ppm
+FROM ps CROSS JOIN gm LEFT JOIN b ON ps.source = b.source
+"""
+
+
 SEMDEDUP_DIMS = 4   # quantized prefix dims — the coarse semantic key
 SEMDEDUP_SCALE = 4  # power of two: f32 -> f64 widen + *4 are both exact
 
@@ -9220,9 +9380,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_time_weighted_avg demoted r04e: green r03 + judge re-run;
         # the window-timeseries family keeps q_rolling_24h and
         # q_counter_rate in the head)
-        # r04e: PAA + SAX symbolic downsampling (never driver-verified,
-        # promoted on arrival)
-        "q_sax_paa": q_sax_paa,
+        # (q_sax_paa demoted r05m: green r04; the SAX family keeps
+        # q_sax_motifs — whose first stage recomputes the same PAA +
+        # quartile symbols — in the head)
+        # r05m: per-source quality-threshold calibration over the
+        # bounded-score histogram (never driver-verified, promoted on
+        # arrival)
+        "q_quality_calibration": q_quality_calibration,
         # (q_asof_join demoted r04b: backward direction green r02/r03;
         # the as-of family keeps fwd + tol + nearest below)
         # (q_asof_fwd, q_asof_tol demoted r05: green r04; the as-of
@@ -9528,6 +9692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_tol": q_asof_tol,
         # r05m demotions (each green r04; family reps stay in the head)
         "q_acf_lags": q_acf_lags,
+        "q_sax_paa": q_sax_paa,
         "q_asof_nearest": q_asof_nearest,
         "q_interarrival": q_interarrival,
         "q_kmv_overlap": q_kmv_overlap,
@@ -9708,6 +9873,7 @@ FROM win
         "q_asof_nearest": _ASOF_NEAREST,
         "q_asof_interp": _ASOF_INTERP,
         "q_trend_slope": _TREND_SLOPE,
+        "q_quality_calibration": _QUALITY_CALIBRATION,
         "q_key_skew": _KEY_SKEW,
         "q_semantic_dedup": _SEMANTIC_DEDUP,
         "q_token_fertility": _token_fertility_sql(),
