@@ -230,6 +230,89 @@ def test_quality_calibration_median_is_consistent(spark):
         assert 0 <= r["below_ppm"] < 1_000_000
 
 
+def test_bitmap_distinct_two_stacked_aggregations(spark):
+    """Bitmap words OR-combine map-side: exactly two exchanges, zero
+    windows, zero joins, no count(DISTINCT) expansion node."""
+    df = dc.q_bitmap_distinct(spark, SF_DIR)
+    tree = _tree(df)
+    assert tree.count("Exchange") == 2, tree
+    assert "Window" not in tree
+    assert "Join" not in tree
+    assert "Expand" not in tree  # the count-distinct rewrite we avoid
+
+
+def test_bitmap_words_or_merge_to_weekly_distinct(spark):
+    """The OR-mergeability claim: weekly distinct users derived by
+    bit_or-merging the DAILY word tables equals exact count(DISTINCT)
+    over the week — the cagg rollup story, exact."""
+    from pyspark.sql import functions as F
+    from tinybrain_spark.session import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) DIV 86400").alias("day"),
+        F.expr("CAST(user_id AS LONG) DIV 64").alias("w"),
+        F.expr(
+            "shiftleft(CAST(1 AS LONG), CAST(pmod(user_id, 64) AS INT))"
+        ).alias("b"),
+    )
+    daily = ev.groupBy("event_type", "day", "w").agg(
+        F.expr("bit_or(b)").alias("bits")
+    )
+    weekly = (
+        daily.withColumn("week", F.expr("day DIV 7"))
+        .groupBy("event_type", "week", "w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .groupBy("event_type", "week")
+        .agg(F.sum(F.expr("bit_count(bits)")).alias("n"))
+    )
+    direct = (
+        ev.withColumn("week", F.expr("day DIV 7"))
+        .groupBy("event_type", "week")
+        .agg(F.countDistinct("w", "b").alias("n"))
+    )
+    got = {(r[0], r[1]): r[2] for r in weekly.collect()}
+    want = {(r[0], r[1]): r[2] for r in direct.collect()}
+    assert got == want
+
+
+def test_user_streaks_hand_case(spark):
+    """Islands on a hand-built activity log: 3-day + 2-day streaks and
+    a singleton; the singleton-only user is filtered by the >=2 gate."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, d) for d in (10, 11, 12, 20, 21, 30)]
+        + [(2, d) for d in (5, 9, 40)],
+        "user_id long, day long",
+    )
+    isl = ev.select(
+        "user_id",
+        "day",
+        (
+            F.col("day")
+            - F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy("day")
+            )
+        ).alias("isl"),
+    )
+    runs = isl.groupBy("user_id", "isl").agg(F.count("*").alias("len"))
+    out = {
+        r["user_id"]: (r["longest"], r["n_streaks"], r["active"])
+        for r in runs.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest"),
+            F.count("*").alias("n_streaks"),
+            F.sum("len").alias("active"),
+        )
+        .collect()
+    }
+    assert out[1] == (3, 3, 6)
+    assert out[2] == (1, 3, 3)
+
+
 def test_semantic_dedup_buckets_partition_vectors(spark):
     """Every vector lands in exactly one bucket (counts partition the
     table) and each keep_vec_id is a member of its own bucket (min)."""

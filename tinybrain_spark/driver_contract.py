@@ -9263,6 +9263,118 @@ FROM ps CROSS JOIN gm LEFT JOIN b ON ps.source = b.source
 """
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per (event_type, day) via bitmap words —
+    the roaring-bitmap shape (ClickHouse groupBitmap / Kylin bitmap
+    count-distinct) re-expressed on int64 words: user u sets bit
+    u % 64 of word u DIV 64, words OR-combine map-side, and the
+    distinct count is the sum of per-word popcounts.  Unlike
+    count(DISTINCT) — whose Spark rewrite expands every row into the
+    aggregation — the bitmap is a fixed-width, fully map-side-
+    combinable, OR-MERGEABLE state: daily word tables roll up to
+    weekly/monthly distinct by the same bit_or, the cagg story the
+    HLL sketch gives approximately, exact here.
+
+    Shape: two stacked map-side-combinable groupBys; the one
+    event-wide exchange carries (type, day, word_idx, 8-byte word) —
+    at most distinct_users/64 rows per group survive the map side.
+    The oracle computes count(DISTINCT user_id) directly, so the gate
+    proves the bitmap path EQUALS exact distinct, not just that both
+    engines agree on the same trick."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) DIV 86400").alias("day"),
+        F.expr("CAST(user_id AS LONG) DIV 64").alias("w"),
+        F.expr(
+            "shiftleft(CAST(1 AS LONG), CAST(pmod(user_id, 64) AS INT))"
+        ).alias("b"),
+    )
+    words = ev.groupBy("event_type", "day", "w").agg(
+        F.expr("bit_or(b)").alias("bits")
+    )
+    return words.groupBy("event_type", "day").agg(
+        F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_distinct"),
+        F.count("*").cast("long").alias("n_words"),
+    ).select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "n_distinct",
+        "n_words",
+    )
+
+
+_BITMAP_DISTINCT = """
+SELECT event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words
+FROM events GROUP BY 1, 2
+"""
+
+
+STREAK_MIN_DAYS = 2  # emit users with at least one >=2-day streak
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (the engagement
+    metric every product dashboard carries): longest streak, number of
+    distinct streaks, and total active days, for users whose best
+    streak reaches STREAK_MIN_DAYS.  Classic gaps-and-islands:
+    island = day - row_number over the user's distinct active days.
+
+    Shape: the raw table collapses to distinct (user, day) in ONE
+    map-side-combinable groupBy; the islands window partitions by
+    user over ACTIVE-DAY rows (bounded by the calendar, never raw
+    traffic), and the two stacked groupBys reuse the same hash
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.expr("CAST(unix_timestamp(ts) AS LONG) DIV 86400").alias("day"),
+    )
+    ad = ev.groupBy("user_id", "day").agg(F.lit(1).alias("one")).drop("one")
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ad.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("isl"),
+    )
+    runs = isl.groupBy("user_id", "isl").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count("*").cast("long").alias("n_streaks"),
+            F.sum("len").cast("long").alias("n_active_days"),
+        )
+        .where(F.col("longest_streak") >= STREAK_MIN_DAYS)
+    )
+
+
+_USER_STREAKS = f"""
+WITH ad AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS isl
+  FROM ad
+), runs AS (
+  SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id
+HAVING max(len) >= {STREAK_MIN_DAYS}
+"""
+
+
 SEMDEDUP_DIMS = 4   # quantized prefix dims — the coarse semantic key
 SEMDEDUP_SCALE = 4  # power of two: f32 -> f64 widen + *4 are both exact
 
@@ -9513,8 +9625,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (never driver-verified, promoted on arrival)
         "q_key_skew": q_key_skew,
         "q_decay_topk": q_decay_topk,
-        # r04f: exact fixed-point PageRank (iterative dataflow exemplar)
-        "q_pagerank": q_pagerank,
+        # (q_pagerank demoted r05m: green r04; the graph family keeps
+        # q_triangle_counts + q_markov_transitions in the head, and the
+        # iterative-dataflow machinery stays pytest-stressed via
+        # star-CC)
+        # r05m: exact bitmap-word count-distinct (OR-mergeable) —
+        # never driver-verified, promoted on arrival
+        "q_bitmap_distinct": q_bitmap_distinct,
         # r04f: behavioral transition matrix + maximal duplicated spans
         # (never driver-verified, promoted on arrival)
         "q_markov_transitions": q_markov_transitions,
@@ -9559,8 +9676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_cagg_hierarchy demoted r05l: green r04; the cagg family
         # keeps q_cagg_refresh — the invalidation superset — and the
         # CDC stream end-state in the head)
-        # r04d: retention enforcement graded in the driver
-        "q_retention_ladder": q_retention_ladder,
+        # (q_retention_ladder demoted r05m: green r04; the retention
+        # family keeps q_retention_policy — the sweep planner — in the
+        # head, and enforcement stays pinned in test_retention.py)
+        # r05m: consecutive-day activity streaks (gaps-and-islands
+        # over distinct active days) — never driver-verified,
+        # promoted on arrival
+        "q_user_streaks": q_user_streaks,
         # r05c: the tier sweeper's keep/downsample/drop work plan
         # (never driver-verified, promoted on arrival)
         "q_retention_policy": q_retention_policy,
@@ -9693,6 +9815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05m demotions (each green r04; family reps stay in the head)
         "q_acf_lags": q_acf_lags,
         "q_sax_paa": q_sax_paa,
+        "q_pagerank": q_pagerank,
+        "q_retention_ladder": q_retention_ladder,
         "q_asof_nearest": q_asof_nearest,
         "q_interarrival": q_interarrival,
         "q_kmv_overlap": q_kmv_overlap,
@@ -9874,6 +9998,8 @@ FROM win
         "q_asof_interp": _ASOF_INTERP,
         "q_trend_slope": _TREND_SLOPE,
         "q_quality_calibration": _QUALITY_CALIBRATION,
+        "q_bitmap_distinct": _BITMAP_DISTINCT,
+        "q_user_streaks": _USER_STREAKS,
         "q_key_skew": _KEY_SKEW,
         "q_semantic_dedup": _SEMANTIC_DEDUP,
         "q_token_fertility": _token_fertility_sql(),
