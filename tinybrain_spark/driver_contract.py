@@ -9437,6 +9437,354 @@ FROM q GROUP BY bucket8
 """
 
 
+FANO_HOURS_MAX = 8192  # per-source observed hours: keeps n_hours*s2 < 2^58
+
+
+def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source burstiness census: the Fano factor (variance/mean) of
+    each event type's hourly count series — the overdispersion
+    diagnostic that separates Poisson-ish steady traffic (F≈1) from
+    bursty arrivals (F>>1).  Emitted milli-scaled as an EXACT integer:
+    F = (n*S2 - S1²)/(n*S1) with num >= 0 (Cauchy-Schwarz) and den > 0,
+    so DuckDB's truncating // and Spark's DIV agree; the milli digits
+    come from the remainder (trend_slope's split-division trick) so
+    num*1000 is never formed.
+
+    Overflow budget: per-bucket counts < 2^16 (runtime raise in
+    _hourly_counts) and n_hours <= 8192 (raise here) keep
+    n*S2 < 2^13 * (2^13 * 2^32) = 2^58.  Shape: one map-side-combinable
+    groupBy to hourly buckets, a second tiny groupBy to |sources| rows —
+    raw events never shuffle."""
+    hourly = _hourly_counts(spark, sf_dir)
+    g = hourly.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    ).select(
+        "source",
+        F.when(F.col("n_hours") <= FANO_HOURS_MAX, F.col("n_hours"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"q_fano_factor: > {FANO_HOURS_MAX} observed "
+                        "hours breaks the overflow budget; shard the "
+                        "series by season first: "
+                    ),
+                    F.col("n_hours").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("n_hours"),
+        "s1",
+        "s2",
+    )
+    staged = g.select(
+        "source",
+        "n_hours",
+        "s1",
+        (F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")).alias(
+            "num"
+        ),
+        (F.col("n_hours") * F.col("s1")).alias("den"),
+    )
+    return staged.select(
+        "source",
+        "n_hours",
+        F.expr("(s1 * 1000) DIV n_hours").cast("long").alias("mean_milli"),
+        (
+            F.expr("num DIV den") * 1000
+            + F.expr("((num % den) * 1000) DIV den")
+        ).cast("long").alias("fano_milli"),
+    )
+
+
+_FANO_FACTOR = f"""
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS tb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(n) AS BIGINT) AS s1,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM hourly GROUP BY source
+), s AS (
+  SELECT source, n_hours, s1,
+         n_hours * s2 - s1 * s1 AS num,
+         n_hours * s1 AS den
+  FROM g
+)
+SELECT source, n_hours,
+       CAST((s1 * 1000) // n_hours AS BIGINT) AS mean_milli,
+       CAST((num // den) * 1000 + ((num % den) * 1000) // den AS BIGINT)
+         AS fano_milli
+FROM s
+"""
+
+
+BURST_X = 3  # fire when this hour's count > 3x the trailing mean
+BURST_MIN_PREV = 12  # need >= 12 trailing observed hours for a baseline
+
+
+def q_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-lite burst detection: flag hours whose event count
+    exceeds BURST_X times the mean of the trailing 24 OBSERVED hours
+    (gap hours carry no information here — an idle-then-spike pattern
+    is exactly what the detector must fire on).  The comparison is the
+    cross-multiplied integer form ``n * cnt_prev > BURST_X * sum_prev``
+    so no division happens; a burst needs >= BURST_MIN_PREV trailing
+    observations (cold-start hours can't fire).
+
+    Shape: one map-side-combinable groupBy to hourly buckets, then a
+    single ROWS-frame window per source over OBSERVED-hour rows —
+    bounded by the calendar, never by raw traffic.  The frame is
+    [24 PRECEDING, 1 PRECEDING]: identical semantics on both engines.
+    Overflow: n < 2^16 (guard in _hourly_counts), so n*cnt_prev < 2^21.
+    """
+    hourly = _hourly_counts(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("tb")
+        .rowsBetween(-24, -1)
+    )
+    b = hourly.select(
+        "source",
+        F.col("tb").cast("long").alias("tb"),
+        "n",
+        F.sum("n").over(w).cast("long").alias("sum_prev"),
+        F.count("n").over(w).cast("long").alias("cnt_prev"),
+    )
+    return b.where(
+        (F.col("cnt_prev") >= BURST_MIN_PREV)
+        & (F.col("n") * F.col("cnt_prev") > BURST_X * F.col("sum_prev"))
+    )
+
+
+_BURST_HOURS = f"""
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS tb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT source, tb, n,
+         CAST(sum(n) OVER w AS BIGINT) AS sum_prev,
+         CAST(count(n) OVER w AS BIGINT) AS cnt_prev
+  FROM hourly
+  WINDOW w AS (PARTITION BY source ORDER BY tb
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT source, tb, n, sum_prev, cnt_prev
+FROM b
+WHERE cnt_prev >= {BURST_MIN_PREV} AND n * cnt_prev > {BURST_X} * sum_prev
+"""
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of the documents table — the
+    completeness/cardinality audit every ingest pipeline runs before
+    training (null rate, exact distinct count, value-length range) for
+    each string column.  ONE pass over the table computes all fifteen
+    aggregates (Catalyst plans the multi-DISTINCT via Expand), then a
+    3-element inline array unpivots the single row — no second scan, no
+    UNION of scans.
+
+    Scale note: exact count(DISTINCT) on three columns is the oracle-
+    parity choice; at 100 TB the same query shape takes
+    approx_count_distinct and drops the Expand."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["text", "lang", "source"]
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.isnull(c).cast("long")).cast("long").alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"dist_{c}"),
+            F.min(F.length(c)).cast("long").alias(f"minl_{c}"),
+            F.max(F.length(c)).cast("long").alias(f"maxl_{c}"),
+        ]
+    one = docs.agg(*aggs)
+    packed = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"null_{c}").alias("n_null"),
+                        F.col(f"dist_{c}").alias("n_distinct"),
+                        F.col(f"minl_{c}").alias("min_len"),
+                        F.col(f"maxl_{c}").alias("max_len"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return packed.select("p.*")
+
+
+_COLUMN_PROFILE = """
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_text,
+         CAST(count(DISTINCT text) AS BIGINT) AS dist_text,
+         CAST(min(length(text)) AS BIGINT) AS minl_text,
+         CAST(max(length(text)) AS BIGINT) AS maxl_text,
+         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_lang,
+         CAST(count(DISTINCT lang) AS BIGINT) AS dist_lang,
+         CAST(min(length(lang)) AS BIGINT) AS minl_lang,
+         CAST(max(length(lang)) AS BIGINT) AS maxl_lang,
+         CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_source,
+         CAST(count(DISTINCT source) AS BIGINT) AS dist_source,
+         CAST(min(length(source)) AS BIGINT) AS minl_source,
+         CAST(max(length(source)) AS BIGINT) AS maxl_source
+  FROM documents
+)
+SELECT 'text' AS column_name, n_rows, null_text AS n_null,
+       dist_text AS n_distinct, minl_text AS min_len, maxl_text AS max_len
+FROM a
+UNION ALL
+SELECT 'lang', n_rows, null_lang, dist_lang, minl_lang, maxl_lang FROM a
+UNION ALL
+SELECT 'source', n_rows, null_source, dist_source, minl_source, maxl_source
+FROM a
+"""
+
+
+CHG_MIN_HOURS = 8  # a split needs at least this many observations
+CHG_HOURS_MAX = 8192  # keeps diff = s_l*n_r - s_r*n_l < 2^42 (exact double)
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint (first split) per event type's
+    observed hourly count series: the k maximizing the between-segment
+    variance-reduction gain (s_l*n_r - s_r*n_l)² / (n_l*n_r) — the
+    level-shift detector behind retention-tier re-baselining.
+
+    Float contract: the gain ORDERS candidates only; it is a
+    deterministic IEEE double built from identical int64 inputs
+    (|diff| < 2^42 < 2^53, so the cast is exact and dd*dd rounds
+    identically on both engines).  The OUTPUT is float-free: the exact
+    integer moment pair (diff_abs, den) plus the argmax position; ties
+    break toward the earliest split (row_number ... gain DESC, rn ASC).
+
+    Shape: one map-side-combinable groupBy to hourly buckets, one
+    window sort per source over observed-hour rows (calendar-bounded),
+    and a second same-partitioning window for the argmax — raw events
+    never shuffle.  Overflow: n < 2^16 (_hourly_counts raise) and
+    n_hours <= 8192 (raise here)."""
+    hourly = _hourly_counts(spark, sf_dir)
+    wo = Window.partitionBy("source").orderBy("tb")
+    wp = Window.partitionBy("source")
+    st = hourly.select(
+        "source",
+        F.col("tb").cast("long").alias("tb"),
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.sum("n")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.count("*").over(wp).cast("long").alias("nn0"),
+        F.sum("n").over(wp).cast("long").alias("s"),
+    ).select(
+        "source",
+        "tb",
+        "rn",
+        "cum",
+        F.when(F.col("nn0") <= CHG_HOURS_MAX, F.col("nn0"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"q_changepoint: > {CHG_HOURS_MAX} observed "
+                        "hours breaks the exact-double budget; shard "
+                        "the series by season first: "
+                    ),
+                    F.col("nn0").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("nn"),
+        "s",
+    )
+    cand = st.where(
+        (F.col("rn") < F.col("nn")) & (F.col("nn") >= CHG_MIN_HOURS)
+    ).select(
+        "source",
+        "tb",
+        "rn",
+        "nn",
+        (
+            F.col("cum") * (F.col("nn") - F.col("rn"))
+            - (F.col("s") - F.col("cum")) * F.col("rn")
+        ).alias("diff"),
+        (F.col("rn") * (F.col("nn") - F.col("rn"))).alias("den"),
+    )
+    gain = (
+        F.col("diff").cast("double")
+        * F.col("diff").cast("double")
+        / F.col("den").cast("double")
+    )
+    rk = cand.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                gain.desc(), F.col("rn").asc()
+            )
+        ),
+    )
+    return rk.where(F.col("rnk") == 1).select(
+        "source",
+        F.col("nn").alias("n_hours"),
+        F.col("tb").alias("split_tb"),
+        F.col("rn").alias("left_hours"),
+        (F.col("nn") - F.col("rn")).alias("right_hours"),
+        F.abs(F.col("diff")).cast("long").alias("diff_abs"),
+        F.col("den").cast("long").alias("den"),
+    )
+
+
+_CHANGEPOINT = f"""
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS tb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT source, tb,
+         CAST(row_number() OVER wo AS BIGINT) AS rn,
+         CAST(sum(n) OVER (PARTITION BY source ORDER BY tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nn,
+         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS s
+  FROM hourly
+  WINDOW wo AS (PARTITION BY source ORDER BY tb)
+), cand AS (
+  SELECT source, tb, rn, nn,
+         cum * (nn - rn) - (s - cum) * rn AS diff,
+         rn * (nn - rn) AS den
+  FROM st WHERE rn < nn AND nn >= {CHG_MIN_HOURS}
+), rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source ORDER BY
+           (CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE))
+             / CAST(den AS DOUBLE) DESC, rn ASC) AS rnk
+  FROM cand
+)
+SELECT source, nn AS n_hours, tb AS split_tb, rn AS left_hours,
+       nn - rn AS right_hours, CAST(abs(diff) AS BIGINT) AS diff_abs,
+       CAST(den AS BIGINT) AS den
+FROM rk WHERE rnk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9632,9 +9980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05m: exact bitmap-word count-distinct (OR-mergeable) —
         # never driver-verified, promoted on arrival
         "q_bitmap_distinct": q_bitmap_distinct,
-        # r04f: behavioral transition matrix + maximal duplicated spans
-        # (never driver-verified, promoted on arrival)
-        "q_markov_transitions": q_markov_transitions,
+        # (q_markov_transitions demoted r05n: green r04; the sequence-
+        # behavior family keeps q_journey_paths in the head)
+        # r05n: binary-segmentation changepoint — integer moments out,
+        # deterministic-double gain ordering (never driver-verified,
+        # promoted on arrival)
+        "q_changepoint": q_changepoint,
         # (q_dup_islands demoted r05f: green r04; the substring-dup
         # family keeps q_dup_spans — the fingerprinted window stage
         # the islands merge composes on)
@@ -9671,8 +10022,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05m: tokenizer fertility by detected language — never
         # driver-verified, promoted on arrival
         "q_token_fertility": q_token_fertility,
-        # r04d: CDC upsert/delete stream -> targeted refresh end state
-        "q_stream_upsert_refresh": q_stream_upsert_refresh,
+        # (q_stream_upsert_refresh demoted r05n: green r04; the
+        # streaming family keeps q_stream_alert_episodes +
+        # q_stream_attribution in the head)
+        # r05n: trailing-baseline burst detection — cross-multiplied
+        # integer compare over a ROWS frame (never driver-verified,
+        # promoted on arrival)
+        "q_burst_hours": q_burst_hours,
         # (q_cagg_hierarchy demoted r05l: green r04; the cagg family
         # keeps q_cagg_refresh — the invalidation superset — and the
         # CDC stream end-state in the head)
@@ -9718,9 +10074,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_decontaminate demoted r04e: green r03; its strict superset
         # q_bloom_decontaminate below reuses the SAME exact verify join
         # and emits the same n_shared column under the hard gate)
-        # r04d: bloom pre-filter + exact verify (never driver-verified,
+        # (q_bloom_decontaminate demoted r05n: green r04; the
+        # decontamination family keeps q_split_leakage in the head)
+        # r05n: one-pass multi-DISTINCT column profile — the ingest
+        # completeness/cardinality audit (never driver-verified,
         # promoted on arrival)
-        "q_bloom_decontaminate": q_bloom_decontaminate,
+        "q_column_profile": q_column_profile,
         # r04e: substring-level dedup + corpus-mixing overlap matrix
         # (never driver-verified, promoted on arrival)
         "q_dup_spans": q_dup_spans,
@@ -9795,8 +10154,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_multimodal_frames demoted r04f: green r03; the multimodal
         # family keeps q_multimodal_decode + q_wav_decode — the REAL
         # byte-format decoders — in the head)
-        # r04: real PPM parse behind the binary plumbing, oracle-checked
-        "q_multimodal_decode": q_multimodal_decode,
+        # (q_multimodal_decode demoted r05n: green r04; the multimodal
+        # family keeps q_multimodal_gray — the other REAL byte-format
+        # decoder over the same mapInPandas plumbing — in the head)
+        # r05n: Fano-factor burstiness census — split-division exact
+        # milli-scaling (never driver-verified, promoted on arrival)
+        "q_fano_factor": q_fano_factor,
         # r05: the six r04f late additions promoted into the head — the
         # last registry queries without a lifetime driver row
         "q_span_corruption": q_span_corruption,
@@ -9812,6 +10175,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cagg_hierarchy": q_cagg_hierarchy,
         "q_asof_fwd": q_asof_fwd,
         "q_asof_tol": q_asof_tol,
+        # r05n demotions (each green r04; family reps stay in the head)
+        "q_markov_transitions": q_markov_transitions,
+        "q_stream_upsert_refresh": q_stream_upsert_refresh,
+        "q_bloom_decontaminate": q_bloom_decontaminate,
+        "q_multimodal_decode": q_multimodal_decode,
         # r05m demotions (each green r04; family reps stay in the head)
         "q_acf_lags": q_acf_lags,
         "q_sax_paa": q_sax_paa,
@@ -10035,6 +10403,10 @@ FROM win
         "q_sax_motifs": _sax_motifs_sql(),
         "q_weighted_sample": _WEIGHTED_SAMPLE,
         "q_haar_pyramid": _HAAR_PYRAMID,
+        "q_fano_factor": _FANO_FACTOR,
+        "q_burst_hours": _BURST_HOURS,
+        "q_column_profile": _COLUMN_PROFILE,
+        "q_changepoint": _CHANGEPOINT,
         "q_zorder_tiles": _ZORDER_TILES,
         "q_bigram_rarity": _BIGRAM_RARITY,
         "q_token_budget_fill": _TOKEN_BUDGET_FILL,
