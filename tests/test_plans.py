@@ -508,3 +508,39 @@ def test_triangle_counts_checkpointed_no_cartesian(spark):
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert_no_unpartitioned_windows(df)
+
+
+def test_json_props_stacked_aggregate_no_expand(spark):
+    """The single-DISTINCT census plans as a stacked aggregate —
+    partial (source, k) under final (source) — so exactly two bounded
+    exchanges, no Expand, no Window, no Join; raw events never
+    shuffle."""
+    df = dc.q_json_props(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "Expand" not in tree, tree
+    assert "Window" not in tree, tree
+    assert "Join" not in tree, tree
+
+
+def test_heartbeat_uptime_one_exchange_partitioned_windows(spark):
+    """Liveness islands ride ONE exchange on user_id: the lag and the
+    running island sum share the partitioning, and both groupBys
+    (island rollup, user rollup) are map-side-combinable on the same
+    keys — no second shuffle of event-sized data."""
+    df = dc.q_heartbeat_uptime(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+    assert_no_unpartitioned_windows(df)
+
+
+def test_zone_map_prune_two_stacked_groupbys(spark):
+    """Zone-map census: events -> (source, day) zone maps -> |sources|
+    rows, two map-side-combinable groupBys and nothing else — raw rows
+    never shuffle, no windows, no joins."""
+    df = dc.q_zone_map_prune(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "Window" not in tree, tree
+    assert "Join" not in tree, tree

@@ -1,0 +1,174 @@
+"""r05o operators: JSON-props extraction census, heartbeat liveness
+rollup (interval-union coverage), zone-map data-skipping diagnostic.
+
+Value-level correctness is pinned by the DuckDB oracle gate
+(tools/check_oracle.py); these tests pin the semantics differentially
+vs literal pandas recomputes of the same definitions, plus edge cases
+the fixture may not exercise (island chaining across exactly-TOL gaps,
+equal-timestamp heartbeats)."""
+
+import json
+
+import pandas as pd
+
+from tinybrain_spark import driver_contract as dc
+from tinybrain_spark.driver_contract import HEARTBEAT_TOL_S, ZONE_THRESH_CENTI
+
+from .test_plans import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# q_json_props
+# ---------------------------------------------------------------------------
+
+
+def test_json_props_differential_vs_literal(spark):
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "props"]
+    )
+    k = ev["props"].map(lambda s: json.loads(s).get("k"))
+    ref = (
+        pd.DataFrame({"source": ev["event_type"], "k": k})
+        .groupby("source")
+        .agg(
+            n_events=("k", "size"),
+            n_null=("k", lambda s: int(s.isna().sum())),
+            k_sum=("k", "sum"),
+            k_min=("k", "min"),
+            k_max=("k", "max"),
+            k_distinct=("k", "nunique"),
+        )
+        .reset_index()
+        .sort_values("source", ignore_index=True)
+    )
+    got = (
+        dc.q_json_props(spark, SF_DIR)
+        .toPandas()
+        .sort_values("source", ignore_index=True)
+    )
+    for c in ("n_events", "n_null", "k_sum", "k_min", "k_max", "k_distinct"):
+        assert got[c].astype("int64").tolist() == ref[c].astype(
+            "int64"
+        ).tolist(), c
+
+
+# ---------------------------------------------------------------------------
+# q_heartbeat_uptime
+# ---------------------------------------------------------------------------
+
+
+def _uptime_literal(user_es: list[int]) -> tuple[int, int, int]:
+    """(n_heartbeats, n_islands, live_s) by the interval-union
+    definition, walked literally."""
+    es = sorted(user_es)
+    islands = []
+    start = prev = es[0]
+    for t in es[1:]:
+        if t - prev > HEARTBEAT_TOL_S:
+            islands.append((start, prev))
+            start = t
+        prev = t
+    islands.append((start, prev))
+    live = sum(last - first + HEARTBEAT_TOL_S for first, last in islands)
+    return len(es), len(islands), live
+
+
+def test_heartbeat_differential_vs_literal(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    es = ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ref = {}
+    for uid, grp in pd.DataFrame({"u": ev["user_id"], "es": es}).groupby("u"):
+        ref[int(uid)] = _uptime_literal(grp["es"].tolist())
+    got = dc.q_heartbeat_uptime(spark, SF_DIR).toPandas()
+    assert len(got) == len(ref)
+    for row in got.itertuples():
+        assert (
+            int(row.n_heartbeats),
+            int(row.n_islands),
+            int(row.live_s),
+        ) == ref[int(row.user_id)], row.user_id
+
+
+def test_heartbeat_edges_chain_and_break(spark):
+    """Exactly-TOL gaps chain (<= semantics), TOL+1 breaks, and
+    equal-timestamp heartbeats stay in one island."""
+    rows = [
+        # user 1: 0, TOL, 2*TOL -> one island covering 2*TOL + TOL
+        (1, 0),
+        (1, HEARTBEAT_TOL_S),
+        (1, 2 * HEARTBEAT_TOL_S),
+        # user 2: 0, TOL+1 -> two islands, each covering TOL
+        (2, 0),
+        (2, HEARTBEAT_TOL_S + 1),
+        # user 3: duplicate timestamps -> one island, one TOL of cover
+        (3, 42),
+        (3, 42),
+    ]
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [
+            (u, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None))
+            for u, t in rows
+        ],
+        "user_id long, ts timestamp",
+    )
+    import tinybrain_spark.driver_contract as d
+
+    orig = d.load_table
+    d.load_table = lambda sp, sf, name: df
+    try:
+        got = {
+            int(r.user_id): (int(r.n_heartbeats), int(r.n_islands), int(r.live_s))
+            for r in dc.q_heartbeat_uptime(spark, "ignored").collect()
+        }
+    finally:
+        d.load_table = orig
+    assert got[1] == (3, 1, 3 * HEARTBEAT_TOL_S)
+    assert got[2] == (2, 2, 2 * HEARTBEAT_TOL_S)
+    assert got[3] == (2, 1, HEARTBEAT_TOL_S)
+
+
+# ---------------------------------------------------------------------------
+# q_zone_map_prune
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_differential_vs_literal(spark):
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    import numpy as np
+
+    vc = np.floor(ev["value"].to_numpy() * 100).astype("int64")
+    day = ev["ts"].astype("datetime64[ns]").dt.date
+    zones = (
+        pd.DataFrame({"source": ev["event_type"], "day": day, "vc": vc})
+        .groupby(["source", "day"])
+        .agg(n_rows=("vc", "size"), vmax=("vc", "max"))
+        .reset_index()
+    )
+    zones["pruned"] = (zones["vmax"] < ZONE_THRESH_CENTI).astype("int64")
+    ref = (
+        zones.groupby("source")
+        .agg(
+            n_buckets=("pruned", "size"),
+            n_pruned=("pruned", "sum"),
+            rows_pruned=("n_rows", lambda s: int((s * zones.loc[s.index, "pruned"]).sum())),
+            rows_total=("n_rows", "sum"),
+        )
+        .reset_index()
+        .sort_values("source", ignore_index=True)
+    )
+    got = (
+        dc.q_zone_map_prune(spark, SF_DIR)
+        .toPandas()
+        .sort_values("source", ignore_index=True)
+    )
+    for c in ("n_buckets", "n_pruned", "rows_pruned", "rows_total"):
+        assert got[c].astype("int64").tolist() == ref[c].astype(
+            "int64"
+        ).tolist(), c
+    # the probe threshold actually prunes something at this SF — a
+    # diagnostic that never fires pins nothing
+    assert int(got["n_pruned"].sum()) > 0

@@ -9785,6 +9785,202 @@ FROM rk WHERE rnk = 1
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction census: pull the integer payload out
+    of the events table's JSON ``props`` column (``get_json_object`` —
+    Spark's Catalyst-native JSON path evaluator, no Python) and profile
+    it per event type: count, null count, sum/min/max, exact distinct.
+    This is the schema-on-read audit a pipeline runs before promoting a
+    JSON blob column to a typed column.
+
+    Scale: pure per-row Catalyst extraction, and the single-DISTINCT
+    rewrite stacks a partial (source, k) aggregate under the final
+    (source) aggregate — two bounded exchanges (distinct (source, k)
+    pairs, then |types| rows), raw events never shuffle and no Expand
+    node appears (pinned).  Exact count(DISTINCT) is the oracle-parity
+    choice; the 100 TB variant swaps approx_count_distinct (or the
+    q_bitmap_distinct bitmap) in the same shape.  Malformed JSON yields
+    NULL on the Spark side by get_json_object's contract; the fixture
+    is well-formed so the oracle's stricter json_extract_string
+    agrees."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type").alias("source"), k.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.isnull("k").cast("long")).cast("long").alias("n_null"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.count_distinct(F.col("k")).cast("long").alias("k_distinct"),
+        )
+    )
+
+
+_JSON_PROPS = """
+WITH e AS (
+  SELECT event_type AS source,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+FROM e GROUP BY source
+"""
+
+
+HEARTBEAT_TOL_S = 900  # liveness window after each heartbeat (15 min)
+
+
+def q_heartbeat_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat liveness rollup (the timescaledb-toolkit
+    ``heartbeat_agg`` shape): each user's events are heartbeats that
+    assert liveness for HEARTBEAT_TOL_S seconds; the covered time is
+    the UNION of those intervals.  Consecutive heartbeats <= TOL apart
+    chain into one live island, so per island
+    ``covered = (last - first) + TOL`` and per user we emit island
+    count, heartbeat count, and total covered seconds.
+
+    Differs from q_sessionize (same gaps-and-islands machinery) in the
+    aggregate semantics: interval-union coverage seconds, not session
+    labels — equal-timestamp heartbeats land in one island regardless
+    of intra-second order, so no tie-break is needed.
+
+    Shape: one exchange on user_id, two same-partition window passes
+    (lag, then running island sum), then two map-side-combinable
+    groupBys.  Partitions are per-user — the same bound q_sessionize
+    carries; a pathologically hot user gets the (user, day) stitch
+    cure documented on q_interarrival."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es")
+    lagged = s.select(
+        "user_id",
+        "es",
+        F.lag("es").over(w).alias("prev"),
+    )
+    new_island = (
+        F.isnull("prev")
+        | (F.col("es") - F.col("prev") > F.lit(HEARTBEAT_TOL_S))
+    ).cast("long")
+    isl = lagged.select(
+        "user_id",
+        "es",
+        F.sum(new_island)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("n_hb"),
+        (F.max("es") - F.min("es") + HEARTBEAT_TOL_S).alias("covered"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_hb").cast("long").alias("n_heartbeats"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum("covered").cast("long").alias("live_s"),
+    )
+
+
+_HEARTBEAT_UPTIME = f"""
+WITH s AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), lagged AS (
+  SELECT user_id, es,
+         lag(es) OVER (PARTITION BY user_id ORDER BY es) AS prev
+  FROM s
+), isl AS (
+  SELECT user_id, es,
+         sum(CASE WHEN prev IS NULL OR es - prev > {HEARTBEAT_TOL_S}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY es
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM lagged
+), per_island AS (
+  SELECT user_id, island,
+         CAST(count(*) AS BIGINT) AS n_hb,
+         max(es) - min(es) + {HEARTBEAT_TOL_S} AS covered
+  FROM isl GROUP BY user_id, island
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(n_hb) AS BIGINT) AS n_heartbeats,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(covered) AS BIGINT) AS live_s
+FROM per_island GROUP BY user_id
+"""
+
+
+ZONE_THRESH_CENTI = 48000  # probe predicate: value >= 480.00
+
+
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping diagnostic: build per-(source, day) zone maps
+    (min/max of the centi-scaled value — exactly the file/row-group
+    stats Parquet footers and Iceberg manifests carry) and report, per
+    source, how much of the table a ``value >= 480`` scan could skip:
+    bucket count, prunable buckets (zone max below the predicate), and
+    the rows those buckets hold.  This is the planning query behind
+    partition-layout choices at 100 TB — it measures, before any
+    rewrite, what fraction of I/O a sort/cluster on ``value`` would
+    save.
+
+    Shape: two stacked map-side-combinable groupBys (events -> zone
+    maps -> |sources| rows); raw rows never shuffle.  Centi-scaling is
+    the registry's floor(value*100) convention, exact on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100).cast("long")
+    zones = (
+        ev.select(
+            F.col("event_type").alias("source"),
+            F.to_date("ts").alias("day"),
+            vc.alias("vc"),
+        )
+        .groupBy("source", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("vc").cast("long").alias("vmin"),
+            F.max("vc").cast("long").alias("vmax"),
+        )
+    )
+    pruned = (F.col("vmax") < ZONE_THRESH_CENTI).cast("long")
+    return zones.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(pruned).cast("long").alias("n_pruned"),
+        F.sum(F.col("n_rows") * pruned).cast("long").alias("rows_pruned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+    )
+
+
+_ZONE_MAP_PRUNE = f"""
+WITH zones AS (
+  SELECT event_type AS source, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vmin,
+         CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vmax
+  FROM events GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN vmax < {ZONE_THRESH_CENTI} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_pruned,
+       CAST(sum(CASE WHEN vmax < {ZONE_THRESH_CENTI} THEN n_rows ELSE 0 END)
+         AS BIGINT) AS rows_pruned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total
+FROM zones GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9881,7 +10077,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05d: exact integer p50/p95/max ribbon via the cumulative
         # histogram (never driver-verified, promoted on arrival)
         "q_slo_ribbon": q_slo_ribbon,
-        "q_gapfill_linear": q_gapfill_linear,
+        # (q_gapfill_linear demoted r05o: green r04; the interpolation
+        # family keeps q_asof_interp — the same linear-interpolate +
+        # LOCF/NOCB edge machinery at join time — in the head, and the
+        # zero/locf gap-fill reps hold >=2 green rounds in the tail)
+        # r05o: semi-structured JSON extraction census (never
+        # driver-verified, promoted on arrival)
+        "q_json_props": q_json_props,
         # (q_session_window demoted r05d: green r04; the streaming
         # family keeps q_stream_upsert_refresh + q_stream_attribution)
         # r05d: MAD robust outlier census — two exact-quantile passes
@@ -9972,7 +10174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05m: hot-key skew census — the shuffle/salting planner
         # (never driver-verified, promoted on arrival)
         "q_key_skew": q_key_skew,
-        "q_decay_topk": q_decay_topk,
+        # (q_decay_topk demoted r05o: green r04; the top-k family keeps
+        # q_heavy_hitters_mg — exact two-pass heavy hitters — and the
+        # TakeOrderedAndProject rep q_pmi_bigrams in the head)
+        # r05o: heartbeat liveness rollup (timescaledb heartbeat_agg
+        # shape) — interval-union coverage via gaps-and-islands (never
+        # driver-verified, promoted on arrival)
+        "q_heartbeat_uptime": q_heartbeat_uptime,
         # (q_pagerank demoted r05m: green r04; the graph family keeps
         # q_triangle_counts + q_markov_transitions in the head, and the
         # iterative-dataflow machinery stays pytest-stressed via
@@ -10088,7 +10296,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-verified, promoted on arrival
         "q_ngram_novelty": q_ngram_novelty,
         "q_split_leakage": q_split_leakage,
-        "q_source_overlap": q_source_overlap,
+        # (q_source_overlap demoted r05o: green r04; the source-
+        # membership overlap family keeps q_split_leakage — the same
+        # in-row pair-combination machinery over doc membership sets —
+        # and q_source_drift in the head; the KMV >64-source route
+        # stays merge-law-pinned in tests)
+        # r05o: zone-map data-skipping diagnostic — the partition-
+        # layout planner (never driver-verified, promoted on arrival)
+        "q_zone_map_prune": q_zone_map_prune,
         # r05b: pairwise fixed-point L1 distribution drift (never
         # driver-verified, promoted on arrival)
         "q_source_drift": q_source_drift,
@@ -10180,6 +10395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_upsert_refresh": q_stream_upsert_refresh,
         "q_bloom_decontaminate": q_bloom_decontaminate,
         "q_multimodal_decode": q_multimodal_decode,
+        # r05o demotions (each green r04; family reps stay in the head)
+        "q_gapfill_linear": q_gapfill_linear,
+        "q_decay_topk": q_decay_topk,
+        "q_source_overlap": q_source_overlap,
         # r05m demotions (each green r04; family reps stay in the head)
         "q_acf_lags": q_acf_lags,
         "q_sax_paa": q_sax_paa,
@@ -10370,6 +10589,9 @@ FROM win
         "q_user_streaks": _USER_STREAKS,
         "q_key_skew": _KEY_SKEW,
         "q_semantic_dedup": _SEMANTIC_DEDUP,
+        "q_json_props": _JSON_PROPS,
+        "q_heartbeat_uptime": _HEARTBEAT_UPTIME,
+        "q_zone_map_prune": _ZONE_MAP_PRUNE,
         "q_token_fertility": _token_fertility_sql(),
         "q_pmi_bigrams": _PMI_BIGRAMS,
         "q_ohlc_bars": _OHLC_BARS,
