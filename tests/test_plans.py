@@ -544,3 +544,39 @@ def test_zone_map_prune_two_stacked_groupbys(spark):
     assert tree.count("Exchange") == 2, tree
     assert "Window" not in tree, tree
     assert "Join" not in tree, tree
+
+
+def test_forecast_baseline_single_event_scan(spark):
+    """The hourly pre-aggregate is localCheckpoint-pinned: both sides
+    of the tb-168 self-join read the materialized table, events is
+    never scanned twice, and the join is broadcast at test SF — no
+    window anywhere."""
+    df = dc.q_forecast_baseline(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0, tree
+    assert "Window" not in tree, tree
+    assert "NestedLoop" not in tree, tree
+
+
+def test_join_cardinality_no_join_no_window(spark):
+    """The join-size estimate never runs the join it predicts: the
+    plan is two stacked aggregates plus the in-row pair Generate —
+    zero Join nodes, zero windows, one parquet scan."""
+    df = dc.q_join_cardinality(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert "Window" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Generate") == 1, tree
+
+
+def test_peak_concurrency_bounded_windows_no_raw_sort(spark):
+    """The sweep-line rides prefix.running_sums: the only Window is
+    _pid-partitioned (bounded per-partition sort), the offset table
+    comes back by broadcast, and the delta table was checkpointed —
+    no global Window.orderBy funnel anywhere."""
+    df = dc.q_peak_concurrency(spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    tree = _plan(df).split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "SortMergeJoin" not in tree, tree

@@ -172,3 +172,157 @@ def test_zone_map_differential_vs_literal(spark):
     # the probe threshold actually prunes something at this SF — a
     # diagnostic that never fires pins nothing
     assert int(got["n_pruned"].sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_baseline
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_baseline_differential_vs_literal(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "ts"])
+    tb = ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9 // 3600
+    hourly = (
+        pd.DataFrame({"source": ev["event_type"], "tb": tb})
+        .groupby(["source", "tb"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    prev = hourly.rename(columns={"n": "n_pred"}).copy()
+    prev["tb"] += 168
+    j = hourly.merge(prev, on=["source", "tb"])
+    j["abs_err"] = (j["n"] - j["n_pred"]).abs()
+    ref = (
+        j.groupby("source")
+        .agg(
+            n_scored=("abs_err", "size"),
+            sum_abs_err=("abs_err", "sum"),
+            worst_abs_err=("abs_err", "max"),
+        )
+        .reset_index()
+        .sort_values("source", ignore_index=True)
+    )
+    ref["mae_milli"] = (ref["sum_abs_err"] * 1000) // ref["n_scored"]
+    got = (
+        dc.q_forecast_baseline(spark, SF_DIR)
+        .toPandas()
+        .sort_values("source", ignore_index=True)
+    )
+    assert len(got) == len(ref)
+    for c in ("n_scored", "sum_abs_err", "worst_abs_err", "mae_milli"):
+        assert got[c].astype("int64").tolist() == ref[c].astype(
+            "int64"
+        ).tolist(), c
+
+
+# ---------------------------------------------------------------------------
+# q_join_cardinality
+# ---------------------------------------------------------------------------
+
+
+def test_join_cardinality_matches_actually_running_the_join(spark):
+    """The whole point: the estimate must equal the cardinality of the
+    join it predicts.  Run the real pandas join per type pair and
+    compare."""
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"]
+    )
+    got = dc.q_join_cardinality(spark, SF_DIR).toPandas()
+    types = sorted(ev["event_type"].unique())
+    for row in got.itertuples():
+        a = ev[ev["event_type"] == row.type_a][["user_id"]]
+        b = ev[ev["event_type"] == row.type_b][["user_id"]]
+        joined = a.merge(b, on="user_id")
+        assert int(row.join_rows) == len(joined), (row.type_a, row.type_b)
+        assert int(row.matched_keys) == joined["user_id"].nunique()
+        per = joined.groupby("user_id").size()
+        assert int(row.max_key_rows) == int(per.max())
+        assert row.type_a < row.type_b
+    # every pair with at least one co-occurring user is present
+    n_expected = sum(
+        1
+        for i, ta in enumerate(types)
+        for tb_ in types[i + 1 :]
+        if len(
+            set(ev[ev["event_type"] == ta]["user_id"])
+            & set(ev[ev["event_type"] == tb_]["user_id"])
+        )
+    )
+    assert len(got) == n_expected
+
+
+# ---------------------------------------------------------------------------
+# q_peak_concurrency
+# ---------------------------------------------------------------------------
+
+
+def _peak_literal(es_list, tol):
+    """Literal sweep: returns {day: peak} including day-start carry."""
+    deltas = [(t, 1) for t in es_list] + [(t + tol, -1) for t in es_list]
+    lo = min(t for t, _ in deltas) // 86400
+    hi = max(t for t, _ in deltas) // 86400
+    deltas += [(d * 86400, 0) for d in range(lo, hi + 1)]
+    deltas.sort()  # (t, d) with -1 < 0 < +1 at equal t
+    conc, peak = 0, {}
+    for t, d in deltas:
+        conc += d
+        day = t // 86400
+        peak[day] = max(peak.get(day, conc), conc)
+    return peak
+
+
+def test_peak_concurrency_differential_vs_literal(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts"])
+    es = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ).tolist()
+    ref = _peak_literal(es, dc.CONC_WINDOW_S)
+    got = {
+        int(r.day): int(r.peak)
+        for r in dc.q_peak_concurrency(spark, SF_DIR).collect()
+    }
+    assert got == ref
+
+
+def test_peak_concurrency_midnight_carry_in(spark):
+    """A day whose peak is entirely inherited from intervals opened
+    the previous day must still report it (the sentinel row), and a
+    half-open interval ending exactly at midnight does NOT count in
+    the new day."""
+    from datetime import datetime, timezone
+
+    tol = dc.CONC_WINDOW_S
+    day1 = 86400
+    rows = [
+        # two intervals open just before midnight and span into day 1
+        day1 - 10,
+        day1 - 5,
+        # one interval ends EXACTLY at midnight: [day1-tol, day1)
+        day1 - tol,
+        # day 1's own traffic: a single event much later
+        day1 + 40000,
+    ]
+    df = spark.createDataFrame(
+        [
+            (datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None),)
+            for t in rows
+        ],
+        "ts timestamp",
+    )
+    import tinybrain_spark.driver_contract as d
+
+    orig = d.load_table
+    d.load_table = lambda sp, sf, name: df
+    try:
+        got = {
+            int(r.day): int(r.peak)
+            for r in dc.q_peak_concurrency(spark, "ignored").collect()
+        }
+    finally:
+        d.load_table = orig
+    # day 0 peak: all three intervals overlap before midnight
+    assert got[0] == 3
+    # day 1 carry-in: the two near-midnight intervals are still open at
+    # 00:00 (the exact-midnight one is closed) -> sentinel reports 2
+    assert got[1] == 2

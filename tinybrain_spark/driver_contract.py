@@ -9981,6 +9981,239 @@ FROM zones GROUP BY source
 """
 
 
+FORECAST_SEASON_H = 168  # seasonal-naive horizon: same hour last week
+
+
+def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each hour's event
+    count by the SAME HOUR LAST WEEK and score the prediction — count
+    of scored hours, total/worst absolute error, and exact
+    integer-milli MAE per source.  This is the capacity-planning
+    baseline every anomaly detector / autoscaler is judged against
+    (if a model can't beat "last week, same hour", it ships nothing).
+
+    Shape: the hourly pre-aggregate joins to ITSELF on
+    (source, tb - 168) — an equi-join on a calendar-bounded table
+    (|sources| x |hours|), never on raw events; AQE broadcasts it at
+    small SF and a sort-merge on the same key is the 100 TB plan.
+    Hours with no prior-week observation are unscored (inner join) —
+    a gap is "no forecast", not "forecast 0".  All arithmetic exact
+    int64; MAE milli-digits via DIV (truncating on both engines;
+    sum_abs_err >= 0 so trunc == floor).  The hourly aggregate is
+    localCheckpoint-pinned so events is scanned ONCE — both join
+    sides read the materialized table (zero parquet scans survive
+    into the final plan, pinned)."""
+    h = _hourly_counts(spark, sf_dir).localCheckpoint()
+    prev = h.select(
+        "source",
+        (F.col("tb") + FORECAST_SEASON_H).alias("tb"),
+        F.col("n").alias("n_pred"),
+    )
+    j = h.join(prev, ["source", "tb"])
+    g = j.select(
+        "source", F.abs(F.col("n") - F.col("n_pred")).alias("abs_err")
+    ).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum("abs_err").cast("long").alias("sum_abs_err"),
+        F.max("abs_err").cast("long").alias("worst_abs_err"),
+    )
+    return g.select(
+        "source",
+        "n_scored",
+        "sum_abs_err",
+        "worst_abs_err",
+        F.expr("(sum_abs_err * 1000) DIV n_scored")
+        .cast("long")
+        .alias("mae_milli"),
+    )
+
+
+_FORECAST_BASELINE = f"""
+WITH hourly AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS tb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT h.source, abs(h.n - p.n) AS abs_err
+  FROM hourly h JOIN hourly p
+    ON h.source = p.source AND p.tb = h.tb - {FORECAST_SEASON_H}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+       CAST(max(abs_err) AS BIGINT) AS worst_abs_err,
+       CAST((sum(abs_err) * 1000) // count(*) AS BIGINT) AS mae_milli
+FROM j GROUP BY source
+"""
+
+
+JOINCARD_CNT_MAX = 1 << 20  # per-(user, type) count bound: prod < 2^40
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join: for every pair
+    of event types, the EXACT output cardinality of the inner join of
+    their event subsets on user_id — sum over users of cnt_a * cnt_b —
+    plus the matched-key count and the hottest key's contribution (the
+    skew share that decides salting).  This is the optimizer's
+    cardinality question answered from per-key histograms: the 100 TB
+    planner runs THIS before committing to a join order.
+
+    Shape (mirrors q_source_overlap's in-row pairing): one groupBy to
+    (user, type) counts, one groupBy collecting each user's <= |types|
+    (type, cnt) structs in-row, C(t,2) pair products built by nested
+    transform — the pair table the join WOULD produce never
+    materializes.  Overflow budget: per-key counts < 2^20 (runtime
+    raise) keep each product < 2^40.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("t"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    guarded = per.select(
+        "user_id",
+        "t",
+        F.when(F.col("c") < JOINCARD_CNT_MAX, F.col("c"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "q_join_cardinality: per-(user, type) count "
+                        "breaks the product overflow budget: "
+                    ),
+                    F.col("c").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("c"),
+    )
+    sets = guarded.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t").alias("t"), F.col("c").alias("c")))
+        ).alias("tc")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "tc",
+                    lambda a, i: F.transform(
+                        F.slice("tc", i + F.lit(2), F.size("tc")),
+                        lambda b: F.struct(
+                            a["t"].alias("type_a"),
+                            b["t"].alias("type_b"),
+                            (a["c"] * b["c"]).alias("prod"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b", "p.prod")
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("matched_keys"),
+        F.sum("prod").cast("long").alias("join_rows"),
+        F.max("prod").cast("long").alias("max_key_rows"),
+    )
+
+
+_JOIN_CARDINALITY = """
+WITH per AS (
+  SELECT user_id, event_type AS t, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT a.t AS type_a, b.t AS type_b,
+       CAST(count(*) AS BIGINT) AS matched_keys,
+       CAST(sum(a.c * b.c) AS BIGINT) AS join_rows,
+       CAST(max(a.c * b.c) AS BIGINT) AS max_key_rows
+FROM per a JOIN per b ON a.user_id = b.user_id AND a.t < b.t
+GROUP BY 1, 2
+"""
+
+
+CONC_WINDOW_S = 600  # each event asserts activity for 10 minutes
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day by a DISTRIBUTED sweep-line: every
+    event opens a half-open activity interval [es, es+600); the
+    concurrency function +1s at starts and -1s at ends, and the
+    per-day peak is the running sum's max over the day — the
+    capacity-sizing census (max simultaneous sessions) that a naive
+    per-instant self-join would quadratically die on.
+
+    Exactness at day boundaries: a midnight SENTINEL row (delta 0) per
+    day in the span captures the carry-in concurrency, so a day whose
+    peak is inherited from intervals opened the previous day still
+    reports it.  Tie order at one instant is (t, delta ASC): ends
+    (-1) before sentinels (0) before starts (+1) — the half-open
+    interval contract.
+
+    Shape: deltas pre-aggregate to (t, delta, net) — map-side combine
+    collapses same-second churn BEFORE any shuffle — then
+    prefix.running_sums supplies the global running sum with bounded
+    per-partition sorts (range partition + driver-cumulated offsets,
+    never a single-task Window.orderBy), and a final map-side
+    groupBy(day) takes the max."""
+    from . import prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    es = ev.select(F.unix_timestamp("ts").cast("long").alias("es"))
+    starts = es.select(F.col("es").alias("t"), F.lit(1).cast("long").alias("d"))
+    ends = es.select(
+        (F.col("es") + CONC_WINDOW_S).alias("t"),
+        F.lit(-1).cast("long").alias("d"),
+    )
+    bounds = starts.unionAll(ends).agg(
+        F.expr("min(t) DIV 86400").cast("long").alias("d0"),
+        F.expr("max(t) DIV 86400").cast("long").alias("d1"),
+    )
+    sentinels = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    ).select(
+        (F.col("day") * 86400).alias("t"), F.lit(0).cast("long").alias("d")
+    )
+    deltas = starts.unionAll(ends).unionAll(sentinels)
+    net = deltas.groupBy("t", "d").agg(F.sum("d").cast("long").alias("net"))
+    conc = prefix.running_sums(net, ["net"], order_cols=["t", "d"])
+    return (
+        conc.select(F.expr("t DIV 86400").cast("long").alias("day"), "rs_net")
+        .groupBy("day")
+        .agg(F.max("rs_net").cast("long").alias("peak"))
+    )
+
+
+_PEAK_CONCURRENCY = f"""
+WITH s AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), d0 AS (
+  SELECT es AS t, CAST(1 AS BIGINT) AS d FROM s
+  UNION ALL
+  SELECT es + {CONC_WINDOW_S}, CAST(-1 AS BIGINT) FROM s
+), bounds AS (
+  SELECT min(t) // 86400 AS lo, max(t) // 86400 AS hi FROM d0
+), sent AS (
+  SELECT (lo + g) * 86400 AS t, CAST(0 AS BIGINT) AS d
+  FROM bounds CROSS JOIN (
+    SELECT unnest(generate_series(0, (SELECT hi - lo FROM bounds))) AS g
+  ) gs
+), net AS (
+  SELECT t, d, CAST(sum(d) AS BIGINT) AS net
+  FROM (SELECT * FROM d0 UNION ALL SELECT * FROM sent)
+  GROUP BY t, d
+), conc AS (
+  SELECT t,
+         sum(net) OVER (ORDER BY t, d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM net
+)
+SELECT CAST(t // 86400 AS BIGINT) AS day, CAST(max(c) AS BIGINT) AS peak
+FROM conc GROUP BY t // 86400
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10016,9 +10249,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_mode_rollup_t1 demoted r04d: green r01-r03; mode family
         # keeps the w=8 scan-order rep below)
         "q_mode8_rollup_t1": _pool_query("mode", 8, 1, False),
-        # r04d: serving route-and-extend behind the oracle for the
-        # first time (tier-1 pyramid served at w^2 == the t2 oracle)
-        "q_serve_resolution": q_serve_resolution,
+        # (q_serve_resolution demoted r05o: green r04; the serving/
+        # retention-lifecycle family keeps q_retention_policy — the
+        # sweep + as-of-watermark half of the same tier lifecycle — in
+        # the head, and route-and-extend stays pinned to the _AVG_T2
+        # oracle in the tail plus test_serving.py)
+        # r05o: seasonal-naive forecast evaluation — the capacity-
+        # planning baseline (never driver-verified, promoted on
+        # arrival)
+        "q_forecast_baseline": q_forecast_baseline,
         # r05f: Morton-order locality bucketing for the 2-D tile store
         # (never driver-verified, promoted on arrival)
         "q_zorder_tiles": q_zorder_tiles,
@@ -10092,7 +10331,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_wav_decode demoted r05b: green r04; the multimodal family
         # keeps q_multimodal_decode — the other REAL byte-format
         # decoder over the same mapInPandas plumbing — in the head)
-        "q_m4_decimate": q_m4_decimate,
+        # (q_m4_decimate demoted r05o: green r04; the decimation/tier-
+        # encoder family keeps q_haar_pyramid — the reversible
+        # transform planner — in the head, the 2^24 argmin/argmax
+        # encoding stays exercised by q_ohlc_bars in the tail, and
+        # LTTB/EWMA remain test-pinned)
+        # r05o: distributed sweep-line peak concurrency — global
+        # prefix sum over pre-aggregated interval deltas with midnight
+        # carry-in sentinels (never driver-verified, promoted on
+        # arrival)
+        "q_peak_concurrency": q_peak_concurrency,
         # (q_counter_rate demoted r05b: green r04; the window-timeseries
         # family keeps q_rolling_distinct + q_histogram_quantile —
         # both RANGE/expand-frame consumers — in the head)
@@ -10110,9 +10358,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_rolling_24h demoted r05: green r04; the rolling-window
         # family keeps q_rolling_distinct + q_histogram_quantile +
         # q_counter_rate — all RANGE-frame consumers — in the head)
-        # r04d: exact sliding distinct via bounded 24x expand-join (the
-        # aggregate RANGE frames can't express) — never driver-verified
-        "q_rolling_distinct": q_rolling_distinct,
+        # (q_rolling_distinct demoted r05o: green r04; the exact-
+        # distinct family keeps q_bitmap_distinct — the OR-mergeable
+        # exact count-distinct — in the head, and the bounded bucket-
+        # expansion machinery stays exercised by q_interval_join in
+        # the tail with a green r04 row)
+        # r05o: exact join-output cardinality from per-key histograms
+        # — the optimizer's join-size question answered WITHOUT the
+        # join (never driver-verified, promoted on arrival)
+        "q_join_cardinality": q_join_cardinality,
         # r04: the scale-safe prefix-sum primitive, driver-verified
         # (q_global_running_sum demoted r05c: green r04; the prefix-
         # machinery family keeps q_pack_tokens and gains q_late_arrival
@@ -10399,6 +10653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gapfill_linear": q_gapfill_linear,
         "q_decay_topk": q_decay_topk,
         "q_source_overlap": q_source_overlap,
+        "q_serve_resolution": q_serve_resolution,
+        "q_m4_decimate": q_m4_decimate,
+        "q_rolling_distinct": q_rolling_distinct,
         # r05m demotions (each green r04; family reps stay in the head)
         "q_acf_lags": q_acf_lags,
         "q_sax_paa": q_sax_paa,
@@ -10592,6 +10849,9 @@ FROM win
         "q_json_props": _JSON_PROPS,
         "q_heartbeat_uptime": _HEARTBEAT_UPTIME,
         "q_zone_map_prune": _ZONE_MAP_PRUNE,
+        "q_forecast_baseline": _FORECAST_BASELINE,
+        "q_join_cardinality": _JOIN_CARDINALITY,
+        "q_peak_concurrency": _PEAK_CONCURRENCY,
         "q_token_fertility": _token_fertility_sql(),
         "q_pmi_bigrams": _PMI_BIGRAMS,
         "q_ohlc_bars": _OHLC_BARS,
