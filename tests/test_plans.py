@@ -580,3 +580,15 @@ def test_peak_concurrency_bounded_windows_no_raw_sort(spark):
     tree = _plan(df).split("\n\n")[0]
     assert tree.count("BroadcastHashJoin") == 1, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_ann_recall_single_sort_shared_window(spark):
+    """The exact rank and the bucket-restricted running count share one
+    (probe_id)-partitioned window sort — exactly 1 Sort and 1 Window
+    block in the plan; the probe side arrives by broadcast."""
+    df = dc.q_ann_recall(spark, SF_DIR)
+    tree = _plan(df).split("\n\n")[0]
+    assert tree.count("Sort") == 1, tree
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Exchange") == 2, tree
+    assert_no_unpartitioned_windows(df)

@@ -326,3 +326,49 @@ def test_peak_concurrency_midnight_carry_in(spark):
     # day 1 carry-in: the two near-midnight intervals are still open at
     # 00:00 (the exact-midnight one is closed) -> sentinel reports 2
     assert got[1] == 2
+
+
+# ---------------------------------------------------------------------------
+# q_ann_recall
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_matches_literal_numpy_eval(spark):
+    """Recompute recall@k literally: exact cosine top-k vs the
+    same-bucket-restricted top-k, buckets recomputed with the engine's
+    own bucket expression; the harness's counters must match."""
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy(dtype="int64")
+    mat = np.stack([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    from tinybrain_spark.similarity import lsh_bucket_expr
+    from pyspark.sql import functions as F
+
+    bdf = (
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
+            "vec_id long, embedding array<double>",
+        )
+        .select("vec_id", lsh_bucket_expr("embedding", 64).alias("b"))
+        .toPandas()
+    )
+    bucket = dict(zip(bdf["vec_id"], bdf["b"]))
+    k = dc._ANN_TOPK
+    got = {
+        int(r.probe_id): (int(r.n_approx), int(r.n_hits), int(r.recall_permille))
+        for r in dc.q_ann_recall(spark, SF_DIR).collect()
+    }
+    assert len(got) == dc._ANN_PROBES
+    for pi in range(dc._ANN_PROBES):
+        p = np.where(ids == pi)[0][0]
+        cos = (mat @ mat[p]) / (norms * norms[p])
+        order = sorted(
+            [(float(-cos[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != pi]
+        )
+        exact = {vid for _, vid in order[:k]}
+        same = [(c, vid) for c, vid in order if bucket[vid] == bucket[pi]]
+        approx = {vid for _, vid in same[:k]}
+        hits = len(exact & approx)
+        assert got[pi] == (len(approx), hits, (hits * 1000) // k), pi

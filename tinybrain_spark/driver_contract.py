@@ -10214,6 +10214,143 @@ FROM conc GROUP BY t // 86400
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN accountability: recall@k of the LSH-bucket search against
+    the exact cosine top-k, per probe — the eval harness that tells
+    you what the approximate path actually costs in quality before
+    you ship it (the IVF path's partial-probe recall is pinned in
+    tests/test_similarity.py; THIS query puts the LSH variant — whose
+    bucket function both engines can compute — under the oracle).
+
+    One scored table, ONE window sort: the exact rank and the
+    bucket-restricted rank share the same (probe_id) partition and
+    (cos DESC, vec_id) order — the bucket rank is a running
+    conditional count over the identical frame, so Catalyst plans a
+    single sort, and the per-probe aggregate is map-side combinable.
+    recall@k uses the standard fixed-k denominator (an under-filled
+    bucket scores what it scores).  This is a sampled-probes EVAL job
+    (broadcast cross-score over _ANN_PROBES probes), not a serving
+    path — the serving paths are q_ann_topk_ivf / q_ann_nn_bucketed."""
+    from .similarity import lsh_bucket_expr
+
+    k = _ANN_TOPK
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+            )
+        ).alias("norm"),
+        lsh_bucket_expr("embedding", 64).alias("bucket"),
+    )
+    probes = emb.where(F.col("vec_id") < _ANN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("norm").alias("pnorm"),
+        F.col("bucket").alias("pbucket"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                F.aggregate(
+                    F.zip_with("v", "pv", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (F.col("norm") * F.col("pnorm"))
+            ).alias("cos"),
+            (F.col("bucket") == F.col("pbucket")).cast("long").alias("same"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    rk = scored.select(
+        "probe_id",
+        "same",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("same")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("brun"),
+    )
+    agg = rk.groupBy("probe_id").agg(
+        F.sum(
+            (
+                (F.col("rnk") <= k)
+                & (F.col("same") == 1)
+                & (F.col("brun") <= k)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.sum(((F.col("same") == 1) & (F.col("brun") <= k)).cast("long"))
+        .cast("long")
+        .alias("n_approx"),
+    )
+    return agg.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.lit(k).cast("long").alias("k"),
+        "n_approx",
+        "n_hits",
+        F.expr(f"(n_hits * 1000) DIV {k}")
+        .cast("long")
+        .alias("recall_permille"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    from .similarity import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("CAST(embedding AS DOUBLE[])", 64)
+    k = _ANN_TOPK
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS norm,
+         CAST({bucket} AS BIGINT) AS bucket
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, v AS pv, norm AS pnorm, bucket AS pbucket
+  FROM e WHERE vec_id < {_ANN_PROBES}
+), scored AS (
+  SELECT p.probe_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                  i -> e.v[i] * p.pv[i])) / (e.norm * p.pnorm) AS cos,
+         CASE WHEN e.bucket = p.pbucket THEN 1 ELSE 0 END AS same
+  FROM e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id
+), rk AS (
+  SELECT probe_id, same,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id ASC) AS rnk,
+         sum(same) OVER (PARTITION BY probe_id
+                         ORDER BY cos DESC, vec_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS brun
+  FROM scored
+), agg AS (
+  SELECT probe_id,
+         CAST(sum(CASE WHEN rnk <= {k} AND same = 1 AND brun <= {k}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(sum(CASE WHEN same = 1 AND brun <= {k}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_approx
+  FROM rk GROUP BY probe_id
+)
+SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       CAST({k} AS BIGINT) AS k,
+       n_approx, n_hits,
+       CAST((n_hits * 1000) // {k} AS BIGINT) AS recall_permille
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10542,9 +10679,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # completeness/cardinality audit (never driver-verified,
         # promoted on arrival)
         "q_column_profile": q_column_profile,
-        # r04e: substring-level dedup + corpus-mixing overlap matrix
-        # (never driver-verified, promoted on arrival)
-        "q_dup_spans": q_dup_spans,
+        # (q_dup_spans demoted r05o: green r04; the substring-dup
+        # family keeps q_ngram_novelty — the same post-explode shingle
+        # fingerprint machinery (md5-derived BIGINT, min-doc_id
+        # first-occurrence) — and q_split_leakage in the head; the
+        # index-explode plan lesson stays pinned in test_plans.py)
+        # r05o: recall@k of the LSH-bucket search vs the exact top-k —
+        # the approximate-path accountability eval (never
+        # driver-verified, promoted on arrival)
+        "q_ann_recall": q_ann_recall,
         # r05l: per-doc corpus-novelty curve (first-occurrence distinct
         # shingles) + within-corpus train/test window contamination —
         # never driver-verified, promoted on arrival
@@ -10656,6 +10799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_serve_resolution": q_serve_resolution,
         "q_m4_decimate": q_m4_decimate,
         "q_rolling_distinct": q_rolling_distinct,
+        "q_dup_spans": q_dup_spans,
         # r05m demotions (each green r04; family reps stay in the head)
         "q_acf_lags": q_acf_lags,
         "q_sax_paa": q_sax_paa,
@@ -10852,6 +10996,7 @@ FROM win
         "q_forecast_baseline": _FORECAST_BASELINE,
         "q_join_cardinality": _JOIN_CARDINALITY,
         "q_peak_concurrency": _PEAK_CONCURRENCY,
+        "q_ann_recall": _ann_recall_sql(),
         "q_token_fertility": _token_fertility_sql(),
         "q_pmi_bigrams": _PMI_BIGRAMS,
         "q_ohlc_bars": _OHLC_BARS,
