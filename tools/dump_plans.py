@@ -128,6 +128,24 @@ BLURBS = {
         "groupBy to the |types|^2 table, full-frame totals window over "
         "that tiny table — one scan, no join."
     ),
+    "q_peak_concurrency": (
+        "Distributed sweep-line: interval deltas pre-aggregate to "
+        "(t, d, net) map-side BEFORE any shuffle, the global running "
+        "sum rides prefix.running_sums (range partition + broadcast "
+        "offsets, _pid-partitioned window only), final day groupBy — "
+        "no single-task timeline sort at any event volume."
+    ),
+    "q_join_cardinality": (
+        "Join-size estimation with ZERO Join nodes: per-key histogram "
+        "groupBy, in-row C(t,2) pair products (the pair table the join "
+        "would produce never materializes), tiny final groupBy."
+    ),
+    "q_ann_recall": (
+        "Exact rank and bucket-restricted rank share ONE (probe_id) "
+        "window sort — row_number + running conditional count over the "
+        "identical frame; probes broadcast, per-probe aggregate "
+        "map-side combinable."
+    ),
 }
 
 
