@@ -76,12 +76,26 @@ def test_gapfill_uses_single_shuffle_side_broadcast(spark):
 
 def test_ngram_jaccard_df_cap_bounds_self_join(spark):
     """The shingle self-join must be preceded by the document-frequency
-    window filter (df <= CAP) so no join key fans out quadratically."""
-    plan = _plan(dc.q_ngram_jaccard(spark, SF_DIR))
-    # the cap filter is a window count over sh partitions
-    assert "count(1)" in plan and "windowspecdefinition(sh" in plan
+    window filter (df <= CAP) so no join key fans out quadratically —
+    and (r05p) every shingle shuffle carries the 8-byte f8 fingerprint,
+    with ONE split(text) total (the index-explode shape; a
+    transform-built explode re-inlines split into every element_at —
+    cloned splits and lambdafunction nodes in the optimized plan,
+    r05j), and the capped table localCheckpoint-pinned so the four
+    consumer branches (a/b join sides, both size branches) never
+    recompute the scan->hash->window pipeline."""
+    stage = dc._ngram_rare_shingles(spark, SF_DIR)
+    plan = _plan(stage)
+    # the cap filter is a window count over f8 fingerprint partitions
+    assert "count(1)" in plan and "windowspecdefinition(f8" in plan
     cap_str = str(dc._NGRAM_DF_CAP)
     assert f"<= {cap_str}" in plan or f"(df_#" in plan
+    assert plan.count("split(") == 1, plan.count("split(")
+    assert "lambdafunction" not in plan
+    # the full query reads ONLY the materialized checkpoint
+    full = _plan(dc.q_ngram_jaccard(spark, SF_DIR))
+    assert "Scan parquet" not in full
+    assert "ExistingRDD" in full
 
 
 def test_topk_users_is_distributed_partial_topk(spark):

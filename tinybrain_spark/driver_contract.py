@@ -5058,6 +5058,50 @@ FROM bits GROUP BY doc_id
 _NGRAM_DF_CAP = 64  # drop shingles appearing in more docs than this
 
 
+def _ngram_rare_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, f8): the per-doc-distinct, DF-capped word-3-gram
+    fingerprint table q_ngram_jaccard self-joins (plan pinned in
+    tests/test_plans.py — this is the stage the checkpoint
+    materializes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    # guard: size() BEFORE sequence() — sequence(0, n) auto-steps -1
+    # when n < 0 (CLAUDE.md), so short docs take the empty branch
+    raw = w.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.when(
+                F.size("ws") >= 3,
+                F.sequence(F.lit(1), F.size("ws") - 2),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        _word_hash_expr(
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), 3))
+        ).alias("f8"),
+    )
+    # per-doc dedup AND the DF cap as two window functions over ONE
+    # f8-partitioned exchange (a groupBy+join formulation costs two
+    # extra exchanges; the self-join then reuses this hash
+    # partitioning on f8)
+    w_dedup = Window.partitionBy("f8").orderBy("doc_id")
+    dedup = (
+        raw.withColumn("prev", F.lag("doc_id").over(w_dedup))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("doc_id")))
+        .drop("prev")
+    )
+    return (
+        dedup.withColumn("df_", F.count("*").over(Window.partitionBy("f8")))
+        .where(F.col("df_") <= _NGRAM_DF_CAP)
+        .drop("df_")
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard similarity for candidate pairs sharing a
     RARE shingle, thresholded at 0.5 (pipeline op: n-gram Jaccard
@@ -5069,46 +5113,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs would otherwise produce k^2 join rows).  Jaccard is then
     defined consistently over the rare-shingle sets; the oracle applies
     the identical cap, and the join's per-key fan-out is <= CAP^2
-    regardless of corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.split(F.trim(F.col("text")), " +").alias("ws"),
-    )
-    raw = w.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("ws", i + 1),
-                    F.element_at("ws", i + 2),
-                    F.element_at("ws", i + 3),
-                ),
-            )
-        ).alias("sh"),
-    )
-    # per-doc dedup AND the DF cap as two window functions over ONE
-    # sh-partitioned exchange (a groupBy+join formulation costs two
-    # extra exchanges; the self-join below then reuses this hash
-    # partitioning on sh)
-    w_dedup = Window.partitionBy("sh").orderBy("doc_id")
-    dedup = (
-        raw.withColumn("prev", F.lag("doc_id").over(w_dedup))
-        .where(F.col("prev").isNull() | (F.col("prev") != F.col("doc_id")))
-        .drop("prev")
-    )
-    shingles = (
-        dedup.withColumn("df_", F.count("*").over(Window.partitionBy("sh")))
-        .where(F.col("df_") <= _NGRAM_DF_CAP)
-        .drop("df_")
-    )
+    regardless of corpus size.
+
+    Shape (r05p, the dup-spans treatment): the Generate explodes the
+    cheap INDEX sequence — never a transform()-built string array
+    (InferFiltersFromGenerate would re-inline split(text) into every
+    element_at, r05j) — and the shingle immediately collapses to the
+    md5-derived 56-bit BIGINT fingerprint in the flat post-explode
+    projection, so the sh-partitioned windows AND the self-join all
+    shuffle 8-byte longs instead of ~20-40-byte strings.  The oracle
+    hashes with the identical recipe, so even a 56-bit collision
+    behaves the same on both engines.
+
+    The capped shingle table is localCheckpoint-pinned (the
+    q_forecast_baseline precedent): without it, Catalyst recomputes
+    the whole scan->explode->hash->two-window pipeline FOUR times (the
+    a/b join sides plus both size branches — no ReusedExchange, their
+    pushed filters differ), which at 100 TB quadruples the dominant
+    stage; the checkpoint is a linear 16-byte-per-row (doc_id, f8)
+    table that every branch then re-reads."""
+    shingles = _ngram_rare_shingles(spark, sf_dir).localCheckpoint()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
-        a.join(b, on="sh")
+        a.join(b, on="f8")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
@@ -5137,19 +5166,20 @@ WITH w AS (
   FROM documents
 ), sh0 AS (
   SELECT DISTINCT doc_id,
-         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+               1, 14)) AS BIGINT) AS f8
   FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - 2
 ), sh AS (
-  SELECT sh0.doc_id, sh0.sh
+  SELECT sh0.doc_id, sh0.f8
   FROM sh0 JOIN (
-    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= {_NGRAM_DF_CAP}
-  ) rare ON sh0.sh = rare.sh
+    SELECT f8 FROM sh0 GROUP BY f8 HAVING count(*) <= {_NGRAM_DF_CAP}
+  ) rare ON sh0.f8 = rare.f8
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.f8 = b.f8 AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
