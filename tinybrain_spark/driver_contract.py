@@ -6057,18 +6057,25 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair self-join, same output schema with estimated counts — an
     answer at any source count instead of the r04 runtime raise.  The
     route is decided by a one-row aggregate over the (src, sh) table's
-    source column (cheap next to the distinct it feeds)."""
+    source column (cheap next to the distinct it feeds).
+
+    Shuffle width (r05q): the exact path's cross-doc dedup and the
+    source-set groupBy both key on the md5-derived 56-bit BIGINT
+    fingerprint of the shingle, not the ~20-40-byte string — shingle
+    text is never emitted, and the oracle hashes with the identical
+    recipe so even a collision behaves the same on both engines.  The
+    KMV route gets the raw string table: build_kmv hash32-es and
+    distincts (src, h) internally, so a pre-distinct on strings would
+    be a second, wider exchange for nothing."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(
-        docs, key=F.col("source").alias("src")
-    ).distinct()  # cross-doc (src, sh) dedup — the one required exchange
+    sh_raw = _doc_shingles(docs, key=F.col("source").alias("src"))
     n_src = docs.select(
         F.countDistinct("source").alias("n")
     ).collect()[0]["n"]
     if n_src > SOURCE_OVERLAP_MAX:
         from .kmv import build_kmv, pairwise_overlap
 
-        sk = build_kmv(sh, ["src"], "sh", k=_KMV_K)
+        sk = build_kmv(sh_raw, ["src"], "sh", k=_KMV_K)
         est = pairwise_overlap(sk, "src", _KMV_K)
         return est.select(
             F.col("group_a").alias("source_a"),
@@ -6078,8 +6085,11 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_b",
             "jaccard_permille",
         )
+    sh = sh_raw.select(
+        "src", _word_hash_expr(F.col("sh")).alias("f8")
+    ).distinct()  # cross-doc (src, f8) dedup — the one required exchange
     totals = sh.groupBy("src").agg(F.count("*").cast("long").alias("t"))
-    srcs_per_sh = sh.groupBy("sh").agg(
+    srcs_per_sh = sh.groupBy("f8").agg(
         F.array_sort(F.collect_set("src")).alias("srcs")
     ).select(
         F.when(
@@ -6140,14 +6150,15 @@ WITH w AS (
   FROM documents
 ), sh AS (
   SELECT DISTINCT src,
-         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+               1, 14)) AS BIGINT) AS f8
   FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - 2
 ), tot AS (
   SELECT src, count(*) AS t FROM sh GROUP BY src
 ), pairs AS (
   SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+  FROM sh a JOIN sh b ON a.f8 = b.f8 AND a.src < b.src
   GROUP BY 1, 2
 )
 SELECT p.source_a, p.source_b,
@@ -7184,9 +7195,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     no one-task sort at any corpus size); shingles dedup IN-ROW via
     _doc_shingles' array_distinct before exploding (the per-doc set-op
     lesson), join rank on doc_id, and one map-side-combinable
-    groupBy(sh) takes min(rank).  n_docs folds into the plan as a
-    broadcast 1-row aggregate.  The only unpartitioned window runs
-    over the <= 10 decile rows — a constant-size table."""
+    groupBy over the shingle's md5-derived 56-bit BIGINT fingerprint
+    (r05q — the text is never emitted, so the corpus-dominant exchange
+    carries 8-byte keys; the oracle hashes identically, so collisions
+    agree) takes min(rank).  n_docs folds into the plan as a broadcast
+    1-row aggregate.  The only unpartitioned window runs over the
+    <= 10 decile rows — a constant-size table."""
     from .ranking import global_rank
 
     docs = load_table(spark, sf_dir, "documents")
@@ -7195,8 +7209,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids, [F.col("doc_id").asc()], rank_col="r", num_partitions=8
     )
     nd = docs.agg(F.count("*").cast("long").alias("nd"))
-    first = _doc_shingles(docs).join(ranked, "doc_id").groupBy("sh").agg(
-        F.min("r").alias("fr")
+    first = (
+        _doc_shingles(docs)
+        .join(ranked, "doc_id")
+        .select(_word_hash_expr(F.col("sh")).alias("f8"), "r")
+        .groupBy("f8")
+        .agg(F.min("r").alias("fr"))
     )
     by_dec = (
         first.crossJoin(F.broadcast(nd))
@@ -7225,11 +7243,13 @@ WITH w AS (
 ), nd AS (
   SELECT count(*) AS nd FROM documents
 ), tok AS (
-  SELECT DISTINCT r, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  SELECT DISTINCT r,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+               1, 14)) AS BIGINT) AS f8
   FROM r CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
   WHERE i <= len(ws) - 2
 ), f AS (
-  SELECT sh, min(r) AS fr FROM tok GROUP BY sh
+  SELECT f8, min(r) AS fr FROM tok GROUP BY f8
 ), d AS (
   SELECT ((fr - 1) * 10) // (SELECT nd FROM nd) AS decile,
          count(*) AS new_words
