@@ -892,3 +892,32 @@ def test_slo_weekly_merges_day_histograms(spark, tmp_path):
         2817: (10, 5000, 10000, 10000),
         2818: (4, 700, 700, 700),
     }
+
+
+def test_containment_subset_doc_detected(spark, tmp_path):
+    """A short doc fully embedded in a long one: Jaccard is tiny (the
+    union is dominated by the long doc) but containment must be 1000
+    with the short doc as doc_sub."""
+    short = "a b c d e"                      # shingles {abc,bcd,cde}
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    other = "p q r s t u"                    # no overlap
+    d = _docs_dir(spark, tmp_path, [short, long_, other])
+    rows = dc.q_containment(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_sub"], r["doc_super"]) == (0, 1)
+    assert (r["n_sub"], r["inter"], r["cont_permille"]) == (3, 3, 1000)
+    # the same pair must be BELOW q_ngram_jaccard's 50% bar — the
+    # whole point of the asymmetric score
+    jac = dc.q_ngram_jaccard(spark, d).collect()
+    assert jac == []
+
+
+def test_bpe_merge_step_hand_counts(spark, tmp_path):
+    """Corpus 'ab ab abc': pair 'ab' appears once per word occurrence
+    (weighted by word frequency 2+1), 'bc' once; 1-char words are
+    skipped by the length guard."""
+    d = _docs_dir(spark, tmp_path, ["ab ab abc", "x"])
+    got = {r["pair"]: r["wcount"]
+           for r in dc.q_bpe_merge_step(spark, d).collect()}
+    assert got == {"ab": 3, "bc": 1}

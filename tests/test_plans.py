@@ -606,3 +606,28 @@ def test_ann_recall_single_sort_shared_window(spark):
     assert tree.count("Window") == 1, tree
     assert tree.count("Exchange") == 2, tree
     assert_no_unpartitioned_windows(df)
+
+
+def test_containment_reads_only_checkpointed_shingles(spark):
+    """r05q: q_containment shares q_ngram_jaccard's materialized
+    rare-shingle stage — the full query must read the checkpoint RDD
+    only (no re-scan of the parquet source for any of its branches)."""
+    plan = _plan(dc.q_containment(spark, SF_DIR))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_bpe_pair_explode_runs_over_vocab_not_corpus(spark):
+    """r05q: the adjacent-pair Generate must sit ABOVE the word-count
+    aggregate (explode over the distinct vocab, weighted), and the
+    top-20 must be a TakeOrderedAndProject — never a global sort."""
+    plan = _plan(dc.q_bpe_merge_step(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full Sort node outside TakeOrdered
+    tree = plan.split("\n\n")[0]
+    gen = tree.index("Generate")
+    aggs = [i for i in range(len(tree)) if tree.startswith("HashAggregate", i)]
+    # tree prints top-down: TakeOrdered, pair-agg pair, Generate,
+    # word-agg pair, scan — the Generate lands between the two
+    # aggregate pairs, i.e. after the pair-aggs, before the word-aggs
+    assert aggs[0] < aggs[1] < gen < aggs[2] < aggs[3], (gen, aggs)

@@ -5191,6 +5191,151 @@ WHERE inter * 100 // (sa.n + sb.n - inter) >= 50
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided n-gram CONTAINMENT dedup (r05q): for candidate pairs
+    sharing a rare word-3-gram, the permille of the SMALLER doc's
+    rare-shingle set that the larger doc contains — the quote/subset
+    detector Jaccard structurally misses (a 50-shingle doc fully
+    embedded in a 5000-shingle doc has Jaccard ~1% but containment
+    1000).  Emits (doc_sub, doc_super, n_sub, inter, cont_permille)
+    for pairs with containment >= 800; doc_sub is the smaller-set doc
+    (doc_id tie-break), the direction a dedup keep-policy drops.
+
+    Scale shape: identical to q_ngram_jaccard — the same DF-capped
+    (<= _NGRAM_DF_CAP) 56-bit-fingerprint shingle stage
+    (localCheckpoint-pinned so the join sides and the size aggregate
+    read one materialized 16-byte-per-row table), a CAP^2-bounded
+    self-join on 8-byte keys, and broadcast size lookups.  Only the
+    final scoring expression differs: inter*1000 DIV least(na, nb)
+    instead of the symmetric union denominator."""
+    shingles = _ngram_rare_shingles(spark, sf_dir).localCheckpoint()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, on="f8")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.when(
+                (F.col("na") < F.col("nb"))
+                | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))),
+                F.col("doc_a"),
+            ).otherwise(F.col("doc_b")).alias("doc_sub"),
+            F.when(
+                (F.col("na") < F.col("nb"))
+                | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))),
+                F.col("doc_b"),
+            ).otherwise(F.col("doc_a")).alias("doc_super"),
+            F.least("na", "nb").cast("long").alias("n_sub"),
+            F.col("inter").cast("long").alias("inter"),
+            F.expr("1000 * inter DIV least(na, nb)")
+            .cast("long")
+            .alias("cont_permille"),
+        )
+    )
+    return scored.where(F.col("cont_permille") >= 800)
+
+
+_CONTAINMENT = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+               1, 14)) AS BIGINT) AS f8
+  FROM w CROSS JOIN (SELECT unnest(generate_series(1, (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i) g
+  WHERE i <= len(ws) - 2
+), sh AS (
+  SELECT sh0.doc_id, sh0.f8
+  FROM sh0 JOIN (
+    SELECT f8 FROM sh0 GROUP BY f8 HAVING count(*) <= {_NGRAM_DF_CAP}
+  ) rare ON sh0.f8 = rare.f8
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.f8 = b.f8 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+            THEN doc_a ELSE doc_b END AS doc_sub,
+       CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS doc_super,
+       CAST(least(sa.n, sb.n) AS BIGINT) AS n_sub,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(1000 * inter // least(sa.n, sb.n) AS BIGINT) AS cont_permille
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 1000 * inter // least(sa.n, sb.n) >= 800
+"""
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-induction merge step (r05q): the top-20 adjacent
+    character pairs by corpus-weighted frequency — exactly the
+    statistic one Sennrich BPE iteration maximizes to pick its next
+    merge.  Emits (pair, wcount); ties broken by pair text, so the
+    LIMIT is a total order and deterministic on both engines.
+
+    Scale shape: the corpus-sized exchange is the word-frequency
+    groupBy (short word keys, map-side combinable); the pair explode
+    then runs over the DISTINCT VOCAB ONLY — bounded by vocabulary
+    size however large the corpus — weighted by the word counts, and
+    the top-20 is a TakeOrderedAndProject (distributed partial top-k,
+    never a global sort).  The index explode guards length >= 2
+    BEFORE F.sequence (the auto-step -1 trap, CLAUDE.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("f"))
+    pairs = (
+        wf.where(F.length("w") >= 2)
+        .select(
+            "w",
+            "f",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "f"
+        )
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("wcount"))
+    return (
+        agg.orderBy(F.col("wcount").desc(), F.col("pair"))
+        .limit(20)
+        .select("pair", "wcount")
+    )
+
+
+_BPE_MERGE_STEP = """
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+), wf AS (
+  SELECT w, count(*) AS f FROM words GROUP BY w
+), p AS (
+  SELECT substr(w, i, 2) AS pair, sum(f) AS cnt
+  FROM wf CROSS JOIN (SELECT unnest(generate_series(1,
+       (SELECT coalesce(max(len(w)), 1) - 1 FROM wf))) AS i) g
+  WHERE len(w) >= 2 AND i <= len(w) - 1
+  GROUP BY 1
+)
+SELECT pair, CAST(cnt AS BIGINT) AS wcount
+FROM p ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signal: the permille of word
     2-grams that are repeats of an earlier 2-gram in the same doc.
@@ -11348,6 +11493,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: redundant kernel variants, all green in >=2 rounds
         # (r05 demotions carry 1 green round but their families keep a
         # head representative — rule 1 of the rotation policy) ---------
+        # r05q additions, placed FIRST in the tail: landed after the
+        # final head rotation froze (every head slot belongs to a
+        # never-driver-verified query that needs its r05 row), so these
+        # two are oracle-gated by tools/check_oracle.py each session
+        # and sit first in line if the driver records past 50.  Their
+        # dedup/tokenizer families keep head reps (q_ngram_novelty,
+        # q_token_fertility).
+        "q_containment": q_containment,
+        "q_bpe_merge_step": q_bpe_merge_step,
         "q_xcorr_types": q_xcorr_types,
         "q_cagg_hierarchy": q_cagg_hierarchy,
         "q_asof_fwd": q_asof_fwd,
@@ -11604,6 +11758,8 @@ FROM win
         "q_logbucket_quantile": _LOGBUCKET_QUANTILE,
         "q_sax_motifs": _sax_motifs_sql(),
         "q_weighted_sample": _WEIGHTED_SAMPLE,
+        "q_containment": _CONTAINMENT,
+        "q_bpe_merge_step": _BPE_MERGE_STEP,
         "q_haar_pyramid": _HAAR_PYRAMID,
         "q_fano_factor": _FANO_FACTOR,
         "q_burst_hours": _BURST_HOURS,
