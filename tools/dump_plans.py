@@ -55,10 +55,25 @@ BLURBS = {
     ),
     "q_ngram_jaccard": (
         "Bounded near-dup join: per-doc dedup AND the document-frequency cap "
-        "(df <= 64) run as two window functions over ONE sh-partitioned "
-        "exchange; the shingle self-join reuses that partitioning, and no "
-        "join key can fan out past CAP^2 rows regardless of corpus size — "
-        "the skew bound that survives web-scale stop-phrase shingles."
+        "(df <= 64) run as two window functions over ONE exchange keyed on "
+        "the 56-bit shingle fingerprint (8-byte longs, never the string); "
+        "the capped stage is localCheckpoint-materialized so the self-join "
+        "sides and the size aggregate read it once, and no join key can fan "
+        "out past CAP^2 rows regardless of corpus size — the skew bound "
+        "that survives web-scale stop-phrase shingles."
+    ),
+    "q_containment": (
+        "One-sided subset dedup over the SAME checkpointed fingerprint "
+        "stage as q_ngram_jaccard (the plan reads only the ExistingRDD): "
+        "identical CAP^2-bounded self-join, asymmetric inter/min(n) "
+        "scoring — the quote detector Jaccard's union denominator hides."
+    ),
+    "q_bpe_merge_step": (
+        "Tokenizer-induction argmax: the corpus-sized exchange is the "
+        "word-count groupBy (map-side combinable, short keys); the "
+        "char-pair Generate runs over the DISTINCT VOCAB only, weighted "
+        "by the counts, and the top-20 is a TakeOrderedAndProject — "
+        "never a global sort."
     ),
     "q_topk_users": (
         "Distributed partial top-k: TakeOrderedAndProject (every partition "
