@@ -269,3 +269,63 @@ def test_kmeans_broadcasts_centroids_no_windows(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert_no_unpartitioned_windows(df)
+
+
+def test_kmeans_update_differential_vs_literal(spark):
+    """Lloyd update half: per-(cluster, dim) integer means vs a numpy
+    literal of the same assignment.  Python // FLOORS on negatives
+    while Spark DIV truncates toward zero — the literal must trunc."""
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = {
+        int(r["vec_id"]): np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * KMEANS_Q
+        ).astype(np.int64)
+        for _, r in emb.iterrows()
+    }
+    seeds = sorted(
+        qv, key=lambda v: hashlib.md5(str(v).encode()).hexdigest()
+    )[:KMEANS_K]
+    dims = len(next(iter(qv.values())))
+    sums = {cid: np.zeros(dims, dtype=np.int64) for cid in range(KMEANS_K)}
+    ns = {cid: 0 for cid in range(KMEANS_K)}
+    for v, q in qv.items():
+        enc = min(
+            int(((q - qv[sv]) ** 2).sum()) * KMEANS_K + cid
+            for cid, sv in enumerate(seeds)
+        )
+        cid = enc % KMEANS_K
+        sums[cid] += q
+        ns[cid] += 1
+
+    def trunc_div(a: int, b: int) -> int:
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    got = dc.q_kmeans_update(spark, SF_DIR).toPandas()
+    assert len(got) == KMEANS_K * dims
+    for _, row in got.iterrows():
+        cid, dim = int(row["cluster_id"]), int(row["dim"])
+        seed_c = int(qv[seeds[cid]][dim])
+        assert int(row["n_members"]) == ns[cid]
+        assert int(row["seed_coord"]) == seed_c
+        if ns[cid] == 0:
+            exp = seed_c
+        else:
+            exp = trunc_div(int(sums[cid][dim]), ns[cid])
+        assert int(row["new_coord"]) == exp
+        assert int(row["shift_sq"]) == (exp - seed_c) ** 2
+    # negative coords must actually be exercised or the trunc-vs-floor
+    # distinction above tested nothing
+    assert (got["new_coord"] < 0).any()
+
+
+def test_cross_source_dup_hand_counts(spark, tmp_path):
+    """doc0 'x y' (src0) is first; doc1 (src1) and doc2 (src0) repeat
+    it; doc3 (src1) is unique.  src0: 2 docs 1 dup (same-source),
+    src1: 2 docs 1 dup (cross-source)."""
+    from .test_analytics import _docs_dir
+
+    d = _docs_dir(spark, tmp_path, ["x y", "x y", "x y", "unique z"])
+    got = {r["source"]: (r["n_docs"], r["n_dups"], r["n_cross_source"],
+                         r["dup_permille"])
+           for r in dc.q_cross_source_dup(spark, d).collect()}
+    assert got == {"src0": (2, 1, 0, 500), "src1": (2, 1, 1, 500)}

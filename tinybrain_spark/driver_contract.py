@@ -4625,6 +4625,78 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup PROVENANCE census (r05r): per source, how many docs
+    are duplicates of an earlier doc (min doc_id = the canonical
+    copy), and how many of those duplicate a doc that first appeared
+    in a DIFFERENT source — the mirrored/bulk-copied-source signal at
+    the exact-hash level (q_source_overlap is the same question at
+    the shingle level).  Emits (source, n_docs, n_dups,
+    n_cross_source, dup_permille).
+
+    Shape: content collapses to the md5-derived 56-bit BIGINT
+    fingerprint in the scan projection (the r05q key-width rule;
+    oracle hashes identically), so all three exchanges carry 8-byte
+    keys: the first-occurrence groupBy(h) (map-side combinable), the
+    firsts->docs join on first_id to fetch the canonical copy's
+    source, and the docs->firsts join back on h.  Final groupBy is
+    |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        _word_hash_expr(F.col("text")).alias("h"),
+    )
+    firsts = docs.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    fsrc = firsts.join(
+        docs.select(
+            F.col("doc_id").alias("first_id"),
+            F.col("source").alias("first_source"),
+        ),
+        "first_id",
+    )
+    flagged = docs.join(fsrc, "h").select(
+        "source",
+        (F.col("doc_id") != F.col("first_id")).cast("long").alias("dup"),
+        (
+            (F.col("doc_id") != F.col("first_id"))
+            & (F.col("source") != F.col("first_source"))
+        ).cast("long").alias("cross"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dup").cast("long").alias("n_dups"),
+        F.sum("cross").cast("long").alias("n_cross_source"),
+        F.expr("1000 * sum(dup) DIV count(*)").cast("long").alias(
+            "dup_permille"
+        ),
+    )
+
+
+_CROSS_SOURCE_DUP = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) AS h
+  FROM documents
+), firsts AS (
+  SELECT h, min(doc_id) AS first_id FROM d GROUP BY h
+), fsrc AS (
+  SELECT f.h, f.first_id, d.source AS first_source
+  FROM firsts f JOIN d ON d.doc_id = f.first_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id <> fs.first_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dups,
+       CAST(sum(CASE WHEN d.doc_id <> fs.first_id
+                      AND d.source <> fs.first_source
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source,
+       CAST(1000 * sum(CASE WHEN d.doc_id <> fs.first_id THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS dup_permille
+FROM d JOIN fsrc fs ON fs.h = d.h
+GROUP BY d.source
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -10936,23 +11008,13 @@ KMEANS_K = 8
 KMEANS_Q = 1024  # quantization grid: floor(x * 1024), exact in f64
 
 
-def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One exact k-means assignment step over integer-quantized
-    embeddings: K deterministic seeds (lowest md5(vec_id) — the same
-    order in both engines), every vector assigned to its nearest seed
-    by EXACT integer squared-L2 on the floor(x*1024) grid, per-cluster
-    census out.  This is the building block an embedding-curation
-    pipeline iterates (cluster-balanced sampling, semantic dedup
-    regions) — one step is SQL-expressible, so the oracle can pin it;
-    the iteration is a driver loop over the same plan.
-
-    Shape: seeds are a TakeOrderedAndProject(K) folded to ONE row
-    (array_sort(collect_list) — no unpartitioned window), broadcast to
-    every vector; the argmin runs IN-ROW over the K-element centroid
-    array (min of dist*K+cid — dist < 64*(2*KMEANS_Q)^2 < 2^28 keeps
-    the encoding far from overflow), so the only exchange is the final
-    K-row groupBy.  Ties break toward the lower cid, identically in
-    both engines."""
+def _kmeans_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(seeds, assigned) shared by q_kmeans_assign / q_kmeans_update:
+    seeds = (cid, seed_vec_id, cv), assigned = (vec_id, qv, cid, dist)
+    with every vector's in-row argmin over the broadcast K-centroid
+    array (see q_kmeans_assign's docstring for the encoding bounds)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform(
@@ -10992,13 +11054,35 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = (
         emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", enc.alias("enc"))
+        .select("vec_id", "qv", enc.alias("enc"))
         .select(
             "vec_id",
+            "qv",
             F.expr(f"enc % {KMEANS_K}").cast("long").alias("cid"),
             F.expr(f"enc DIV {KMEANS_K}").cast("long").alias("dist"),
         )
     )
+    return seeds, assigned
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means assignment step over integer-quantized
+    embeddings: K deterministic seeds (lowest md5(vec_id) — the same
+    order in both engines), every vector assigned to its nearest seed
+    by EXACT integer squared-L2 on the floor(x*1024) grid, per-cluster
+    census out.  This is the building block an embedding-curation
+    pipeline iterates (cluster-balanced sampling, semantic dedup
+    regions) — one step is SQL-expressible, so the oracle can pin it;
+    the iteration is a driver loop over the same plan.
+
+    Shape: seeds are a TakeOrderedAndProject(K) folded to ONE row
+    (array_sort(collect_list) — no unpartitioned window), broadcast to
+    every vector; the argmin runs IN-ROW over the K-element centroid
+    array (min of dist*K+cid — dist < 64*(2*KMEANS_Q)^2 < 2^28 keeps
+    the encoding far from overflow), so the only exchange is the final
+    K-row groupBy.  Ties break toward the lower cid, identically in
+    both engines."""
+    seeds, assigned = _kmeans_parts(spark, sf_dir)
     g = assigned.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_members"),
         F.sum("dist").cast("long").alias("sum_dist"),
@@ -11020,6 +11104,54 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("mean_dist_milli"),
+    )
+
+
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd centroid-UPDATE step paired with q_kmeans_assign:
+    per (cluster, dimension), the integer mean of the assigned
+    vectors' quantized coordinates (sum DIV n — trunc-toward-zero in
+    BOTH engines, CLAUDE.md's DIV note), the seed coordinate it
+    replaces, and the squared per-dim shift.  Empty clusters keep
+    their seed (the standard Lloyd convention).  One assign + one
+    update = one full k-means iteration, each half oracle-pinned; the
+    pipeline iterates them from a driver loop (localCheckpoint per
+    round — the clusters.py lesson).
+
+    Shape: the per-dim sums come from a posexplode of the ALREADY
+    ASSIGNED vectors (K*dims cells per task after map-side combine —
+    the groupBy ships ~K*64 rows per partition however large the
+    corpus); seed dims explode from the K-row seed table, LEFT JOIN
+    keeps empty clusters.  No new corpus-wide exchange beyond the
+    cell groupBy."""
+    seeds, assigned = _kmeans_parts(spark, sf_dir)
+    av = assigned.select(
+        "cid", F.posexplode("qv").alias("dim", "v")
+    )
+    sums = av.groupBy("cid", "dim").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    sdim = seeds.select(
+        "cid", F.posexplode("cv").alias("dim", "seed_coord")
+    )
+    new_coord = F.when(
+        F.col("n").isNull(), F.col("seed_coord")
+    ).otherwise(F.expr("s DIV n"))
+    return (
+        sdim.join(sums, ["cid", "dim"], "left")
+        .select(
+            F.col("cid").cast("long").alias("cluster_id"),
+            F.col("dim").cast("long").alias("dim"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                "n_members"
+            ),
+            F.col("seed_coord").cast("long").alias("seed_coord"),
+            new_coord.cast("long").alias("new_coord"),
+            ((new_coord - F.col("seed_coord"))
+             * (new_coord - F.col("seed_coord")))
+            .cast("long")
+            .alias("shift_sq"),
+        )
     )
 
 
@@ -11058,6 +11190,55 @@ SELECT s.cid AS cluster_id, s.seed_vec_id,
                  + ((g.sum_dist % g.n_members) * 1000) // g.n_members
             END AS BIGINT) AS mean_dist_milli
 FROM seeds s LEFT JOIN g ON g.cid = s.cid
+"""
+
+
+_KMEANS_UPDATE = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {KMEANS_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+), sd AS (
+  SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM e ORDER BY h LIMIT {KMEANS_K}
+), seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS cid,
+         vec_id AS seed_vec_id, qv AS cv
+  FROM sd
+), scored AS (
+  SELECT e.vec_id,
+         min(CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+                  i -> (e.qv[i] - s.cv[i]) * (e.qv[i] - s.cv[i])))
+                  AS BIGINT) * {KMEANS_K} + s.cid) AS enc
+  FROM e CROSS JOIN seeds s GROUP BY e.vec_id
+), a AS (
+  SELECT vec_id, enc % {KMEANS_K} AS cid FROM scored
+), av AS (
+  SELECT a.cid, i - 1 AS dim, e.qv[i] AS v
+  FROM a JOIN e ON e.vec_id = a.vec_id
+  CROSS JOIN (SELECT unnest(generate_series(1,
+       (SELECT max(len(qv)) FROM e))) AS i) g
+  WHERE i <= len(e.qv)
+), sums AS (
+  SELECT cid, dim, sum(v) AS s, count(*) AS n FROM av GROUP BY 1, 2
+), sdim AS (
+  SELECT s.cid, i - 1 AS dim, s.cv[i] AS seed_coord
+  FROM seeds s CROSS JOIN (SELECT unnest(generate_series(1,
+       (SELECT max(len(qv)) FROM e))) AS i) g
+  WHERE i <= len(s.cv)
+)
+SELECT sd.cid AS cluster_id, CAST(sd.dim AS BIGINT) AS dim,
+       CAST(coalesce(su.n, 0) AS BIGINT) AS n_members,
+       CAST(sd.seed_coord AS BIGINT) AS seed_coord,
+       CAST(CASE WHEN su.n IS NULL THEN sd.seed_coord
+            ELSE su.s // su.n END AS BIGINT) AS new_coord,
+       CAST((CASE WHEN su.n IS NULL THEN sd.seed_coord
+             ELSE su.s // su.n END - sd.seed_coord)
+            * (CASE WHEN su.n IS NULL THEN sd.seed_coord
+               ELSE su.s // su.n END - sd.seed_coord) AS BIGINT)
+         AS shift_sq
+FROM sdim sd LEFT JOIN sums su ON su.cid = sd.cid AND su.dim = sd.dim
 """
 
 
@@ -11502,6 +11683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_token_fertility).
         "q_containment": q_containment,
         "q_bpe_merge_step": q_bpe_merge_step,
+        "q_kmeans_update": q_kmeans_update,
+        "q_cross_source_dup": q_cross_source_dup,
         "q_xcorr_types": q_xcorr_types,
         "q_cagg_hierarchy": q_cagg_hierarchy,
         "q_asof_fwd": q_asof_fwd,
@@ -11760,6 +11943,8 @@ FROM win
         "q_weighted_sample": _WEIGHTED_SAMPLE,
         "q_containment": _CONTAINMENT,
         "q_bpe_merge_step": _BPE_MERGE_STEP,
+        "q_kmeans_update": _KMEANS_UPDATE,
+        "q_cross_source_dup": _CROSS_SOURCE_DUP,
         "q_haar_pyramid": _HAAR_PYRAMID,
         "q_fano_factor": _FANO_FACTOR,
         "q_burst_hours": _BURST_HOURS,
