@@ -921,3 +921,20 @@ def test_bpe_merge_step_hand_counts(spark, tmp_path):
     got = {r["pair"]: r["wcount"]
            for r in dc.q_bpe_merge_step(spark, d).collect()}
     assert got == {"ab": 3, "bc": 1}
+
+
+def test_lsh_band_stats_identical_docs_collide_everywhere(spark, tmp_path):
+    """Two identical docs share every signature, so all 4 bands show
+    one colliding bucket of size 2 (= 1 candidate pair each); a third
+    unrelated doc must not inflate any bucket."""
+    d = _docs_dir(spark, tmp_path, [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta epsilon",
+        "totally different words here now",
+    ])
+    got = {r["band_idx"]: (r["n_buckets"], r["n_cand_pairs"], r["max_bucket"])
+           for r in dc.q_lsh_band_stats(spark, d).collect()}
+    assert got == {bi: (1, 1, 2) for bi in range(4)}
+    # census must agree with the materialized candidate pairs
+    pairs = dc.q_minhash_pairs(spark, d).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(0, 1)]

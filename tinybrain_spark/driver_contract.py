@@ -5029,23 +5029,69 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_from(q_minhash_signature(spark, sf_dir))
 
 
-def _minhash_pairs_from(sig: DataFrame) -> DataFrame:
-    bands = sig.select(
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter-accountability census (r05s): per band index, the
+    number of colliding buckets (>= 2 docs), the candidate-pair volume
+    sum C(k,2) those buckets would feed the verify stage, and the
+    largest bucket — the table an operator reads to TUNE bands/rows
+    before running the pair join (a hot bucket here is exactly the
+    skew that blows up q_minhash_pairs).
+
+    Shape: the join-cardinality pattern — bucket sizes from ONE
+    map-side-combinable groupBy over the 8-byte band fingerprints,
+    pair counts as in-row k*(k-1)/2 arithmetic, final groupBy over
+    <= _MINHASH_K/2 rows.  The candidate volume is COUNTED without
+    ever materializing a pair, so the census costs one exchange
+    however skewed the buckets."""
+    bands = _minhash_bands_from(q_minhash_signature(spark, sf_dir))
+    g = bands.groupBy("bi", "band").agg(F.count("*").alias("k"))
+    return (
+        g.where(F.col("k") >= 2)
+        .groupBy("bi")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(F.expr("k * (k - 1) DIV 2")).cast("long").alias(
+                "n_cand_pairs"
+            ),
+            F.max("k").cast("long").alias("max_bucket"),
+        )
+        .select(
+            F.col("bi").cast("long").alias("band_idx"),
+            "n_buckets",
+            "n_cand_pairs",
+            "max_bucket",
+        )
+    )
+
+
+def _minhash_bands_from(sig: DataFrame) -> DataFrame:
+    """(doc_id, bi, band): each doc's LSH band keys, collapsed to the
+    md5-derived 56-bit BIGINT of 'bi:sigA:sigB' (r05s — the band
+    self-join and the bucket groupBys shuffle 8-byte longs, never the
+    ~25-byte string; the oracle hashes the identical text so a
+    collision behaves the same on both engines)."""
+    return sig.select(
         "doc_id",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(bi)),
-                        F.col(f"sig{2 * bi}").cast("string"),
-                        F.col(f"sig{2 * bi + 1}").cast("string"),
+                    _word_hash_expr(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(bi)),
+                            F.col(f"sig{2 * bi}").cast("string"),
+                            F.col(f"sig{2 * bi + 1}").cast("string"),
+                        )
                     )
                     for bi in range(_MINHASH_K // 2)
                 ]
             )
-        ).alias("band"),
+        ).alias("bi", "band"),
     )
+
+
+def _minhash_pairs_from(sig: DataFrame) -> DataFrame:
+    bands = _minhash_bands_from(sig).select("doc_id", "band")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -5058,15 +5104,35 @@ def _minhash_pairs_from(sig: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_pairs_sql() -> str:
-    band_rows = "\nUNION ALL\n".join(
-        f"SELECT doc_id, '{bi}:' || CAST(sig{2*bi} AS VARCHAR) || ':' || "
-        f"CAST(sig{2*bi+1} AS VARCHAR) AS band FROM sig"
+def _minhash_bands_sql() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS bi, "
+        f"CAST(('0x' || substr(md5('{bi}:' || CAST(sig{2*bi} AS VARCHAR) "
+        f"|| ':' || CAST(sig{2*bi+1} AS VARCHAR)), 1, 14)) AS BIGINT) "
+        f"AS band FROM sig"
         for bi in range(_MINHASH_K // 2)
     )
+
+
+def _lsh_band_stats_sql() -> str:
     return f"""
 WITH sig AS ({_minhash_sql()}),
-bands AS ({band_rows})
+bands AS ({_minhash_bands_sql()}),
+g AS (
+  SELECT bi, band, count(*) AS k FROM bands GROUP BY 1, 2
+)
+SELECT CAST(bi AS BIGINT) AS band_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_cand_pairs,
+       CAST(max(k) AS BIGINT) AS max_bucket
+FROM g WHERE k >= 2 GROUP BY bi
+"""
+
+
+def _minhash_pairs_sql() -> str:
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS ({_minhash_bands_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 """
@@ -11685,6 +11751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merge_step": q_bpe_merge_step,
         "q_kmeans_update": q_kmeans_update,
         "q_cross_source_dup": q_cross_source_dup,
+        "q_lsh_band_stats": q_lsh_band_stats,
         "q_xcorr_types": q_xcorr_types,
         "q_cagg_hierarchy": q_cagg_hierarchy,
         "q_asof_fwd": q_asof_fwd,
@@ -11945,6 +12012,7 @@ FROM win
         "q_bpe_merge_step": _BPE_MERGE_STEP,
         "q_kmeans_update": _KMEANS_UPDATE,
         "q_cross_source_dup": _CROSS_SOURCE_DUP,
+        "q_lsh_band_stats": _lsh_band_stats_sql(),
         "q_haar_pyramid": _HAAR_PYRAMID,
         "q_fano_factor": _FANO_FACTOR,
         "q_burst_hours": _BURST_HOURS,
