@@ -631,3 +631,54 @@ def test_bpe_pair_explode_runs_over_vocab_not_corpus(spark):
     # word-agg pair, scan — the Generate lands between the two
     # aggregate pairs, i.e. after the pair-aggs, before the word-aggs
     assert aggs[0] < aggs[1] < gen < aggs[2] < aggs[3], (gen, aggs)
+
+
+def test_padding_waste_one_exchange_scan_pruned(spark):
+    """r05t: the padding census is one map-side-combinable groupBy —
+    exactly one shuffle exchange, no window, no explode — and the scan
+    prunes to (text, source)."""
+    plan = _plan(dc.q_padding_waste(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree and "Generate" not in tree
+    assert tree.count("Exchange") == 1, tree
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "text",
+        "source",
+    }, m.group(0) if m else plan
+
+
+def test_shard_assign_flat_hashes_no_explode(spark):
+    """r05t: the HRW argmax is 8 flat md5 columns under one greatest()
+    — never a corpus x S explode or a window — and the only shuffle of
+    corpus-derived rows is the 8-row shard groupBy."""
+    plan = _plan(dc.q_shard_assign(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree and "Generate" not in tree
+    # tree exchanges: the 8-row shard groupBy, the 1-row total's
+    # SinglePartition agg, and its BroadcastExchange — nothing else
+    assert tree.count("BroadcastExchange") == 1, tree
+    assert tree.count("Exchange") == 3, tree
+
+
+def test_pareto_front_partitioned_growing_frame(spark):
+    """r05t: the skyline window is partitioned by source and its frame
+    is the incremental UNBOUNDED PRECEDING shape — never the O(n^2)
+    CURRENT->UNBOUNDED FOLLOWING scan."""
+    df = dc.q_pareto_front(spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    plan = _plan(df)
+    assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_rrf_fusion_takeordered_no_raw_scan(spark):
+    """r05t: both rankings ride ranking.global_rank (checkpointed range
+    partitions — the fused plan reads ExistingRDD, not parquet) and the
+    top-32 is a TakeOrderedAndProject, never a global sort."""
+    df = dc.q_rrf_fusion(spark, SF_DIR)
+    assert_no_unpartitioned_windows(df)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan parquet" not in plan

@@ -11309,6 +11309,311 @@ FROM sdim sd LEFT JOIN sums su ON su.cid = sd.cid AND su.dim = sd.dim
 
 
 # ---------------------------------------------------------------------------
+# r05t: batching efficiency, shard placement, skyline, rank fusion
+# ---------------------------------------------------------------------------
+
+# Pow-2 batch-length buckets for the padding census.  The fixture bound
+# (n_chars <= 4096, GINI_NCHARS_MAX) guarantees n_words <= 4096; longer
+# docs hit the raise_error guard (the _hourly_counts convention) rather
+# than silently landing in a wrong bucket.  Overflow budget: the ppt
+# numerator is bucket_len * n_docs * 1000 <= 2^12 * n_docs * 2^10, safe
+# for n_docs < 2^41 per (source, bucket) — beyond any real corpus shard.
+PAD_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _pad_bucket_expr(words):
+    e = F.when(words <= PAD_BUCKETS[0], F.lit(PAD_BUCKETS[0]).cast("long"))
+    for b in PAD_BUCKETS[1:]:
+        e = e.when(words <= b, F.lit(b).cast("long"))
+    return e.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "q_padding_waste: doc longer than the "
+                    f"{PAD_BUCKETS[-1]}-word bucket bound: "
+                ),
+                words.cast("string"),
+            )
+        ).cast("long")
+    )
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch padding-waste census (pipeline op: length-bucketed
+    batching efficiency): assign every doc to the smallest power-of-two
+    length bucket, then per (source, bucket) report how many pad tokens
+    a bucketed batcher burns (bucket_len * n_docs - sum_words) and the
+    waste rate in ppt.  The table that tells you whether your bucketing
+    grid is tight enough BEFORE you pay for a training run.
+
+    Shape: the word count and bucket assignment are flat per-row
+    projections (one regexp pass, a 9-arm when-chain — no HOF, no
+    hashing); the only exchange is the map-side-combinable
+    groupBy(source, bucket) shipping <= sources * 9 aggregated rows per
+    partition regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.length(
+        F.replace(
+            F.regexp_replace(F.trim(F.col("text")), "[^ ]+", "x"),
+            F.lit(" "),
+            F.lit(""),
+        )
+    ).cast("long")
+    per_doc = docs.select("source", words.alias("n_words")).select(
+        "source",
+        "n_words",
+        _pad_bucket_expr(F.col("n_words")).alias("bucket_len"),
+    )
+    return (
+        per_doc.groupBy("source", "bucket_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+        )
+        .select(
+            "source",
+            "bucket_len",
+            "n_docs",
+            "sum_words",
+            (F.col("bucket_len") * F.col("n_docs"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.expr(
+                "((bucket_len * n_docs - sum_words) * 1000)"
+                " DIV (bucket_len * n_docs)"
+            )
+            .cast("long")
+            .alias("waste_ppt"),
+        )
+    )
+
+
+_PAD_CASE = " ".join(
+    f"WHEN n_words <= {b} THEN {b}" for b in PAD_BUCKETS
+)
+_PADDING_WASTE = f"""
+WITH t AS (
+  SELECT source,
+         CAST(length(replace(regexp_replace(trim(text), '[^ ]+', 'x', 'g'),
+                             ' ', '')) AS BIGINT) AS n_words
+  FROM documents
+), b AS (
+  SELECT source, n_words,
+         CAST(CASE {_PAD_CASE} ELSE 1 // 0 END AS BIGINT) AS bucket_len
+  FROM t
+), g AS (
+  SELECT source, bucket_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS sum_words
+  FROM b GROUP BY 1, 2
+)
+SELECT source, bucket_len, n_docs, sum_words,
+       CAST(bucket_len * n_docs AS BIGINT) AS padded_tokens,
+       CAST(((bucket_len * n_docs - sum_words) * 1000)
+            // (bucket_len * n_docs) AS BIGINT) AS waste_ppt
+FROM g
+"""
+
+
+# Rendezvous (highest-random-weight) shard count.  enc = h56 * 8 + s
+# < 2^59, inside int64 under ANSI mode.  S is a fixed literal so the
+# per-doc argmax is S flat md5 columns under one greatest() — never an
+# md5 inside a HOF lambda (the MessageDigest-contention trap) and never
+# a corpus x S explode.
+HRW_SHARDS = 8
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash (HRW) shard placement census: every doc goes to
+    the shard whose md5(doc_id:shard) weight is highest, and the output
+    is per-shard volume plus its corpus share in ppt — the placement
+    audit you run before trusting a router.  Unlike mod-N splits
+    (q_hash_split), HRW is minimally disruptive: adding a shard only
+    moves the ~1/(S+1) of keys whose NEW weight wins, so the census
+    doubles as a resharding cost estimate.
+
+    Shape: S=8 hash weights are flat projections argmax-encoded via
+    greatest(h*8+s) (the 2^24-style encode, bounded at 2^59); the only
+    exchanges are the 8-row groupBy and a broadcast 1-row total for the
+    share — no explode, no window, no driver loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    encs = [
+        _word_hash_expr(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{s}"))
+        )
+        * HRW_SHARDS
+        + s
+        for s in range(HRW_SHARDS)
+    ]
+    per_doc = docs.select(
+        (F.greatest(*encs) % HRW_SHARDS).cast("long").alias("shard_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    counts = per_doc.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    total = docs.agg(F.count("*").cast("long").alias("total_docs"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "shard_id",
+        "n_docs",
+        "sum_chars",
+        F.expr("(n_docs * 1000) DIV total_docs")
+        .cast("long")
+        .alias("share_ppt"),
+    )
+
+
+_HRW_WEIGHTS = ",\n      ".join(
+    f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{s}'), 1, 14))"
+    f" AS BIGINT) * {HRW_SHARDS} + {s}"
+    for s in range(HRW_SHARDS)
+)
+_SHARD_ASSIGN = f"""
+WITH d AS (
+  SELECT greatest(
+      {_HRW_WEIGHTS}
+    ) % {HRW_SHARDS} AS shard_id,
+    CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+), g AS (
+  SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM d GROUP BY 1
+)
+SELECT shard_id, n_docs, sum_chars,
+       CAST((n_docs * 1000) // (SELECT count(*) FROM documents)
+            AS BIGINT) AS share_ppt
+FROM g
+"""
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pareto front (skyline) over (n_chars, distinct-word
+    count): a doc survives iff no other doc in its source is STRICTLY
+    longer AND strictly more lexically diverse — the corpus-curation
+    shortlist of docs that are not plainly outclassed on both axes.
+
+    Shape: domination reduces to one running RANGE-frame max — sorted
+    by n_chars DESC within a source, a doc is dominated iff
+    max(n_distinct) over rows with strictly greater n_chars exceeds its
+    own (ties on n_chars share a RANGE value group, so equal-length
+    docs never dominate each other; strict-both semantics).  The frame
+    is UNBOUNDED PRECEDING -> 1 PRECEDING — the growing-frame shape
+    Spark evaluates incrementally, never the O(n^2)
+    CURRENT->UNBOUNDED FOLLOWING trap — and the window is partitioned
+    by source, so no one-task global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), " +")))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per.withColumn("mx", F.max("n_distinct").over(w))
+        .where(F.col("mx").isNull() | (F.col("n_distinct") >= F.col("mx")))
+        .select("source", "doc_id", "n_chars", "n_distinct")
+    )
+
+
+_PARETO_FRONT = """
+WITH per AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+              AS BIGINT) AS n_distinct
+  FROM documents
+), m AS (
+  SELECT *, max(n_distinct) OVER (
+      PARTITION BY source ORDER BY n_chars DESC
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM per
+)
+SELECT source, doc_id, n_chars, n_distinct
+FROM m WHERE mx IS NULL OR n_distinct >= mx
+"""
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 1_000_000  # integer score scale: SCALE DIV (K + rank)
+RRF_TOPK = 32
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two corpus-wide rankings (by length
+    and by lexical diversity) into one exact integer top-32 — the
+    standard way to merge heterogeneous retrieval signals without
+    score calibration (Cormack et al. RRF, k=60).
+
+    Shape: both total orders come from ranking.global_rank (range
+    partition + broadcast per-partition offsets — bounded sorts, zero
+    one-task Window.orderBy), the fused score is pure integer DIV
+    arithmetic (SCALE DIV (K + r), exact in both engines), and the
+    top-32 is a TakeOrderedAndProject with doc_id tie-breaks."""
+    from .ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), " +")))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    r1 = global_rank(
+        per, [F.col("n_chars").desc(), F.col("doc_id").asc()], "rank_len"
+    )
+    r2 = global_rank(
+        r1, [F.col("n_distinct").desc(), F.col("doc_id").asc()], "rank_div"
+    )
+    fused = r2.select(
+        "doc_id",
+        F.col("rank_len").cast("long").alias("rank_len"),
+        F.col("rank_div").cast("long").alias("rank_div"),
+        (
+            F.expr(f"{RRF_SCALE} DIV ({RRF_K} + rank_len)")
+            + F.expr(f"{RRF_SCALE} DIV ({RRF_K} + rank_div)")
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    ).limit(RRF_TOPK)
+
+
+_RRF_FUSION = f"""
+WITH per AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+              AS BIGINT) AS n_distinct
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS rank_len,
+         CAST(row_number() OVER (ORDER BY n_distinct DESC, doc_id)
+              AS BIGINT) AS rank_div
+  FROM per
+)
+SELECT doc_id, rank_len, rank_div,
+       CAST({RRF_SCALE} // ({RRF_K} + rank_len)
+            + {RRF_SCALE} // ({RRF_K} + rank_div) AS BIGINT) AS rrf_micro
+FROM r ORDER BY rrf_micro DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11752,6 +12057,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_update": q_kmeans_update,
         "q_cross_source_dup": q_cross_source_dup,
         "q_lsh_band_stats": q_lsh_band_stats,
+        # r05t additions (same frozen-head rationale as the r05q block
+        # above): batching-waste census, HRW shard placement, per-source
+        # skyline, reciprocal-rank fusion.  Families keep head reps
+        # (q_token_budget_fill, q_key_skew, q_column_profile,
+        # q_vocab_coverage's global_rank machinery).
+        "q_padding_waste": q_padding_waste,
+        "q_shard_assign": q_shard_assign,
+        "q_pareto_front": q_pareto_front,
+        "q_rrf_fusion": q_rrf_fusion,
         "q_xcorr_types": q_xcorr_types,
         "q_cagg_hierarchy": q_cagg_hierarchy,
         "q_asof_fwd": q_asof_fwd,
@@ -12013,6 +12327,10 @@ FROM win
         "q_kmeans_update": _KMEANS_UPDATE,
         "q_cross_source_dup": _CROSS_SOURCE_DUP,
         "q_lsh_band_stats": _lsh_band_stats_sql(),
+        "q_padding_waste": _PADDING_WASTE,
+        "q_shard_assign": _SHARD_ASSIGN,
+        "q_pareto_front": _PARETO_FRONT,
+        "q_rrf_fusion": _RRF_FUSION,
         "q_haar_pyramid": _HAAR_PYRAMID,
         "q_fano_factor": _FANO_FACTOR,
         "q_burst_hours": _BURST_HOURS,
