@@ -75,6 +75,20 @@ BLURBS = {
         "by the counts, and the top-20 is a TakeOrderedAndProject — "
         "never a global sort."
     ),
+    "q_pareto_front": (
+        "Skyline as ONE growing RANGE-frame max per source (UNBOUNDED "
+        "PRECEDING -> 1 PRECEDING under n_chars DESC = 'strictly longer "
+        "docs'): domination collapses to a single incremental window — "
+        "no pair join, no O(n^2) FOLLOWING re-scan, partitioned by "
+        "source so no one-task sort."
+    ),
+    "q_shard_assign": (
+        "Rendezvous hashing with ZERO per-doc fan-out: 8 flat md5 weight "
+        "columns argmax-encoded under one greatest() inside "
+        "WholeStageCodegen (never md5 inside a HOF lambda, never a "
+        "corpus x S explode); the only corpus exchange is the 8-row "
+        "shard groupBy, the share denominator is a broadcast 1-row agg."
+    ),
     "q_topk_users": (
         "Distributed partial top-k: TakeOrderedAndProject (every partition "
         "keeps its own 10, the driver merges) — never a global row_number "
