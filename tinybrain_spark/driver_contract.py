@@ -11613,6 +11613,68 @@ FROM r ORDER BY rrf_micro DESC, doc_id LIMIT {RRF_TOPK}
 """
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH blocking-recall S-curve (r05t): per exact-Jaccard decile of
+    the DF-capped rare-shingle ground truth (q_ngram_jaccard's >= 50%
+    pairs), the fraction the minhash banding recalls as candidates —
+    the accountability eval for the LSH parameters (bands/rows), the
+    dedup sibling of q_ann_recall.  A decile whose recall_ppt sags is
+    exactly where the banding needs more bands (or the verify threshold
+    is lying about coverage); q_lsh_band_stats prices the cost side,
+    this query prices the miss side.
+
+    Shape: the truth table is CAP^2-bounded (the DF-capped self-join),
+    the candidate table is the banded join — both pair tables are tiny
+    relative to the corpus, join on 16-byte composite keys, and the
+    final groupBy is <= 6 decile rows.  The signature subplan is
+    persisted across the band self-join's two sides and released after
+    an eager localCheckpoint (the q_minhash_verified_pairs pattern)."""
+    truth = q_ngram_jaccard(spark, sf_dir)
+    sig = q_minhash_signature(spark, sf_dir).persist()
+    cand = _minhash_pairs_from(sig).withColumn(
+        "hit", F.lit(1).cast("long")
+    )
+    out = (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(F.expr("jac_pct DIV 10").cast("long").alias("jac_decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_recalled"),
+        )
+        .select(
+            "jac_decile",
+            "n_truth",
+            "n_recalled",
+            F.expr("(n_recalled * 1000) DIV n_truth")
+            .cast("long")
+            .alias("recall_ppt"),
+        )
+        .localCheckpoint()
+    )
+    sig.unpersist()
+    return out
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH truth AS ({_NGRAM_JACCARD}),
+cand AS ({_minhash_pairs_sql()}),
+j AS (
+  SELECT t.jac_pct,
+         CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth t
+  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT CAST(jac_pct // 10 AS BIGINT) AS jac_decile,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(hit) AS BIGINT) AS n_recalled,
+       CAST((sum(hit) * 1000) // count(*) AS BIGINT) AS recall_ppt
+FROM j GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12066,6 +12128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_assign": q_shard_assign,
         "q_pareto_front": q_pareto_front,
         "q_rrf_fusion": q_rrf_fusion,
+        "q_lsh_recall": q_lsh_recall,
         "q_xcorr_types": q_xcorr_types,
         "q_cagg_hierarchy": q_cagg_hierarchy,
         "q_asof_fwd": q_asof_fwd,
@@ -12331,6 +12394,7 @@ FROM win
         "q_shard_assign": _SHARD_ASSIGN,
         "q_pareto_front": _PARETO_FRONT,
         "q_rrf_fusion": _RRF_FUSION,
+        "q_lsh_recall": _lsh_recall_sql(),
         "q_haar_pyramid": _HAAR_PYRAMID,
         "q_fano_factor": _FANO_FACTOR,
         "q_burst_hours": _BURST_HOURS,
