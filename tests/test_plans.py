@@ -663,13 +663,18 @@ def test_shard_assign_flat_hashes_no_explode(spark):
     assert tree.count("Exchange") == 3, tree
 
 
-def test_pareto_front_partitioned_growing_frame(spark):
-    """r05t: the skyline window is partitioned by source and its frame
-    is the incremental UNBOUNDED PRECEDING shape — never the O(n^2)
+def test_pareto_front_two_level_partitioned_growing_frames(spark):
+    """r05t: TWO skyline windows — the salted local pass then the
+    merge over survivors — both partitioned (the salt bounds the
+    per-task sort even for a single hot source) and both the
+    incremental UNBOUNDED PRECEDING frame shape, never the O(n^2)
     CURRENT->UNBOUNDED FOLLOWING scan."""
     df = dc.q_pareto_front(spark, SF_DIR)
     assert_no_unpartitioned_windows(df)
-    plan = _plan(df)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    wins = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(wins) == 2, plan
+    assert sum("salt" in w for w in wins) == 1, wins
     assert "unboundedfollowing" not in plan.lower(), plan
 
 

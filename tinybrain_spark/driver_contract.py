@@ -11489,21 +11489,47 @@ FROM g
 """
 
 
+PARETO_SALT = 64  # local-front fan: bounds the per-task skyline sort
+
+
+def _skyline_pass(df: DataFrame, part_cols: list) -> DataFrame:
+    """One skyline pass: drop rows strictly dominated WITHIN the
+    partition columns.  Domination reduces to a running RANGE-frame
+    max — sorted by n_chars DESC, a doc is dominated iff
+    max(n_distinct) over rows with strictly greater n_chars exceeds
+    its own (ties on n_chars share a RANGE value group, so
+    equal-length docs never dominate each other; strict-both
+    semantics).  The frame is UNBOUNDED PRECEDING -> 1 PRECEDING —
+    the growing-frame shape Spark evaluates incrementally, never the
+    O(n^2) CURRENT->UNBOUNDED FOLLOWING trap."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("n_chars").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("mx", F.max("n_distinct").over(w))
+        .where(F.col("mx").isNull() | (F.col("n_distinct") >= F.col("mx")))
+        .drop("mx")
+    )
+
+
 def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Pareto front (skyline) over (n_chars, distinct-word
     count): a doc survives iff no other doc in its source is STRICTLY
     longer AND strictly more lexically diverse — the corpus-curation
     shortlist of docs that are not plainly outclassed on both axes.
 
-    Shape: domination reduces to one running RANGE-frame max — sorted
-    by n_chars DESC within a source, a doc is dominated iff
-    max(n_distinct) over rows with strictly greater n_chars exceeds its
-    own (ties on n_chars share a RANGE value group, so equal-length
-    docs never dominate each other; strict-both semantics).  The frame
-    is UNBOUNDED PRECEDING -> 1 PRECEDING — the growing-frame shape
-    Spark evaluates incrementally, never the O(n^2)
-    CURRENT->UNBOUNDED FOLLOWING trap — and the window is partitioned
-    by source, so no one-task global sort."""
+    Shape: TWO-LEVEL distributed skyline (the divide-and-conquer merge
+    law: skyline(S) = skyline(skyline(S1) U ... U skyline(Sk)), exact
+    because a local dominator is also a global one).  Pass 1 computes
+    local fronts per (source, doc_id%64 salt) — so a 100 TB corpus
+    with ONE hot source sorts 64 bounded partitions, never one task —
+    and pass 2 re-runs the same window over the local SURVIVORS only
+    (typically a vanishing fraction; worst case — a fully
+    anti-correlated front where nothing dominates anything — degrades
+    to the input size, inherent to exact skylines).  Both windows are
+    the incremental growing-frame shape (_skyline_pass)."""
     docs = load_table(spark, sf_dir, "documents")
     per = docs.select(
         "source",
@@ -11512,16 +11538,11 @@ def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.split(F.trim(F.col("text")), " +")))
         .cast("long")
         .alias("n_distinct"),
+        (F.col("doc_id") % PARETO_SALT).cast("long").alias("salt"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        per.withColumn("mx", F.max("n_distinct").over(w))
-        .where(F.col("mx").isNull() | (F.col("n_distinct") >= F.col("mx")))
-        .select("source", "doc_id", "n_chars", "n_distinct")
+    local = _skyline_pass(per, ["source", "salt"])
+    return _skyline_pass(local, ["source"]).select(
+        "source", "doc_id", "n_chars", "n_distinct"
     )
 
 
