@@ -11696,6 +11696,296 @@ FROM j GROUP BY 1
 """
 
 
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) maximum drawdown + record-high census —
+    the risk/monitoring pair every metric dashboard derives from a
+    running max ("how far below its day peak did this metric fall, and
+    how many times did it set a new high?").
+
+    Values render as micro-units via floor(value * 1e6) (the q_benford
+    BIGINT idiom — identical double multiply + floor on both engines).
+    The running max uses ROWS UNBOUNDED PRECEDING AND 1 PRECEDING
+    ordered by (second, event_id) — NEVER a FOLLOWING frame (the
+    O(n^2) re-scan class CLAUDE.md pins); a row is a record high when
+    it strictly exceeds every earlier row's value, and its drawdown is
+    prev_max - v clamped at 0.  Windows partition by (type, day) — the
+    q_trend_slope day-bounded convention, so one pathologically hot
+    type still sorts at most a day of events per task."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) DIV 86400").alias("day"),
+        F.expr("CAST(unix_timestamp(ts) AS LONG)").alias("sec"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v6"),
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = base.select(
+        "event_type",
+        "day",
+        "v6",
+        F.max("v6").over(w).alias("pm"),
+    )
+    return pre.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("pm").isNull() | (F.col("v6") > F.col("pm")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_record_highs"),
+        F.max(
+            F.when(F.col("pm").isNull(), F.lit(0).cast("long")).otherwise(
+                F.greatest(
+                    F.col("pm") - F.col("v6"), F.lit(0).cast("long")
+                )
+            )
+        )
+        .cast("long")
+        .alias("max_drawdown_u6"),
+    ).select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "n_events",
+        "n_record_highs",
+        "max_drawdown_u6",
+    )
+
+
+_MAX_DRAWDOWN = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(event_id AS BIGINT) AS event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v6
+  FROM events
+), p AS (
+  SELECT event_type, day, v6,
+         max(v6) OVER (PARTITION BY event_type, day ORDER BY sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM ev
+)
+SELECT event_type,
+       CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN pm IS NULL OR v6 > pm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_record_highs,
+       CAST(max(CASE WHEN pm IS NULL THEN 0
+                     ELSE greatest(pm - v6, 0) END)
+            AS BIGINT) AS max_drawdown_u6
+FROM p GROUP BY 1, 2
+"""
+
+
+_MIXTURE_EPOCH = 1_000_000  # docs drawn per training epoch
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling mixture weights per source (alpha = 0.5)
+    plus EXACT largest-remainder epoch quotas — the multinomial
+    source-mixing step of XLM-R / mT5-style pretraining (sample source
+    s with p_s proportional to n_s^alpha, then apportion an epoch of
+    _MIXTURE_EPOCH docs so the integer quotas sum exactly).
+
+    alpha = 0.5 keeps everything integer-exact: w_s = floor(sqrt(n_s))
+    is identical on both engines (IEEE-correctly-rounded double sqrt;
+    exact for n < 2^52 because sqrt(k^2 - 1) sits > 1/(2k) below k —
+    far outside one ulp until k ~ 2^26).  Largest-remainder: base_s =
+    (w_s * E) DIV W, leftovers go to the largest (w_s * E) % W with
+    source-name tie-break, so sum(quota) == E exactly.
+
+    Shape: ONE map-side-combinable groupBy collapses the corpus to
+    |sources| rows; the two totals ride back as broadcast 1-row
+    aggregates (the q_pmi_bigrams idiom) and the one row_number runs
+    over the aggregated per-source table — bounded by the source
+    vocabulary (a mixing table is per-source by construction), never
+    by the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    ).select(
+        "source",
+        "docs",
+        "chars",
+        F.floor(F.sqrt(F.col("docs"))).cast("long").alias("w"),
+    )
+    tot = g.agg(F.sum("w").cast("long").alias("wsum"))
+    e = F.lit(_MIXTURE_EPOCH).cast("long")
+    s2 = g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs",
+        "chars",
+        "w",
+        "wsum",
+        F.expr(f"(w * {_MIXTURE_EPOCH}) DIV wsum").alias("base"),
+        F.expr(f"(w * {_MIXTURE_EPOCH}) % wsum").alias("rem"),
+    )
+    btot = s2.agg(F.sum("base").cast("long").alias("bsum"))
+    rk = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    return (
+        s2.crossJoin(F.broadcast(btot))
+        .withColumn("rk", F.row_number().over(rk).cast("long"))
+        .select(
+            "source",
+            "docs",
+            "chars",
+            F.col("w").alias("weight"),
+            F.expr("(w * 1000) DIV wsum").cast("long").alias("permille"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= e - F.col("bsum"), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("epoch_quota"),
+        )
+    )
+
+
+_SOURCE_MIXTURE = f"""
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+), s AS (
+  SELECT *, CAST(floor(sqrt(docs)) AS BIGINT) AS w FROM g
+), t AS (
+  SELECT CAST(sum(w) AS BIGINT) AS wsum FROM s
+), b AS (
+  SELECT s.*, wsum,
+         (w * {_MIXTURE_EPOCH}) // wsum AS base,
+         (w * {_MIXTURE_EPOCH}) % wsum AS rem
+  FROM s, t
+), bt AS (
+  SELECT CAST(sum(base) AS BIGINT) AS bsum FROM b
+), r AS (
+  SELECT b.*, bsum,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM b, bt
+)
+SELECT source, docs, chars, w AS weight,
+       CAST((w * 1000) // wsum AS BIGINT) AS permille,
+       CAST(base + CASE WHEN rk <= {_MIXTURE_EPOCH} - bsum
+                        THEN 1 ELSE 0 END AS BIGINT) AS epoch_quota
+FROM r
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf diagnostic: least-squares slope of the log-log
+    frequency-of-frequencies curve (how many distinct words occur c
+    times, bucketed by powers of two).  Natural language sits near the
+    Zipf line; templated/duplicated synthetics bend it — the corpus
+    health check a data pipeline runs next to q_gini_doclen.
+
+    EXACT integers end to end: word counts bucket by bitlen(c) - 1 and
+    bucket populations by bitlen(N_b) - 1, where bitlen(n) =
+    length(bin(n)) is identical on both engines (the q_pmi_bigrams
+    idiom — no float log anywhere); the slope over the <= 63 bucket
+    points per source renders milli-scaled via the q_trend_slope
+    split-division floor (q * 1000 + (r * 1000) DIV den, pmod form).
+
+    Shape: one map-side-combinable groupBy on (source, 8-byte word
+    fingerprint) — the corpus-dominant exchange carries no raw text —
+    then two more groupBys over vocabulary-sized and bucket-sized
+    tables.  The slope arithmetic runs on <= 63 rows per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.col("text")), " +")
+        ).alias("word"),
+    ).select("source", _word_hash_expr(F.col("word")).alias("h"))
+    wc = occ.groupBy("source", "h").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    fb = wc.select(
+        "source",
+        (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("b"),
+    ).groupBy("source", "b").agg(F.count("*").cast("long").alias("nw"))
+    pts = fb.select(
+        "source",
+        "b",
+        (F.length(F.bin(F.col("nw"))) - 1).cast("long").alias("y"),
+    )
+    g = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("b").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("b") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sxx"),
+    )
+    staged = g.select(
+        "source",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    ).where(F.col("den") > 0)
+    return staged.select(
+        "source",
+        F.col("n").alias("n_buckets"),
+        F.expr("(num - pmod(num, den)) DIV den").alias("q"),
+        F.pmod(F.col("num"), F.col("den")).alias("r"),
+        "den",
+    ).select(
+        "source",
+        "n_buckets",
+        (F.col("q") * 1000 + F.expr("(r * 1000) DIV den"))
+        .cast("long")
+        .alias("slope_milli"),
+    )
+
+
+_ZIPF_SLOPE = """
+WITH w AS (
+  SELECT source, string_split_regex(trim(text), ' +') AS ws FROM documents
+), idx AS (
+  SELECT unnest(generate_series(1,
+    (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i
+), occ AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(ws[i]), 1, 14)) AS BIGINT) AS h
+  FROM w CROSS JOIN idx WHERE i <= len(ws)
+), wc AS (
+  SELECT source, h, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2
+), fb AS (
+  SELECT source, CAST(length(bin(c)) - 1 AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS nw
+  FROM wc GROUP BY 1, 2
+), pts AS (
+  SELECT source, b, CAST(length(bin(nw)) - 1 AS BIGINT) AS y FROM fb
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(b) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(b * y) AS BIGINT) AS sxy,
+         CAST(sum(b * b) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1
+), s AS (
+  SELECT source, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM g WHERE n * sxx - sx * sx > 0
+), d AS (
+  SELECT source, n, den,
+         (num - ((num % den + den) % den)) // den AS q,
+         ((num % den + den) % den) AS r
+  FROM s
+)
+SELECT source, n AS n_buckets,
+       CAST(q * 1000 + (r * 1000) // den AS BIGINT) AS slope_milli
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12282,6 +12572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_benford": q_benford,
         "q_type_lift": q_type_lift,
         "q_kmeans_assign": q_kmeans_assign,
+        # r05u arrivals (drawdown/record census, temperature mixing
+        # quotas, Zipf freq-of-freq slope): post-freeze, tail entry,
+        # covered by check_oracle + the judge's full-registry run
+        "q_max_drawdown": q_max_drawdown,
+        "q_source_mixture": q_source_mixture,
+        "q_zipf_slope": q_zipf_slope,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -12457,6 +12753,9 @@ FROM win
         "q_benford": _BENFORD,
         "q_type_lift": _TYPE_LIFT,
         "q_kmeans_assign": _KMEANS_ASSIGN,
+        "q_max_drawdown": _MAX_DRAWDOWN,
+        "q_source_mixture": _SOURCE_MIXTURE,
+        "q_zipf_slope": _ZIPF_SLOPE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
