@@ -89,6 +89,25 @@ BLURBS = {
         "corpus x S explode); the only corpus exchange is the 8-row "
         "shard groupBy, the share denominator is a broadcast 1-row agg."
     ),
+    "q_max_drawdown": (
+        "Running-max drawdown + record census in ONE day-bounded window "
+        "pass (ROWS UNBOUNDED PRECEDING -> 1 PRECEDING, never a FOLLOWING "
+        "re-scan) feeding a map-side-combinable groupBy — two exchanges "
+        "total, partitions bounded by a day of one type's events."
+    ),
+    "q_source_mixture": (
+        "Temperature mixing quotas: the corpus collapses in one map-side "
+        "groupBy to |sources| rows; both totals return as broadcast 1-row "
+        "aggregates and the largest-remainder row_number runs over the "
+        "per-source mixing table only — corpus size never reaches a "
+        "window."
+    ),
+    "q_zipf_slope": (
+        "Freq-of-freq slope: the corpus-dominant exchange keys on "
+        "(source, 56-bit word fingerprint) — no raw text shuffles; two "
+        "further groupBys shrink vocabulary -> <=63 bitlen buckets per "
+        "source, and the OLS arithmetic is flat projection over those."
+    ),
     "q_topk_users": (
         "Distributed partial top-k: TakeOrderedAndProject (every partition "
         "keeps its own 10, the driver merges) — never a global row_number "
