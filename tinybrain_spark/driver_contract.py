@@ -11986,6 +11986,242 @@ FROM d
 """
 
 
+def q_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio SIGNAL features end to end (the stage after q_wav_decode's
+    format stats): synthesize the canonical RIFF/WAVE PCM16 payload per
+    doc, parse it with the real chunk walker, and emit energy, integer
+    RMS, peak amplitude, and per-channel strict zero crossings — the
+    silence/clipping gate an audio training pipeline runs before
+    transcription.  Every sample is a pure function of (doc_id, i), so
+    the oracle recomputes the whole signal arithmetically; isqrt parity
+    per the q_source_mixture floor(sqrt) argument.  Zero shuffles —
+    one mapInPandas chain, binary never leaves the batch."""
+    from .multimodal import audio_features, synth_wav_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return audio_features(synth_wav_payloads(docs))
+
+
+_WAV_ENERGY = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 2 + 1 AS BIGINT) AS n_ch,
+         CAST(doc_id % 129 + 64 AS BIGINT) AS n_fr
+  FROM documents
+), i AS (
+  SELECT doc_id, n_ch, n_fr, unnest(range(0, n_fr * n_ch)) AS i
+  FROM d
+), s AS (
+  SELECT doc_id, i % n_ch AS ch, i // n_ch AS fr,
+         (doc_id * 37 + 73 * i) % 4001 - 2000 AS v
+  FROM i
+), z AS (
+  SELECT doc_id, v,
+         lag(v) OVER (PARTITION BY doc_id, ch ORDER BY fr) AS pv
+  FROM s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(floor(sqrt(sum(v * v) // count(*))) AS BIGINT) AS rms_u,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+FROM z GROUP BY doc_id
+"""
+
+
+COMPACT_TARGET = 50_000  # rows per rewritten compaction job
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse compaction planner (Iceberg rewrite_data_files / Delta
+    OPTIMIZE shape): pack each type's daily partitions, in day order,
+    into jobs of ~COMPACT_TARGET rows by next-fit on the exclusive
+    prefix sum — job_id = rows_before DIV target, so a job never spans
+    types and partitions stay contiguous (the property that keeps
+    rewritten files partition-prunable).
+
+    Shape: raw events collapse in ONE map-side-combinable groupBy to
+    |types| x |days| partition rows; the prefix window partitions by
+    type and its row count is calendar-bounded (days), never
+    event-bounded — the same budget as q_trend_slope's day grouping."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS LONG) DIV 86400").alias("day"),
+    ).groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("rows")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return parts.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "rows",
+        F.coalesce(F.sum("rows").over(w), F.lit(0).cast("long"))
+        .cast("long")
+        .alias("rows_before"),
+    ).select(
+        "event_type",
+        "day",
+        "rows",
+        F.expr(f"rows_before DIV {COMPACT_TARGET}")
+        .cast("long")
+        .alias("job_id"),
+    )
+
+
+_COMPACTION_PLAN = f"""
+WITH p AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS rows
+  FROM events GROUP BY 1, 2
+), pre AS (
+  SELECT event_type, day, rows,
+         CAST(coalesce(sum(rows) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS rows_before
+  FROM p
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, rows,
+       CAST(rows_before // {COMPACT_TARGET} AS BIGINT) AS job_id
+FROM pre
+"""
+
+
+NUCLEUS_PERMILLE = 900  # traffic share the nucleus must cover
+
+
+def q_nucleus_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-nucleus census per event_type: the MINIMAL number of
+    users covering >= 90% of the type's events — the workload-
+    concentration figure behind cache sizing and hot-key triage
+    (top-p/nucleus cutoff applied to key traffic).
+
+    EXACT at any scale WITHOUT ranking users: per-user counts collapse
+    to the distinct COUNT-VALUE table (type, c, k users at that count)
+    — at most O(sqrt(2 * events_per_type)) rows per type, since
+    distinct counts sum to the total — then one window over counts
+    DESC finds the boundary count group and a ceil division inside it
+    yields the exact user count (users at the same count are
+    interchangeable, so the minimal nucleus is well-defined).  Two
+    stacked map-side-combinable groupBys; no window ever sees a
+    user-sized table."""
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    g = uc.groupBy("event_type", "c").agg(
+        F.count("*").cast("long").alias("k")
+    ).select("event_type", "c", "k", (F.col("c") * F.col("k")).alias("tok"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = g.select(
+        "event_type",
+        "c",
+        "k",
+        "tok",
+        F.coalesce(F.sum("tok").over(w), F.lit(0).cast("long"))
+        .cast("long")
+        .alias("tok_before"),
+        F.coalesce(F.sum("k").over(w), F.lit(0).cast("long"))
+        .cast("long")
+        .alias("users_before"),
+    )
+    totals = g.groupBy("event_type").agg(
+        F.sum("tok").cast("long").alias("total_events"),
+        F.sum("k").cast("long").alias("n_users"),
+    )
+    j = pre.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "c",
+        "k",
+        "tok",
+        "tok_before",
+        "users_before",
+        "total_events",
+        "n_users",
+        F.expr(
+            f"(total_events * {NUCLEUS_PERMILLE} + 999) DIV 1000"
+        ).alias("target"),
+    )
+    hit = j.where(
+        (F.col("tok_before") < F.col("target"))
+        & (F.col("tok_before") + F.col("tok") >= F.col("target"))
+    )
+    return hit.select(
+        "event_type",
+        "total_events",
+        "n_users",
+        (
+            F.col("users_before")
+            + F.expr("(target - tok_before + c - 1) DIV c")
+        )
+        .cast("long")
+        .alias("nucleus_users"),
+    ).select(
+        "event_type",
+        "total_events",
+        "n_users",
+        "nucleus_users",
+        F.expr("(nucleus_users * 1000) DIV n_users")
+        .cast("long")
+        .alias("nucleus_permille"),
+    )
+
+
+_NUCLEUS_KEYS = f"""
+WITH uc AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS k,
+         c * CAST(count(*) AS BIGINT) AS tok
+  FROM uc GROUP BY 1, 2
+), pre AS (
+  SELECT event_type, c, k, tok,
+         CAST(coalesce(sum(tok) OVER (PARTITION BY event_type
+              ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_before,
+         CAST(coalesce(sum(k) OVER (PARTITION BY event_type
+              ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS users_before
+  FROM g
+), t AS (
+  SELECT event_type, CAST(sum(tok) AS BIGINT) AS total_events,
+         CAST(sum(k) AS BIGINT) AS n_users
+  FROM g GROUP BY 1
+), j AS (
+  SELECT pre.*, t.total_events, t.n_users,
+         (t.total_events * {NUCLEUS_PERMILLE} + 999) // 1000 AS target
+  FROM pre JOIN t USING (event_type)
+), hit AS (
+  SELECT event_type, total_events, n_users,
+         users_before + (target - tok_before + c - 1) // c
+           AS nucleus_users
+  FROM j
+  WHERE tok_before < target AND tok_before + tok >= target
+)
+SELECT event_type, total_events, n_users,
+       CAST(nucleus_users AS BIGINT) AS nucleus_users,
+       CAST((nucleus_users * 1000) // n_users AS BIGINT)
+         AS nucleus_permille
+FROM hit
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12578,6 +12814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_max_drawdown": q_max_drawdown,
         "q_source_mixture": q_source_mixture,
         "q_zipf_slope": q_zipf_slope,
+        # r05v arrivals (audio signal features, compaction planner,
+        # traffic-nucleus census): post-freeze, tail entry
+        "q_wav_energy": q_wav_energy,
+        "q_compaction_plan": q_compaction_plan,
+        "q_nucleus_keys": q_nucleus_keys,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -12756,6 +12997,9 @@ FROM win
         "q_max_drawdown": _MAX_DRAWDOWN,
         "q_source_mixture": _SOURCE_MIXTURE,
         "q_zipf_slope": _ZIPF_SLOPE,
+        "q_wav_energy": _WAV_ENERGY,
+        "q_compaction_plan": _COMPACTION_PLAN,
+        "q_nucleus_keys": _NUCLEUS_KEYS,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

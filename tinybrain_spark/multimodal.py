@@ -337,6 +337,53 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(_decode, AUDIO_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("peak_abs", LongType(), False),
+        StructField("energy", LongType(), False),
+        StructField("rms_u", LongType(), False),
+        StructField("zero_cross", LongType(), False),
+    ]
+)
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio feature extraction over decoded PCM16 (the signal-level
+    stage after decode_audio's format stats): total energy sum(v^2),
+    integer RMS floor(sqrt(energy DIV n)) (isqrt — exact cross-engine),
+    peak |v|, and STRICT zero crossings counted per channel after
+    de-interleave (v[k] * v[k+1] < 0 along each channel's frame order —
+    sign-touching zeros don't count, so the definition is unambiguous
+    in integer arithmetic).  All numpy-vectorized per batch; binary
+    crosses to Python once per Arrow batch, never per sample."""
+    from math import isqrt
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_samples", "peak_abs",
+                                   "energy", "rms_u", "zero_cross")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                _rate, _n_ch, samples = parse_wav(bytes(payload))
+                s = samples.astype(np.int64)  # (frames, channels)
+                n = int(s.size)
+                energy = int((s * s).sum())
+                out["doc_id"].append(int(did))
+                out["n_samples"].append(n)
+                out["peak_abs"].append(int(np.abs(s).max()) if n else 0)
+                out["energy"].append(energy)
+                out["rms_u"].append(isqrt(energy // n) if n else 0)
+                out["zero_cross"].append(
+                    int(((s[1:, :] * s[:-1, :]) < 0).sum())
+                    if s.shape[0] > 1
+                    else 0
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
