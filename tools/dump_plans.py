@@ -108,6 +108,19 @@ BLURBS = {
         "further groupBys shrink vocabulary -> <=63 bitlen buckets per "
         "source, and the OLS arithmetic is flat projection over those."
     ),
+    "q_nucleus_keys": (
+        "Top-p over keys WITHOUT ranking keys: two stacked map-side "
+        "groupBys collapse users -> distinct count-values (<= "
+        "O(sqrt(2*events)) rows/type), the boundary window runs over "
+        "that tiny table, and the exact answer is a ceil division — no "
+        "window ever sees a user-sized partition."
+    ),
+    "q_compaction_plan": (
+        "Lakehouse OPTIMIZE planning: one map-side groupBy to "
+        "|types|x|days| partition rows, then next-fit job ids from a "
+        "calendar-bounded prefix window — the plan for rewriting a "
+        "100 TB table's small files never touches row-level data twice."
+    ),
     "q_topk_users": (
         "Distributed partial top-k: TakeOrderedAndProject (every partition "
         "keeps its own 10, the driver merges) — never a global row_number "
