@@ -12222,6 +12222,172 @@ FROM hit
 """
 
 
+_BLOCKLIST = ("slow", "big", "vector")  # rule-based safety filter terms
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based content filter census (the blocklist pass every
+    training pipeline runs before model-based quality filters): per
+    source, how many docs contain a blocklisted term, and how many
+    total occurrences — the numbers that decide whether a source gets
+    term-masking or wholesale exclusion.
+
+    Occurrence counting is LAMBDA-FREE: per term b, occurrences =
+    size(ws) - size(array_remove(ws, b)) — three flat Catalyst
+    expressions for the 3-term list, fully inside WholeStageCodegen
+    (no HOF, so no interpreted-path hazards; the blocklist is a fixed
+    policy artifact, broadcast by constant-folding).  One map-side-
+    combinable groupBy; raw docs never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), " +")
+    hits = None
+    for b in _BLOCKLIST:
+        h = F.size(ws) - F.size(F.array_remove(ws, b))
+        hits = h if hits is None else hits + h
+    base = docs.select(
+        "source",
+        hits.cast("long").alias("hits"),
+    )
+    return base.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("flagged_docs"),
+        F.sum("hits").cast("long").alias("total_hits"),
+    ).select(
+        "source",
+        "docs",
+        "flagged_docs",
+        "total_hits",
+        F.expr("(flagged_docs * 1000) DIV docs")
+        .cast("long")
+        .alias("flagged_permille"),
+    )
+
+
+def _blocklist_sql() -> str:
+    terms = " + ".join(
+        f"(len(ws) - len(list_filter(ws, x -> x <> '{b}')))"
+        for b in _BLOCKLIST
+    )
+    return f"""
+WITH w AS (
+  SELECT source, string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), h AS (
+  SELECT source, CAST({terms} AS BIGINT) AS hits FROM w
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged_docs,
+       CAST(sum(hits) AS BIGINT) AS total_hits,
+       CAST((sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000)
+            // count(*) AS BIGINT) AS flagged_permille
+FROM h GROUP BY source
+"""
+
+
+CHAR_COVER_PERMILLE = 999  # SentencePiece's default character_coverage
+
+
+def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-coverage census per language — the statistic behind
+    SentencePiece's character_coverage knob (0.999 default): alphabet
+    size, total chars, and the MINIMAL number of distinct characters
+    covering 99.9% of the language's text (rare chars past that line
+    become <unk> bytes).
+
+    Shape: one linear Generate (index-explode + substring — the r05j
+    idiom, chars never materialize as a per-doc array), one map-side-
+    combinable groupBy to |langs| x |alphabet| rows, and a coverage
+    window bounded by the ALPHABET (count desc, char asc ties), never
+    the corpus; totals ride a broadcast join (q_nucleus_keys pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "lang",
+        "text",
+        F.explode(
+            F.when(
+                F.length("text") >= 1,
+                F.sequence(F.lit(1), F.length("text")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select("lang", F.substring(F.col("text"), F.col("i"), 1).alias("ch"))
+    cc = occ.groupBy("lang", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = cc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("total_chars"),
+        F.count("*").cast("long").alias("alphabet"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("c").desc(), F.col("ch").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = cc.select(
+        "lang",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0).cast("long"))
+        .cast("long")
+        .alias("cum_prev"),
+    )
+    j = pre.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "cum_prev",
+        "total_chars",
+        "alphabet",
+        F.expr(
+            f"(total_chars * {CHAR_COVER_PERMILLE} + 999) DIV 1000"
+        ).alias("target"),
+    )
+    return j.groupBy("lang").agg(
+        F.max("total_chars").cast("long").alias("total_chars"),
+        F.max("alphabet").cast("long").alias("alphabet"),
+        F.sum(F.when(F.col("cum_prev") < F.col("target"), 1).otherwise(0))
+        .cast("long")
+        .alias("chars_999"),
+    )
+
+
+_CHAR_COVERAGE = f"""
+WITH d AS (
+  SELECT lang, text FROM documents
+), idx AS (
+  SELECT unnest(generate_series(1,
+    (SELECT coalesce(max(length(text)), 0) FROM d))) AS i
+), occ AS (
+  SELECT lang, substring(text, i, 1) AS ch
+  FROM d CROSS JOIN idx WHERE i <= length(text)
+), cc AS (
+  SELECT lang, ch, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2
+), t AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS total_chars,
+         CAST(count(*) AS BIGINT) AS alphabet
+  FROM cc GROUP BY 1
+), pre AS (
+  SELECT lang, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY lang
+              ORDER BY c DESC, ch ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_prev
+  FROM cc
+), j AS (
+  SELECT pre.lang, cum_prev, total_chars, alphabet,
+         (total_chars * {CHAR_COVER_PERMILLE} + 999) // 1000 AS target
+  FROM pre JOIN t ON pre.lang = t.lang
+)
+SELECT lang,
+       CAST(max(total_chars) AS BIGINT) AS total_chars,
+       CAST(max(alphabet) AS BIGINT) AS alphabet,
+       CAST(sum(CASE WHEN cum_prev < target THEN 1 ELSE 0 END)
+            AS BIGINT) AS chars_999
+FROM j GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12819,6 +12985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wav_energy": q_wav_energy,
         "q_compaction_plan": q_compaction_plan,
         "q_nucleus_keys": q_nucleus_keys,
+        # r05w arrivals (blocklist safety filter, char coverage)
+        "q_blocklist_filter": q_blocklist_filter,
+        "q_char_coverage": q_char_coverage,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -13000,6 +13169,8 @@ FROM win
         "q_wav_energy": _WAV_ENERGY,
         "q_compaction_plan": _COMPACTION_PLAN,
         "q_nucleus_keys": _NUCLEUS_KEYS,
+        "q_blocklist_filter": _blocklist_sql(),
+        "q_char_coverage": _CHAR_COVERAGE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
