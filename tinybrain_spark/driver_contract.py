@@ -12388,6 +12388,213 @@ FROM j GROUP BY lang
 """
 
 
+def q_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically assigned to two
+    arms by content hash (md5 of the user id — the q_hash_split idiom,
+    reproducible across engines and partitionings), per event_type the
+    arm sizes, micro-unit means, and the uplift mean(A) - mean(B).
+    Exact integers end to end (v6 = floor(value * 1e6), mean = sum DIV
+    n, truncation identical cross-engine).  ONE map-side-combinable
+    groupBy with conditional sums — raw events shuffle nowhere."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 14),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    base = ev.select(
+        "event_type",
+        arm.alias("arm"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v6"),
+    )
+    g = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v6")).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v6")).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+    ).where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr("s_a DIV n_a").cast("long").alias("mean_a_u6"),
+        F.expr("s_b DIV n_b").cast("long").alias("mean_b_u6"),
+        (F.expr("s_a DIV n_a") - F.expr("s_b DIV n_b"))
+        .cast("long")
+        .alias("uplift_u6"),
+    )
+
+
+_AB_UPLIFT = """
+WITH e AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+              AS BIGINT) % 2 AS arm,
+         CAST(floor(value * 1000000) AS BIGINT) AS v6
+  FROM events
+), g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN v6 ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN arm = 1 THEN v6 ELSE 0 END) AS BIGINT) AS s_b
+  FROM e GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       CAST(s_a // n_a AS BIGINT) AS mean_a_u6,
+       CAST(s_b // n_b AS BIGINT) AS mean_b_u6,
+       CAST(s_a // n_a - s_b // n_b AS BIGINT) AS uplift_u6
+FROM g WHERE n_a > 0 AND n_b > 0
+"""
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration (the accuracy sibling of
+    q_lsh_recall's blocking eval): over the banding's candidate pairs,
+    bucket by signature agreement (0..8 of 8 minhashes equal — the
+    estimator whose expectation is the true Jaccard) and report the
+    EXACT word-set Jaccard distribution inside each bucket.  The table
+    that tells an operator how much to trust `n_agree/8` before
+    spending the exact-verify pass at corpus scale.
+
+    Pairs sharing a band through pure hash collision (zero common
+    words) are kept via a LEFT join with inter=0 — an inner join would
+    silently bias every bucket's mean upward.  Shapes: candidate-
+    bounded joins on 8-byte keys, intersection via (doc_b, h) equi-join
+    on the in-row-deduped word-hash table, final aggregate over <= 9
+    calibration rows."""
+    sig = q_minhash_signature(spark, sf_dir).persist()
+    cand = _minhash_pairs_from(sig)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        for i in range(_MINHASH_K)
+    )
+    est = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", agree.alias("n_agree"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), " +"))
+        ).alias("word"),
+    ).select("doc_id", _word_hash_expr(F.col("word")).alias("h"))
+    sizes = words.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wa = words.select(F.col("doc_id").alias("doc_a"), "h")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "h")
+    icnt = (
+        est.select("doc_a", "doc_b")
+        .join(wa, "doc_a")
+        .join(wb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    jac = (
+        est.join(icnt, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .select(
+            "n_agree",
+            F.expr(
+                "(coalesce(inter, 0) * 1000)"
+                " DIV (na + nb - coalesce(inter, 0))"
+            ).alias("jac_pm"),
+        )
+    )
+    out = jac.groupBy("n_agree").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("sum(jac_pm) DIV count(*)").cast("long").alias(
+            "mean_jac_permille"
+        ),
+        F.min("jac_pm").cast("long").alias("min_jac_permille"),
+        F.max("jac_pm").cast("long").alias("max_jac_permille"),
+    ).select(
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.expr("(n_agree * 1000) DIV 8").cast("long").alias(
+            "est_permille"
+        ),
+        "n_pairs",
+        "mean_jac_permille",
+        "min_jac_permille",
+        "max_jac_permille",
+    ).localCheckpoint()
+    sig.unpersist()
+    return out
+
+
+def _minhash_accuracy_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K)
+    )
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+cand AS ({_minhash_pairs_sql()}),
+est AS (
+  SELECT cand.doc_a, cand.doc_b, CAST({agree} AS BIGINT) AS n_agree
+  FROM cand
+  JOIN sig a ON a.doc_id = cand.doc_a
+  JOIN sig b ON b.doc_id = cand.doc_b
+), words AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(word), 1, 14)) AS BIGINT) AS h
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(string_split_regex(trim(text), ' +')) AS word
+    FROM documents
+  )
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1
+), icnt AS (
+  SELECT e.doc_a, e.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM est e
+  JOIN words wa ON wa.doc_id = e.doc_a
+  JOIN words wb ON wb.doc_id = e.doc_b AND wb.h = wa.h
+  GROUP BY 1, 2
+), jac AS (
+  SELECT e.n_agree,
+         (coalesce(i.inter, 0) * 1000)
+           // (sa.n + sb.n - coalesce(i.inter, 0)) AS jac_pm
+  FROM est e
+  LEFT JOIN icnt i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sz sa ON sa.doc_id = e.doc_a
+  JOIN sz sb ON sb.doc_id = e.doc_b
+)
+SELECT CAST(n_agree AS BIGINT) AS n_agree,
+       CAST((n_agree * 1000) // 8 AS BIGINT) AS est_permille,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(jac_pm) // count(*) AS BIGINT) AS mean_jac_permille,
+       CAST(min(jac_pm) AS BIGINT) AS min_jac_permille,
+       CAST(max(jac_pm) AS BIGINT) AS max_jac_permille
+FROM jac GROUP BY n_agree
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12988,6 +13195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05w arrivals (blocklist safety filter, char coverage)
         "q_blocklist_filter": q_blocklist_filter,
         "q_char_coverage": q_char_coverage,
+        # r05x arrivals (A/B uplift, minhash estimator calibration)
+        "q_ab_uplift": q_ab_uplift,
+        "q_minhash_accuracy": q_minhash_accuracy,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -13171,6 +13381,8 @@ FROM win
         "q_nucleus_keys": _NUCLEUS_KEYS,
         "q_blocklist_filter": _blocklist_sql(),
         "q_char_coverage": _CHAR_COVERAGE,
+        "q_ab_uplift": _AB_UPLIFT,
+        "q_minhash_accuracy": _minhash_accuracy_sql(),
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
