@@ -93,7 +93,8 @@ def _literal_accuracy() -> pd.DataFrame:
     cand = set()
     for ids in buckets.values():
         for x, y in combinations(sorted(ids), 2):
-            cand.add((x, y))
+            if _h56(f"{x}:{y}") % dc._MH_ACC_SAMPLE == 0:
+                cand.add((x, y))
     rows = defaultdict(list)
     for x, y in cand:
         agree = sum(
@@ -142,6 +143,11 @@ def test_minhash_accuracy_bucket_sanity(spark):
     assert (out["min_jac_permille"] <= out["mean_jac_permille"]).all()
     assert (out["mean_jac_permille"] <= out["max_jac_permille"]).all()
     assert out["max_jac_permille"].le(1000).all()
-    # total pairs equals the banding's candidate count
-    n_cand = dc.q_minhash_pairs(spark, SF_DIR).count()
+    # total pairs equals the deterministically sampled candidate count
+    pairs = dc.q_minhash_pairs(spark, SF_DIR).toPandas()
+    n_cand = sum(
+        1
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        if _h56(f"{int(a)}:{int(b)}") % dc._MH_ACC_SAMPLE == 0
+    )
     assert int(out["n_pairs"].sum()) == n_cand

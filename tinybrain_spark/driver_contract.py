@@ -12459,6 +12459,9 @@ FROM g WHERE n_a > 0 AND n_b > 0
 """
 
 
+_MH_ACC_SAMPLE = 16  # deterministic 1/16 candidate sample for calibration
+
+
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash ESTIMATOR calibration (the accuracy sibling of
     q_lsh_recall's blocking eval): over the banding's candidate pairs,
@@ -12468,6 +12471,14 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tells an operator how much to trust `n_agree/8` before
     spending the exact-verify pass at corpus scale.
 
+    A calibration table needs STATISTICS, not a census, so candidates
+    are hash-sampled 1/_MH_ACC_SAMPLE before the exact-verify joins
+    (md5 of 'doc_a:doc_b' — deterministic, engine-identical, unbiased
+    within each agreement bucket; the FULL candidate volume is
+    q_lsh_band_stats' job).  Without the sample the operator re-pays
+    the entire exact-verify cost the estimator exists to avoid (496 s
+    over 96M pairs at sf1; 16x less with it).
+
     Pairs sharing a band through pure hash collision (zero common
     words) are kept via a LEFT join with inter=0 — an inner join would
     silently bias every bucket's mean upward.  Shapes: candidate-
@@ -12475,7 +12486,19 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the in-row-deduped word-hash table, final aggregate over <= 9
     calibration rows."""
     sig = q_minhash_signature(spark, sf_dir).persist()
-    cand = _minhash_pairs_from(sig)
+    cand = _minhash_pairs_from(sig).where(
+        F.pmod(
+            _word_hash_expr(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_a").cast("string"),
+                    F.col("doc_b").cast("string"),
+                )
+            ),
+            F.lit(_MH_ACC_SAMPLE),
+        )
+        == 0
+    )
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"sig{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
@@ -12554,8 +12577,13 @@ def _minhash_accuracy_sql() -> str:
     )
     return f"""
 WITH sig AS ({_minhash_sql()}),
-cand AS ({_minhash_pairs_sql()}),
-est AS (
+call AS ({_minhash_pairs_sql()}),
+cand AS (
+  SELECT * FROM call
+  WHERE CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR) || ':' ||
+        CAST(doc_b AS VARCHAR)), 1, 14)) AS BIGINT)
+        % {_MH_ACC_SAMPLE} = 0
+), est AS (
   SELECT cand.doc_a, cand.doc_b, CAST({agree} AS BIGINT) AS n_agree
   FROM cand
   JOIN sig a ON a.doc_id = cand.doc_a
