@@ -108,6 +108,22 @@ BLURBS = {
         "further groupBys shrink vocabulary -> <=63 bitlen buckets per "
         "source, and the OLS arithmetic is flat projection over those."
     ),
+    "q_blocklist_filter": (
+        "Lambda-free term counting: size(ws) - size(array_remove(ws, b)) "
+        "per blocklist term, all inside WholeStageCodegen; one map-side-"
+        "combinable groupBy — raw docs never shuffle."
+    ),
+    "q_char_coverage": (
+        "SentencePiece coverage knob: linear index-explode + substring "
+        "(never a per-doc char array), map-side groupBy to "
+        "|langs|x|alphabet| rows, alphabet-bounded coverage window, "
+        "broadcast totals join."
+    ),
+    "q_ab_uplift": (
+        "Deterministic md5 arm assignment folded into conditional sums "
+        "of ONE map-side-combinable groupBy — the experiment readout is "
+        "one exchange over |types| rows whatever the event volume."
+    ),
     "q_nucleus_keys": (
         "Top-p over keys WITHOUT ranking keys: two stacked map-side "
         "groupBys collapse users -> distinct count-values (<= "
