@@ -12623,6 +12623,222 @@ FROM jac GROUP BY n_agree
 """
 
 
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-entropy proxy in EXACT integer bit units —
+    the repetition/diversity quality signal (a gibberish keyword mash
+    and a looped boilerplate page sit at opposite ends; cf. the token-
+    diversity filters in Gopher/FineWeb rule sets).  With word counts
+    c_w and total n, Shannon's n*H = n*log2(n) - sum_w c_w*log2(c_w)
+    is scored in the bitlen form  ent_units = n*bitlen(n) -
+    sum_w c_w*bitlen(c_w)  (bitlen = length(bin(x)), identical on both
+    engines — never float log2, whose last ulp can differ).  0 means
+    every word identical; the per-word density ent_mu_per_word =
+    ent_units*1000 DIV n normalizes doc length away.
+
+    Scale shape: the per-doc word counts NEVER shuffle — they are
+    run-lengths of the in-row sorted array, folded by one aggregate()
+    lambda carrying (run, acc, distinct) state left-to-right (O(n log n)
+    sort + O(n) scan per row, no md5/MessageDigest inside the lambda —
+    the r05h rule; bin() is plain integer formatting).  Zero exchanges:
+    the operator is embarrassingly parallel over docs, the ideal 100 TB
+    shape.  The nested-IF predicate short-circuits so element_at(sw,
+    i-1) is never evaluated at i=1 (ANSI would throw on index 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.sort_array(F.split(F.trim(F.col("text")), " +")).alias("sw"),
+    ).select("doc_id", "sw", F.size("sw").cast("long").alias("n"))
+    st = F.expr(
+        """
+        aggregate(
+          sequence(1, CAST(n AS INT)),
+          named_struct('run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT),
+                       'nd', CAST(0 AS BIGINT)),
+          (s, i) -> IF(IF(i = 1, true,
+                          element_at(sw, i) != element_at(sw, i - 1)),
+                       named_struct(
+                         'run', CAST(1 AS BIGINT),
+                         'acc', s.acc + IF(s.run > 0,
+                                           s.run * length(bin(s.run)),
+                                           CAST(0 AS BIGINT)),
+                         'nd', s.nd + CAST(1 AS BIGINT)),
+                       named_struct('run', s.run + CAST(1 AS BIGINT),
+                                    'acc', s.acc, 'nd', s.nd)),
+          s -> named_struct(
+                 'run', CAST(0 AS BIGINT),
+                 'acc', s.acc + IF(s.run > 0,
+                                   s.run * length(bin(s.run)),
+                                   CAST(0 AS BIGINT)),
+                 'nd', s.nd))
+        """
+    )
+    scored = base.select("doc_id", "n", st.alias("st")).select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        F.col("st.nd").cast("long").alias("n_distinct"),
+        (
+            F.col("n") * F.length(F.bin(F.col("n"))).cast("long")
+            - F.col("st.acc")
+        )
+        .cast("long")
+        .alias("ent_units"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "ent_units",
+        F.expr("ent_units * 1000 DIV n_words")
+        .cast("long")
+        .alias("ent_mu_per_word"),
+    )
+
+
+_UNIGRAM_ENTROPY = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents
+), c AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM w GROUP BY 1, 2
+), d AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(c * length(bin(c))) AS BIGINT) AS sc
+  FROM c GROUP BY 1
+)
+SELECT doc_id,
+       n AS n_words,
+       nd AS n_distinct,
+       CAST(n * length(bin(n)) - sc AS BIGINT) AS ent_units,
+       CAST((n * length(bin(n)) - sc) * 1000 // n AS BIGINT)
+         AS ent_mu_per_word
+FROM d
+"""
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: the deterministic global training
+    order a dataloader reads — ascending difficulty bucket (bitlen of
+    the word count: the short-to-long curriculum heuristic), shuffled
+    WITHIN each bucket by a content-derived md5 coin so the epoch
+    order is reproducible across engines, partitionings, and retries
+    (the q_hash_split idiom; re-seeding = changing the salt literal).
+
+    Scale shape: the total order materializes through
+    ranking.global_rank — range partition on the order key, per-
+    partition counts cumulated on the driver, offsets broadcast back,
+    rank = offset + bounded in-partition row_number.  NO one-task
+    Window.orderBy anywhere, so a 10^12-sequence corpus gets its epoch
+    order in bounded sorts (the doc_id tiebreak makes the order total,
+    which global_rank requires for determinism)."""
+    from .ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(
+            F.bin(
+                F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("bucket"),
+        _word_hash_expr(
+            F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))
+        ).alias("shuf"),
+    )
+    ranked = global_rank(
+        d,
+        [F.col("bucket").asc(), F.col("shuf").asc(), F.col("doc_id").asc()],
+        rank_col="rank",
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "bucket"
+    )
+
+
+_CURRICULUM_ORDER = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(bin(len(string_split_regex(trim(text), ' +'))))
+              AS BIGINT) AS bucket,
+         CAST(('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)),
+                              1, 14)) AS BIGINT) AS shuf
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY bucket, shuf, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, bucket
+FROM d
+"""
+
+
+def q_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label consistency: per label, how often a
+    vector's bucketed 1-NN shares its label (purity permille) — the
+    label-noise / embedding-quality audit run before trusting semantic
+    dedup or classifier-filter thresholds built on the same space
+    (low purity for one label means its region is entangled and a
+    cosine threshold there will misfire).
+
+    Scale shape: composes q_ann_nn_bucketed — LSH-bucket-local 1-NN,
+    never a corpus cross join — then joins labels twice on 8-byte
+    vec ids (AQE broadcasts the dimension-sized label table) and
+    collapses to one map-side-combinable census of <= |labels| rows.
+    Output is pure integers, so the oracle hash is float-noise-proof
+    (the cosine argmax itself is already under q_ann_nn_bucketed's
+    oracle)."""
+    nn = q_ann_nn_bucketed(spark, sf_dir).select("vec_id", "nn_id")
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+    j = nn.join(lab, "vec_id").join(
+        lab.select(
+            F.col("vec_id").alias("nn_id"),
+            F.col("label").alias("nn_label"),
+        ),
+        "nn_id",
+    )
+    g = j.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum((F.col("label") == F.col("nn_label")).cast("long"))
+        .cast("long")
+        .alias("n_pure"),
+    )
+    return g.select(
+        "label",
+        "n_vecs",
+        "n_pure",
+        F.expr("n_pure * 1000 DIV n_vecs")
+        .cast("long")
+        .alias("purity_permille"),
+    )
+
+
+def _knn_purity_sql() -> str:
+    return f"""
+WITH nn AS ({_ann_nn_bucketed_sql()}),
+lab AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label
+  FROM embeddings
+)
+SELECT a.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pure,
+       CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS purity_permille
+FROM nn
+JOIN lab a ON a.vec_id = nn.vec_id
+JOIN lab b ON b.vec_id = nn.nn_id
+GROUP BY a.label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13226,6 +13442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r05x arrivals (A/B uplift, minhash estimator calibration)
         "q_ab_uplift": q_ab_uplift,
         "q_minhash_accuracy": q_minhash_accuracy,
+        # r05y arrivals (per-doc entropy proxy, curriculum order,
+        # 1-NN label purity): post-freeze, tail entry
+        "q_unigram_entropy": q_unigram_entropy,
+        "q_curriculum_order": q_curriculum_order,
+        "q_knn_purity": q_knn_purity,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -13411,6 +13632,9 @@ FROM win
         "q_char_coverage": _CHAR_COVERAGE,
         "q_ab_uplift": _AB_UPLIFT,
         "q_minhash_accuracy": _minhash_accuracy_sql(),
+        "q_unigram_entropy": _UNIGRAM_ENTROPY,
+        "q_curriculum_order": _CURRICULUM_ORDER,
+        "q_knn_purity": _knn_purity_sql(),
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
