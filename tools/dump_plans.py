@@ -124,6 +124,24 @@ BLURBS = {
         "of ONE map-side-combinable groupBy — the experiment readout is "
         "one exchange over |types| rows whatever the event volume."
     ),
+    "q_unigram_entropy": (
+        "Per-doc entropy proxy with ZERO exchanges: word counts are "
+        "run-lengths of the in-row sorted array folded by one "
+        "aggregate() state machine — the whole operator is a single "
+        "scan -> project pipeline, embarrassingly parallel over docs."
+    ),
+    "q_curriculum_order": (
+        "Deterministic epoch order via ranking.global_rank: range "
+        "partition on (bucket, md5 coin, doc_id), driver-cumulated "
+        "offsets broadcast back, rank = offset + bounded in-partition "
+        "row_number — no one-task Window.orderBy at any corpus size."
+    ),
+    "q_knn_purity": (
+        "Label-noise audit composed on the bucket-local 1-NN: LSH "
+        "bucket join (never a cross join), two broadcast label joins "
+        "on 8-byte vec ids, one map-side census groupBy to <= |labels| "
+        "rows."
+    ),
     "q_nucleus_keys": (
         "Top-p over keys WITHOUT ranking keys: two stacked map-side "
         "groupBys collapse users -> distinct count-values (<= "
