@@ -12776,6 +12776,187 @@ FROM d
 """
 
 
+def q_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak sliding-60-second event rate per (event_type, day) — the
+    exact 'peak QPS' SLA census (q_burst_hours flags anomalous HOURS
+    against a trailing baseline; this finds the worst minute-scale
+    spike inside each day, the number capacity planning and rate-limit
+    sizing actually need).  Windows are anchored at observed seconds
+    ([t-59, t] for each event second t), which provably contains the
+    maximum over all real-line windows.
+
+    Scale shape: raw events collapse FIRST to per-(type, day, second)
+    counts (map-side-combinable; <= 86400 rows per type-day however
+    hot the traffic), the sliding sum is ONE bounded RANGE frame
+    [59 PRECEDING, CURRENT ROW] over those rows (two-pointer O(n) per
+    partition — never the O(n^2) FOLLOWING shape, CLAUDE.md), and the
+    per-day peak is a map-side-combinable max of the argmax encoding
+    roll * 2^20 + (2^20-1 - sec_in_day) — deterministic earliest-
+    second tie-break without a second window (the q_m4_decimate
+    idiom; sec_in_day < 86400 < 2^20, roll < 2^43 by construction
+    since a day holds < 2^20 seconds each counted < 2^23 times)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    s = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) DIV 86400").cast("long").alias("day"),
+            sec.alias("sec"),
+        )
+        .groupBy("event_type", "day", "sec")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("sec")
+        .rangeBetween(-59, Window.currentRow)
+    )
+    r = s.select(
+        "event_type",
+        "day",
+        "sec",
+        F.sum("cnt").over(w).cast("long").alias("roll"),
+    )
+    enc = r.groupBy("event_type", "day").agg(
+        F.max(
+            F.col("roll") * F.lit(1048576)
+            + (F.lit(1048575) - F.pmod(F.col("sec"), F.lit(86400)))
+        ).alias("e")
+    )
+    return enc.select(
+        "event_type",
+        "day",
+        F.expr("e DIV 1048576").cast("long").alias("peak_60s"),
+        (F.lit(1048575) - F.pmod(F.col("e"), F.lit(1048576)))
+        .cast("long")
+        .alias("peak_sec"),
+    )
+
+
+_PEAK_RATE = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+), s AS (
+  SELECT event_type, sec // 86400 AS day, sec,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM e GROUP BY 1, 2, 3
+), r AS (
+  SELECT event_type, day, sec,
+         CAST(sum(cnt) OVER (PARTITION BY event_type, day ORDER BY sec
+              RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS roll
+  FROM s
+), enc AS (
+  SELECT event_type, day,
+         max(roll * 1048576 + (1048575 - (sec % 86400))) AS e
+  FROM r GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(e // 1048576 AS BIGINT) AS peak_60s,
+       CAST(1048575 - (e % 1048576) AS BIGINT) AS peak_sec
+FROM enc
+"""
+
+
+def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence census: per guessed language, how many
+    docs were called on a zero margin (best == second-best marker
+    score — the calls a CCNet-style confidence threshold would drop)
+    and the margin distribution (mean milli / max).  The trust table
+    read before using q_lang_id's guesses for per-language mixing or
+    tokenizer-coverage decisions.
+
+    Scale shape: the four marker scores compute ONCE in a lower
+    projection (the _lang_scored staging — inlining them through the
+    precedence CASE re-duplicates each 3-replace score exponentially,
+    the r05m Catalyst-expression-size trap), best/second come from one
+    in-row sort_array over the 4-element score array, and the census
+    is ONE map-side-combinable groupBy to <= 5 rows.  Margins are
+    exact integers end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
+    scored = docs.select(
+        *[
+            sum(_occurrences(padded, f" {w} ") for w in words).alias(
+                f"s_{lang}"
+            )
+            for lang, words in _LANG_MARKERS.items()
+        ]
+    )
+    guess = F.lit("und")
+    best = F.lit(0).cast("long")
+    for lang in ("en", "es", "fr", "de"):  # fixed precedence for ties
+        sc = F.col(f"s_{lang}")
+        guess = F.when(sc > best, F.lit(lang)).otherwise(guess)
+        best = F.when(sc > best, sc).otherwise(best)
+    arr = F.sort_array(
+        F.array(*[F.col(f"s_{lang}") for lang in _LANG_MARKERS]), False
+    )
+    m = scored.select(
+        guess.alias("guess_lang"),
+        (F.element_at(arr, 1) - F.element_at(arr, 2))
+        .cast("long")
+        .alias("margin"),
+    )
+    g = m.groupBy("guess_lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("margin") == 0).cast("long"))
+        .cast("long")
+        .alias("n_ambiguous"),
+        F.sum("margin").cast("long").alias("sm"),
+        F.max("margin").cast("long").alias("max_margin"),
+    )
+    return g.select(
+        "guess_lang",
+        "n_docs",
+        "n_ambiguous",
+        F.expr("sm * 1000 DIV n_docs").cast("long").alias(
+            "mean_margin_milli"
+        ),
+        "max_margin",
+    )
+
+
+def _lang_margin_sql() -> str:
+    def occ(w):
+        return (
+            f"(length(padded) - length(replace(padded, ' {w} ', '')))"
+            f" // {len(w) + 2}"
+        )
+
+    score = {
+        lang: " + ".join(occ(w) for w in words)
+        for lang, words in _LANG_MARKERS.items()
+    }
+    return f"""
+WITH t AS (
+  SELECT ' ' || lower(trim(text)) || ' ' AS padded FROM documents
+), s AS (
+  SELECT {score['en']} AS s_en, {score['es']} AS s_es,
+         {score['fr']} AS s_fr, {score['de']} AS s_de
+  FROM t
+), m AS (
+  SELECT CASE
+           WHEN s_de > s_fr AND s_de > s_es AND s_de > s_en AND s_de > 0
+             THEN 'de'
+           WHEN s_fr > s_es AND s_fr > s_en AND s_fr > 0 THEN 'fr'
+           WHEN s_es > s_en AND s_es > 0 THEN 'es'
+           WHEN s_en > 0 THEN 'en'
+           ELSE 'und' END AS guess_lang,
+         list_sort([s_en, s_es, s_fr, s_de], 'DESC') AS l
+  FROM s
+)
+SELECT guess_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN l[1] = l[2] THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ambiguous,
+       CAST(sum(l[1] - l[2]) * 1000 // count(*) AS BIGINT)
+         AS mean_margin_milli,
+       CAST(max(l[1] - l[2]) AS BIGINT) AS max_margin
+FROM m GROUP BY guess_lang
+"""
+
+
 def q_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space label consistency: per label, how often a
     vector's bucketed 1-NN shares its label (purity permille) — the
@@ -13447,6 +13628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_entropy": q_unigram_entropy,
         "q_curriculum_order": q_curriculum_order,
         "q_knn_purity": q_knn_purity,
+        # r05z arrivals (peak sliding-60s rate, language-ID margin
+        # census): post-freeze, tail entry
+        "q_peak_rate": q_peak_rate,
+        "q_lang_margin": q_lang_margin,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -13635,6 +13820,8 @@ FROM win
         "q_unigram_entropy": _UNIGRAM_ENTROPY,
         "q_curriculum_order": _CURRICULUM_ORDER,
         "q_knn_purity": _knn_purity_sql(),
+        "q_peak_rate": _PEAK_RATE,
+        "q_lang_margin": _lang_margin_sql(),
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
