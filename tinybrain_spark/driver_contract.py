@@ -2780,6 +2780,38 @@ FROM paired GROUP BY 1
 DAY_US = 86_400_000_000  # one day in microseconds
 
 
+def _stitched_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, delta): consecutive inter-arrival deltas per event
+    type in int64 microseconds, every sort day-bounded — the
+    q_interarrival stitch (see that docstring for the equivalence
+    argument vs the one-task full-history lag)."""
+    # ts is TIMESTAMP_NTZ; the session pins UTC, so the cast below is
+    # the identity reinterpretation DuckDB's epoch_us applies natively
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    ).withColumn("day", F.expr(f"us DIV {DAY_US}"))
+    w_day = Window.partitionBy("source", "day").orderBy("us", "event_id")
+    within = ev.withColumn("prev_us", F.lag("us").over(w_day))
+    day_last = ev.groupBy("source", "day").agg(
+        F.max_by("us", F.struct("us", "event_id")).alias("last_us")
+    )
+    w_days = Window.partitionBy("source").orderBy("day")
+    prev_day = day_last.withColumn(
+        "prev_day_last", F.lag("last_us").over(w_days)
+    ).select("source", "day", "prev_day_last")
+    return within.join(
+        F.broadcast(prev_day), ["source", "day"]
+    ).select(
+        "source",
+        (
+            F.col("us")
+            - F.coalesce(F.col("prev_us"), F.col("prev_day_last"))
+        ).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+
+
 def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival-time statistics per event type (microsecond
     deltas between consecutive events) — the ingest-cadence profile
@@ -2801,32 +2833,7 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken by event_id in both layers), which is what the DuckDB
     oracle computes directly.  Output: per type, delta count,
     min/max, and the floored mean in int64 microseconds."""
-    # ts is TIMESTAMP_NTZ; the session pins UTC, so the cast below is
-    # the identity reinterpretation DuckDB's epoch_us applies natively
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("source"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        "event_id",
-    ).withColumn("day", F.expr(f"us DIV {DAY_US}"))
-    w_day = Window.partitionBy("source", "day").orderBy("us", "event_id")
-    within = ev.withColumn("prev_us", F.lag("us").over(w_day))
-    day_last = ev.groupBy("source", "day").agg(
-        F.max_by("us", F.struct("us", "event_id")).alias("last_us")
-    )
-    w_days = Window.partitionBy("source").orderBy("day")
-    prev_day = day_last.withColumn(
-        "prev_day_last", F.lag("last_us").over(w_days)
-    ).select("source", "day", "prev_day_last")
-    stitched = within.join(
-        F.broadcast(prev_day), ["source", "day"]
-    ).select(
-        "source",
-        (
-            F.col("us")
-            - F.coalesce(F.col("prev_us"), F.col("prev_day_last"))
-        ).alias("delta"),
-    ).where(F.col("delta").isNotNull())
-    return stitched.groupBy("source").agg(
+    return _stitched_deltas(spark, sf_dir).groupBy("source").agg(
         F.count("*").cast("long").alias("n_deltas"),
         F.min("delta").cast("long").alias("min_delta_us"),
         F.max("delta").cast("long").alias("max_delta_us"),
@@ -2850,6 +2857,93 @@ SELECT source,
        CAST(sum(delta) // count(delta) AS BIGINT) AS avg_delta_us
 FROM d WHERE delta IS NOT NULL
 GROUP BY source
+"""
+
+
+_NATIVE_RES_SHIFT = 1 << 40  # mode argmax encoding: cnt*2^40 + (2^40-1-ds)
+
+
+def q_native_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant sampling interval per event type — the tier-planner
+    readout a rollup engine consults BEFORE choosing retention-tier
+    widths (a stream natively ticking every ~17 min makes a 60 s
+    first tier pure gap-fill; one ticking sub-second wants it).
+    Output per type: the modal whole-second inter-arrival delta
+    (ties -> smallest delta), its count, total deltas, and the
+    dominance share in permille.
+
+    Scale shape: deltas come from the day-bounded stitched lag
+    (`_stitched_deltas` — no one-task type-history sort), collapse to
+    (type, delta_s) counts in ONE map-side-combinable groupBy, and
+    the mode is the q_m4_decimate argmax-encoding idiom
+    max(cnt * 2^40 + (2^40-1 - delta_s)) — a second map-side-
+    combinable groupBy, never a window.  Encoding domain: delta_s <
+    2^40 (~35k years) is structural; the per-(type, delta_s) count
+    < 2^23 bound is RUNTIME-GUARDED so an overflow raises with an
+    actionable message instead of ANSI's generic one."""
+    d = _stitched_deltas(spark, sf_dir).select(
+        "source", F.expr("delta DIV 1000000").alias("delta_s")
+    )
+    g = d.groupBy("source", "delta_s").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    cnt = F.when(F.col("cnt") < (1 << 23), F.col("cnt")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "q_native_resolution: per-(type, delta_s) count "
+                    ">= 2^23 breaks the mode argmax encoding: "
+                ),
+                F.col("cnt").cast("string"),
+            )
+        ).cast("long")
+    )
+    enc = g.groupBy("source").agg(
+        F.max(
+            cnt * F.lit(_NATIVE_RES_SHIFT)
+            + (F.lit(_NATIVE_RES_SHIFT - 1) - F.col("delta_s"))
+        ).alias("e"),
+        F.sum("cnt").cast("long").alias("n_deltas"),
+    )
+    return enc.select(
+        "source",
+        (F.lit(_NATIVE_RES_SHIFT - 1) - F.pmod(F.col("e"), F.lit(_NATIVE_RES_SHIFT)))
+        .cast("long")
+        .alias("dominant_delta_s"),
+        F.expr(f"e DIV {_NATIVE_RES_SHIFT}").cast("long").alias("n_dominant"),
+        "n_deltas",
+        F.expr(f"(e DIV {_NATIVE_RES_SHIFT}) * 1000 DIV n_deltas")
+        .cast("long")
+        .alias("share_ppt"),
+    )
+
+
+_NATIVE_RESOLUTION = f"""
+WITH e AS (
+  SELECT event_type AS source, epoch_us(ts) AS us, event_id FROM events
+), d AS (
+  SELECT source,
+         (us - lag(us) OVER (PARTITION BY source ORDER BY us, event_id))
+           // 1000000 AS delta_s
+  FROM e
+), g AS (
+  SELECT source, delta_s, CAST(count(*) AS BIGINT) AS cnt
+  FROM d WHERE delta_s IS NOT NULL GROUP BY 1, 2
+), enc AS (
+  SELECT source,
+         max(cnt * {_NATIVE_RES_SHIFT}
+             + ({_NATIVE_RES_SHIFT - 1} - delta_s)) AS e,
+         sum(cnt) AS n_deltas
+  FROM g GROUP BY source
+)
+SELECT source,
+       CAST({_NATIVE_RES_SHIFT - 1} - (e % {_NATIVE_RES_SHIFT}) AS BIGINT)
+         AS dominant_delta_s,
+       CAST(e // {_NATIVE_RES_SHIFT} AS BIGINT) AS n_dominant,
+       CAST(n_deltas AS BIGINT) AS n_deltas,
+       CAST((e // {_NATIVE_RES_SHIFT}) * 1000 // n_deltas AS BIGINT)
+         AS share_ppt
+FROM enc
 """
 
 
@@ -6620,6 +6714,79 @@ FROM cand
 JOIN sig a ON a.doc_id = cand.doc_a
 JOIN sig b ON b.doc_id = cand.doc_b
 WHERE {agree} >= {_MINHASH_AGREE}
+"""
+
+
+EDITDIST_PREFIX = 256  # char-level verify on capped prefixes
+EDITDIST_SIM_PPT = 600  # keep pairs with prefix similarity >= 60.0%
+
+
+def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level verification of the LSH candidate pairs: exact
+    Levenshtein distance over EDITDIST_PREFIX-char prefixes, keeping
+    pairs whose prefix similarity 1000*(maxlen - dist) DIV maxlen
+    clears EDITDIST_SIM_PPT — the ORDER-SENSITIVE complement of
+    q_minhash_verified_pairs' bag-of-shingles agreement (signature
+    agreement cannot tell a shuffled document from a near-identical
+    one; edit distance can).
+
+    Scale shape: distances compute ONLY on band candidates (never a
+    corpus pair join), the pair join ships <= EDITDIST_PREFIX chars
+    per side (prefixes project BELOW the join — the same shuffle-
+    width discipline as the w8/shingle fingerprints), and
+    levenshtein() is JVM-side codegen with O(PREFIX^2)-bounded work
+    per pair.  The prefix cap is the documented approximation (the
+    shingle-oracle convention): full-text distance would be unbounded
+    per-pair cost at corpus document lengths."""
+    cand = _minhash_pairs_from(q_minhash_signature(spark, sf_dir))
+    p = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring(F.col("text"), 1, EDITDIST_PREFIX).alias("p"),
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    b = p.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    r = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("d"),
+            F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
+            .cast("long")
+            .alias("mx"),
+        )
+    )
+    return (
+        r.select(
+            "doc_a",
+            "doc_b",
+            F.col("d").alias("edit_dist"),
+            F.expr("(mx - d) * 1000 DIV mx").cast("long").alias("sim_ppt"),
+        )
+        .where(F.col("sim_ppt") >= EDITDIST_SIM_PPT)
+    )
+
+
+def _editdist_verify_sql() -> str:
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS ({_minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), p AS (
+  SELECT doc_id, substr(text, 1, {EDITDIST_PREFIX}) AS p FROM documents
+), r AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(levenshtein(a.p, b.p) AS BIGINT) AS d,
+         CAST(greatest(length(a.p), length(b.p), 1) AS BIGINT) AS mx
+  FROM cand JOIN p a ON a.doc_id = cand.doc_a
+            JOIN p b ON b.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, d AS edit_dist,
+       CAST((mx - d) * 1000 // mx AS BIGINT) AS sim_ppt
+FROM r WHERE (mx - d) * 1000 // mx >= {EDITDIST_SIM_PPT}
 """
 
 
@@ -13632,6 +13799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # census): post-freeze, tail entry
         "q_peak_rate": q_peak_rate,
         "q_lang_margin": q_lang_margin,
+        # r06a arrivals (char-level candidate verify, tier-planner
+        # native resolution): post-freeze, tail entry
+        "q_editdist_verify": q_editdist_verify,
+        "q_native_resolution": q_native_resolution,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -13822,6 +13993,8 @@ FROM win
         "q_knn_purity": _knn_purity_sql(),
         "q_peak_rate": _PEAK_RATE,
         "q_lang_margin": _lang_margin_sql(),
+        "q_editdist_verify": _editdist_verify_sql(),
+        "q_native_resolution": _NATIVE_RESOLUTION,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
