@@ -241,6 +241,32 @@ BLURBS = {
         "identical frame; probes broadcast, per-probe aggregate "
         "map-side combinable."
     ),
+    "q_peak_rate": (
+        "Peak sliding-60s rate: raw events collapse FIRST to per-second "
+        "counts (map-side combinable, <= 86400 rows per type-day), then "
+        "ONE bounded RANGE [59 PRECEDING, CURRENT ROW] frame (two-pointer "
+        "O(n), never the O(n^2) FOLLOWING shape), earliest-second argmax "
+        "via the roll*2^20 encoding — one map-side max, no second window."
+    ),
+    "q_lang_margin": (
+        "Language-ID margin census: marker scores staged ONCE in a lower "
+        "projection (12 replace() nodes — never the exponential "
+        "CASE-inlining), best/runner-up via one in-row sort_array, ONE "
+        "census groupBy to <= 5 rows."
+    ),
+    "q_editdist_verify": (
+        "Char-level candidate verify: Levenshtein computes ONLY on LSH "
+        "band candidates (no corpus pair join); 256-char prefixes project "
+        "BELOW the pair join so the shuffle ships bounded strings; "
+        "levenshtein() is JVM codegen with O(256^2)-bounded per-pair work."
+    ),
+    "q_native_resolution": (
+        "Tier-planner native-resolution census: deltas ride the "
+        "day-bounded stitched lag (no one-task type-history sort), "
+        "collapse to (type, delta_s) in ONE map-side-combinable groupBy, "
+        "mode via the argmax encoding cnt*2^40 + (2^40-1-delta_s) — a "
+        "second map-side groupBy, never a window."
+    ),
 }
 
 
