@@ -2947,6 +2947,104 @@ FROM enc
 """
 
 
+# canonical retention-tier width ladder, seconds (1s .. 1h)
+TIER_LADDER_S = (1, 5, 15, 60, 300, 900, 3600)
+
+
+def q_tier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-tier width recommendation per event type — the planner
+    that turns q_native_resolution's census into a concrete retention
+    config: the smallest canonical ladder width (1s..1h) at least as
+    coarse as the stream's dominant inter-arrival delta (a tier finer
+    than the native cadence is pure gap-fill), plus the storage
+    consequences: dense points/day at that width, observed raw
+    points/day, the stored estimate (a sparse tier never exceeds the
+    raw cadence), and the saving permille.
+
+    Scale shape: composes q_native_resolution (day-bounded stitched
+    lag, two map-side-combinable groupBys) with ONE more per-source
+    aggregate over the events scan (count + min/max day — map-side
+    combinable, |sources| rows out); the two <= |sources|-row tables
+    join broadcast.  The ladder pick is a flat 7-branch CASE in
+    WholeStageCodegen — never a lambda/array scan.  All-integer
+    output, so the oracle hash is float-noise-proof."""
+    dom = q_native_resolution(spark, sf_dir).select(
+        "source", "dominant_delta_s"
+    )
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("source"),
+            F.expr(f"unix_micros(cast(ts as timestamp)) DIV {DAY_US}").alias(
+                "day"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+        )
+        .select(
+            "source",
+            F.expr("greatest(1L, n_events DIV (d1 - d0 + 1))").alias(
+                "raw_ppd"
+            ),
+        )
+    )
+    ladder = "CASE " + " ".join(
+        f"WHEN dominant_delta_s <= {w} THEN {w}L" for w in TIER_LADDER_S[:-1]
+    ) + f" ELSE {TIER_LADDER_S[-1]}L END"
+    return (
+        dom.join(F.broadcast(raw), "source")
+        .withColumn("rec_width_s", F.expr(ladder))
+        .select(
+            "source",
+            F.col("dominant_delta_s").cast("long").alias("dominant_delta_s"),
+            "rec_width_s",
+            F.expr("86400 DIV rec_width_s").cast("long").alias("dense_ppd"),
+            F.col("raw_ppd").cast("long").alias("raw_ppd"),
+            F.expr("least(86400 DIV rec_width_s, raw_ppd)")
+            .cast("long")
+            .alias("est_ppd"),
+            F.expr(
+                "(raw_ppd - least(86400 DIV rec_width_s, raw_ppd)) * 1000 "
+                "DIV raw_ppd"
+            )
+            .cast("long")
+            .alias("saving_ppt"),
+        )
+    )
+
+
+def _tier_plan_sql() -> str:
+    ladder = "CASE " + " ".join(
+        f"WHEN dominant_delta_s <= {w} THEN {w}" for w in TIER_LADDER_S[:-1]
+    ) + f" ELSE {TIER_LADDER_S[-1]} END"
+    return f"""
+WITH nr AS ({_NATIVE_RESOLUTION}),
+raw AS (
+  SELECT event_type AS source,
+         greatest(1, CAST(count(*) AS BIGINT)
+                     // (max(epoch_us(ts) // {DAY_US})
+                         - min(epoch_us(ts) // {DAY_US}) + 1)) AS raw_ppd
+  FROM events GROUP BY 1
+), j AS (
+  SELECT nr.source, nr.dominant_delta_s, raw.raw_ppd,
+         CAST({ladder} AS BIGINT) AS rec_width_s
+  FROM nr JOIN raw ON nr.source = raw.source
+)
+SELECT source, CAST(dominant_delta_s AS BIGINT) AS dominant_delta_s,
+       rec_width_s,
+       CAST(86400 // rec_width_s AS BIGINT) AS dense_ppd,
+       CAST(raw_ppd AS BIGINT) AS raw_ppd,
+       CAST(least(86400 // rec_width_s, raw_ppd) AS BIGINT) AS est_ppd,
+       CAST((raw_ppd - least(86400 // rec_width_s, raw_ppd)) * 1000
+            // raw_ppd AS BIGINT) AS saving_ppt
+FROM j
+"""
+
+
 DECAY_HORIZON_D = 30  # ages beyond 30 days weigh 0 (weights 2^0..2^30)
 DECAY_TOPK = 5
 DECAY_SALT = 32
@@ -5925,6 +6023,147 @@ scored AS (
   FROM scored
 )
 SELECT doc_id, rk, word, tf, df, score FROM ranked WHERE rk <= {TFIDF_TOPK}
+"""
+
+
+BM25_TERMS = ("dup", "scan", "merge", "spark")  # the fixed search query
+BM25_TOPK = 20
+# k1 = 6/5 and b = 3/4 as exact rationals: with L = total corpus words
+# and N = n_docs, the per-term score is
+#   idf * 1000 * tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/L))
+# = idf * 1000 * 22*L*tf DIV (10*L*tf + 3*L + 9*dl*N)
+# after multiplying through by 10*L — exact int64 on both engines.
+# idf = bitlen(N DIV df) (length(bin(x))): the exact integer log2
+# bucket (never floor(log2()) — last-ulp differs across engines).
+_BM25_L_MAX = 1 << 32  # 22000 * 2^32 * 2^10 * idf<=41 < 2^63
+_BM25_TF_MAX = 1 << 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed multi-term query — the
+    second ranker next to q_tfidf_terms (and a natural input to
+    q_rrf_fusion): per matching document, the number of query terms
+    hit and the integer-scaled BM25 score; top-BM25_TOPK documents.
+    All arithmetic is exact int64 (k1/b as rationals folded into one
+    integer quotient; idf as the bitlen log2 bucket), so the ranking
+    matches any engine bit-for-bit.
+
+    Scale shape: the per-(doc, term) tf groupBy filters to the query
+    terms BEFORE the explode aggregate (the corpus-sized exchange
+    carries only matching words); df aggregates the in-row-distinct
+    words filtered the same way (|terms| rows out, broadcast); doc
+    lengths join tf on the 8-byte doc_id (both sides corpus-sized for
+    common terms — a narrow shuffle join, never a broadcast); N and L
+    fold into the plan as a broadcast 1-row aggregate cross join
+    (never a driver .count());
+    the final top-k is a TakeOrderedAndProject — never a global sort.
+    Overflow guards raise actionably at L >= 2^32 or tf >= 2^10
+    (rescale SCALE/L before the product can exceed int64)."""
+    terms = list(BM25_TERMS)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim(F.col("text")), " +").alias("ws"),
+    )
+    corpus = words.select(
+        "doc_id", F.size("ws").cast("long").alias("dl")
+    )
+    n_tab = corpus.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("l_tot"),
+    )
+    tf = (
+        words.select("doc_id", F.explode("ws").alias("word"))
+        .where(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tab = (
+        words.select(F.explode(F.array_distinct("ws")).alias("word"))
+        .where(F.col("word").isin(terms))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    guard_l = F.when(F.col("l_tot") < _BM25_L_MAX, F.col("l_tot")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q_bm25_topk: corpus words >= 2^32 overflow the "
+                      "int64 score product; rescale: "),
+                F.col("l_tot").cast("string"),
+            )
+        ).cast("long")
+    )
+    guard_tf = F.when(F.col("tf") < _BM25_TF_MAX, F.col("tf")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q_bm25_topk: term frequency >= 2^10 overflows the "
+                      "int64 score product: "),
+                F.col("tf").cast("string"),
+            )
+        ).cast("long")
+    )
+    # tf and corpus are both corpus-sized for common query terms —
+    # a shuffle join on the 8-byte doc_id (narrow rows both sides),
+    # never a broadcast; df and the 1-row (N, L) table DO broadcast.
+    scored = (
+        tf.join(F.broadcast(df_tab), "word")
+        .join(corpus, "doc_id")
+        .crossJoin(F.broadcast(n_tab))
+        .withColumn("l_ok", guard_l)
+        .withColumn("tf_ok", guard_tf)
+        .withColumn("idf", F.length(F.bin(F.expr("n_docs DIV df"))).cast("long"))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "idf * 22000 * l_ok * tf_ok"
+                " DIV (10 * l_ok * tf_ok + 3 * l_ok + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("term_score").cast("long").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_topk_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), corpus AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS l_tot
+  FROM corpus
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS word FROM d)
+  WHERE word IN ({terms}) GROUP BY 1, 2
+), dfq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(ws)) AS word FROM d)
+  WHERE word IN ({terms}) GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(length(bin(n.n_docs // dfq.df)) AS BIGINT) * 22000
+           * n.l_tot * tf.tf
+           // (10 * n.l_tot * tf.tf + 3 * n.l_tot
+               + 9 * corpus.dl * n.n_docs) AS term_score
+  FROM tf JOIN dfq USING (word) JOIN corpus USING (doc_id), n
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(term_score) AS BIGINT) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
 
 
@@ -13803,6 +14042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # native resolution): post-freeze, tail entry
         "q_editdist_verify": q_editdist_verify,
         "q_native_resolution": q_native_resolution,
+        # r06b arrivals (BM25 ranked retrieval, tier-width planner):
+        # post-freeze, tail entry
+        "q_bm25_topk": q_bm25_topk,
+        "q_tier_plan": q_tier_plan,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -13995,6 +14238,8 @@ FROM win
         "q_lang_margin": _lang_margin_sql(),
         "q_editdist_verify": _editdist_verify_sql(),
         "q_native_resolution": _NATIVE_RESOLUTION,
+        "q_bm25_topk": _bm25_topk_sql(),
+        "q_tier_plan": _tier_plan_sql(),
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

@@ -267,6 +267,20 @@ BLURBS = {
         "mode via the argmax encoding cnt*2^40 + (2^40-1-delta_s) — a "
         "second map-side groupBy, never a window."
     ),
+    "q_bm25_topk": (
+        "Integer-exact BM25: term filter BEFORE the explode aggregate "
+        "(corpus exchange carries only matching words), tf joins doc "
+        "lengths on the 8-byte doc_id (narrow shuffle join — both sides "
+        "corpus-sized for common terms, never a broadcast), |terms|-row "
+        "df and 1-row (N, L) tables broadcast, top-k is a "
+        "TakeOrderedAndProject — never a global sort."
+    ),
+    "q_tier_plan": (
+        "Tier-width recommender: q_native_resolution's census (two "
+        "map-side groupBys) + one more per-source aggregate over the "
+        "events scan, joined broadcast at <= |sources| rows; the ladder "
+        "pick is a flat 7-branch CASE inside WholeStageCodegen."
+    ),
 }
 
 
