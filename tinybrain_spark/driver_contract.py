@@ -1708,6 +1708,177 @@ FROM events GROUP BY event_type, bin
 """
 
 
+_DRIFT_FP = 1 << 20  # fixed-point share scale (exact integer shares)
+_DRIFT_ENC = 1 << 24  # worst-bin argmax encoding: gap*2^24 + (2^24-1-bin')
+_DRIFT_BIN_OFF = 1 << 23  # bin -> nonneg shift for the encoding
+
+
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal value-distribution drift per event type: split the
+    corpus at the midpoint day and report the total-variation distance
+    (in 2^20 fixed point + permille) between the early and late value
+    histograms, plus the single most-divergent bin and its share gap —
+    the did-this-metric's-distribution-shift monitor behind alerting
+    and retraining triggers (PSI's job, but exact integers: TVD needs
+    no logarithm, so both engines agree bit-for-bit).
+
+    Scale shape: ONE corpus-sized map-side-combinable groupBy to
+    (type, era, bin) counts; everything after runs on that
+    |types|*|bins|*2 census — per-(type, era) totals broadcast back,
+    shares in 2^20 fixed point (count < 2^43 runtime-guarded), the
+    per-bin gap |s_early - s_late| summed in a second tiny groupBy,
+    and the worst bin via the q_m4 argmax encoding gap*2^24 +
+    (2^24-1-(bin+2^23)) (|bin| < 2^23 guarded) — never a window.  The
+    midpoint day folds in as a broadcast 1-row aggregate.  A type
+    entirely absent from one era reads as drift vs an all-zero share
+    vector (TVD ~ 500 permille), deterministically on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.expr(f"unix_micros(cast(ts as timestamp)) DIV {DAY_US}").alias(
+            "day"
+        ),
+        F.expr(f"CAST(floor(value * 100) AS BIGINT) DIV {HIST_BIN}").alias(
+            "bin"
+        ),
+    )
+    bounds = ev.agg(
+        F.expr("(min(day) + max(day) + 1) DIV 2").alias("mid")
+    )
+    census = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "source",
+            F.when(F.col("day") < F.col("mid"), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("era"),
+            "bin",
+        )
+        .groupBy("source", "era", "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = census.groupBy("source", "era").agg(
+        F.sum("cnt").alias("tot")
+    )
+    cnt_ok = F.when(F.col("cnt") < (1 << 43), F.col("cnt")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q_value_drift: per-bin count >= 2^43 overflows the "
+                      "2^20 fixed-point share: "),
+                F.col("cnt").cast("string"),
+            )
+        ).cast("long")
+    )
+    bin_ok = F.when(
+        F.abs(F.col("bin")) < _DRIFT_BIN_OFF, F.col("bin")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q_value_drift: |bin| >= 2^23 breaks the worst-bin "
+                      "encoding: "),
+                F.col("bin").cast("string"),
+            )
+        ).cast("long")
+    )
+    shares = (
+        census.join(F.broadcast(tot), ["source", "era"])
+        .select(
+            "source",
+            bin_ok.alias("bin"),
+            "era",
+            (cnt_ok * F.lit(_DRIFT_FP)).alias("sc"),
+            "tot",
+            "cnt",
+        )
+        .withColumn("share", F.expr("sc DIV tot"))
+    )
+    gaps = shares.groupBy("source", "bin").agg(
+        F.abs(
+            F.sum(F.when(F.col("era") == 0, F.col("share")).otherwise(0))
+            - F.sum(F.when(F.col("era") == 1, F.col("share")).otherwise(0))
+        ).alias("gap"),
+        F.sum(F.when(F.col("era") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("era") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    enc = gaps.groupBy("source").agg(
+        F.expr("sum(gap) DIV 2").cast("long").alias("tvd_fp"),
+        F.max(
+            F.col("gap") * F.lit(_DRIFT_ENC)
+            + (F.lit(_DRIFT_ENC - 1) - (F.col("bin") + F.lit(_DRIFT_BIN_OFF)))
+        ).alias("e"),
+        F.sum("n_a").cast("long").alias("n_early"),
+        F.sum("n_b").cast("long").alias("n_late"),
+    )
+    return enc.select(
+        "source",
+        "n_early",
+        "n_late",
+        "tvd_fp",
+        F.expr(f"tvd_fp * 1000 DIV {_DRIFT_FP}").cast("long").alias(
+            "drift_ppt"
+        ),
+        (
+            F.lit(_DRIFT_ENC - 1)
+            - F.pmod(F.col("e"), F.lit(_DRIFT_ENC))
+            - F.lit(_DRIFT_BIN_OFF)
+        )
+        .cast("long")
+        .alias("worst_bin"),
+        F.expr(f"e DIV {_DRIFT_ENC}").cast("long").alias("worst_gap_fp"),
+    )
+
+
+def _value_drift_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type AS source,
+         epoch_us(ts) // {DAY_US} AS day,
+         CAST(floor(value * 100) AS BIGINT) // {HIST_BIN} AS bin
+  FROM events
+), b AS (
+  SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev
+), census AS (
+  SELECT source,
+         CASE WHEN day < b.mid THEN 0 ELSE 1 END AS era,
+         bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev, b GROUP BY 1, 2, 3
+), tot AS (
+  SELECT source, era, sum(cnt) AS tot FROM census GROUP BY 1, 2
+), shares AS (
+  SELECT census.source, census.bin, census.era, census.cnt,
+         cnt * {_DRIFT_FP} // tot.tot AS share
+  FROM census JOIN tot USING (source, era)
+), gaps AS (
+  SELECT source, bin,
+         abs(sum(CASE WHEN era = 0 THEN share ELSE 0 END)
+             - sum(CASE WHEN era = 1 THEN share ELSE 0 END)) AS gap,
+         sum(CASE WHEN era = 0 THEN cnt ELSE 0 END) AS n_a,
+         sum(CASE WHEN era = 1 THEN cnt ELSE 0 END) AS n_b
+  FROM shares GROUP BY 1, 2
+), enc AS (
+  SELECT source,
+         sum(gap) // 2 AS tvd_fp,
+         max(gap * {_DRIFT_ENC}
+             + ({_DRIFT_ENC - 1} - (bin + {_DRIFT_BIN_OFF}))) AS e,
+         sum(n_a) AS n_early, sum(n_b) AS n_late
+  FROM gaps GROUP BY source
+)
+SELECT source,
+       CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT) AS n_late,
+       CAST(tvd_fp AS BIGINT) AS tvd_fp,
+       CAST(tvd_fp * 1000 // {_DRIFT_FP} AS BIGINT) AS drift_ppt,
+       CAST({_DRIFT_ENC - 1} - (e % {_DRIFT_ENC}) - {_DRIFT_BIN_OFF}
+            AS BIGINT) AS worst_bin,
+       CAST(e // {_DRIFT_ENC} AS BIGINT) AS worst_gap_fp
+FROM enc
+"""
+
+
 HQ_PPTS = (500, 900, 990)  # quantiles (permille) for histogram_quantile
 
 
@@ -8607,6 +8778,60 @@ FROM sums s JOIN diag USING (doc_id)
 """
 
 
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-quality gate (the visual analog of q_wav_energy's
+    silence/clipping check): per image, a 4-bucket luminance histogram
+    (64-wide bins), min/max luminance, and the integer RMS contrast
+    floor(sqrt((n*S2 - S1^2) DIV n^2)) — all-black, washed-out, or
+    low-contrast frames show up as degenerate histograms / contrast 0,
+    the filter an image training pipeline runs after decode.
+
+    Scale shape: same two chained mapInPandas as q_multimodal_gray
+    (synthesize deterministic PGM P5, parse with the real netpbm
+    reader, numpy-vectorized stats per Arrow batch), zero shuffles.
+    The oracle recomputes every decoded byte arithmetically
+    ((doc_id*37 + i) % 241), so a parser or histogram off-by-one
+    hash-mismatches; the isqrt is exact cross-engine for n*S2 < 2^52
+    (the q_wav_energy floor(sqrt) argument)."""
+    from .multimodal import image_quality, synth_pgm_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return image_quality(synth_pgm_payloads(docs))
+
+
+_IMAGE_QUALITY = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 11 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 5 + 4 AS BIGINT) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w * h AS n, unnest(range(0, w * h)) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, n, (doc_id * 37 + i) % 241 AS v FROM px
+), s AS (
+  SELECT doc_id,
+         CAST(max(n) AS BIGINT) AS n_pix,
+         CAST(min(v) AS BIGINT) AS lum_min,
+         CAST(max(v) AS BIGINT) AS lum_max,
+         CAST(sum(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+         CAST(sum(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id, n_pix, lum_min, lum_max, h0, h1, h2, h3,
+       CAST(floor(sqrt((n_pix * s2 - s1 * s1) // (n_pix * n_pix)))
+            AS BIGINT) AS contrast_u
+FROM s
+"""
+
+
 STATE_SPAN_MAX_DAYS = 64  # one state interval may cross at most this
 
 
@@ -14046,6 +14271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # post-freeze, tail entry
         "q_bm25_topk": q_bm25_topk,
         "q_tier_plan": q_tier_plan,
+        # r06c arrivals (value-distribution drift, image-quality gate):
+        # post-freeze, tail entry
+        "q_value_drift": q_value_drift,
+        "q_image_quality": q_image_quality,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -14240,6 +14469,8 @@ FROM win
         "q_native_resolution": _NATIVE_RESOLUTION,
         "q_bm25_topk": _bm25_topk_sql(),
         "q_tier_plan": _tier_plan_sql(),
+        "q_value_drift": _value_drift_sql(),
+        "q_image_quality": _IMAGE_QUALITY,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

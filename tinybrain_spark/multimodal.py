@@ -488,3 +488,56 @@ def decode_grayscale(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_decode, GRAY_SCHEMA)
+
+
+QUALITY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_pix", LongType(), False),
+        StructField("lum_min", LongType(), False),
+        StructField("lum_max", LongType(), False),
+        StructField("h0", LongType(), False),
+        StructField("h1", LongType(), False),
+        StructField("h2", LongType(), False),
+        StructField("h3", LongType(), False),
+        StructField("contrast_u", LongType(), False),
+    ]
+)
+
+
+def image_quality(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Image-quality gate over decoded grayscale payloads — the visual
+    analog of audio_features' silence/clipping check: per image a
+    4-bucket luminance histogram (64-wide bins), min/max luminance,
+    and the integer RMS contrast floor(sqrt((n*S2 - S1^2) DIV n^2))
+    (population stddev, divide-first like audio RMS — exact in int64
+    and via correctly-rounded double sqrt for n*S2 < 2^52).  All-black
+    / washed-out / low-contrast frames show up as degenerate
+    histograms or contrast ~0.  numpy-vectorized per Arrow batch;
+    zero shuffles."""
+    import math
+
+    def _quality(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_pix", "lum_min", "lum_max",
+                    "h0", "h1", "h2", "h3", "contrast_u")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, pix = parse_pgm(bytes(payload))
+                v = pix.reshape(-1).astype(np.int64)
+                n = int(v.size)
+                s1 = int(v.sum())
+                s2 = int((v * v).sum())
+                hist = np.bincount(v >> 6, minlength=4)
+                out["doc_id"].append(int(did))
+                out["n_pix"].append(n)
+                out["lum_min"].append(int(v.min()))
+                out["lum_max"].append(int(v.max()))
+                for b in range(4):
+                    out[f"h{b}"].append(int(hist[b]))
+                out["contrast_u"].append(
+                    math.isqrt((n * s2 - s1 * s1) // (n * n))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_quality, QUALITY_SCHEMA)
