@@ -92,10 +92,17 @@ def test_value_drift_plan_one_corpus_exchange(spark):
     df = dc.q_value_drift(spark, SF_DIR)
     plan = _plan(df)
     assert_no_unpartitioned_windows(df)
-    # the only corpus-sized exchange is the (source, era, bin) census
-    # groupBy; everything after runs on census-sized tables (the plan
-    # may reuse/broadcast but must not re-shuffle raw events)
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the census is localCheckpoint-materialized, so the plan reads it
+    # as an ExistingRDD: the corpus scan/shuffle ran exactly once and
+    # everything downstream is census-sized (<= 3 tiny exchanges)
+    tree = plan.split("\n\n")[0]
+    assert "Scan ExistingRDD" in tree, tree
+    assert "Scan parquet" not in tree, tree
+    hash_exchanges = sum(
+        1 for l in tree.splitlines()
+        if "Exchange" in l and "Broadcast" not in l
+    )
+    assert hash_exchanges <= 3, tree
 
 
 # ---------------------------------------------------------------------------

@@ -1756,6 +1756,10 @@ def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "era", "bin")
         .agg(F.count("*").cast("long").alias("cnt"))
+        # two consumers (totals + shares): materialize the tiny census
+        # once so the corpus scan/shuffle never re-runs (the
+        # q_ngram_jaccard checkpointed-stage pattern)
+        .localCheckpoint()
     )
     tot = census.groupBy("source", "era").agg(
         F.sum("cnt").alias("tot")
@@ -8832,6 +8836,148 @@ FROM s
 """
 
 
+PRICING_CUTOFF = "1998-09-02 00:00:00"  # Q1's DATE '1998-12-01' - 90 days
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over the relational fixture
+    tables (the first registry query to exercise them): per
+    (returnflag, linestatus) for lines shipped by the cutoff — line
+    count, total quantity, base price, discounted price, and charge,
+    plus floored averages.  Money stays exact int64: cents =
+    floor(price*100), disc/tax as integer percents, so the discounted
+    amount is cents*(100-d) (cent-percent units) and the charge
+    cents*(100-d)*(100+t) (cent-percent^2) — identical IEEE
+    floor(x*100) on both engines, no float accumulation anywhere.
+
+    Scale shape: the cutoff predicate pushes into the parquet scan
+    (PushedFilters — plan-pinned), the aggregate is ONE map-side-
+    combinable groupBy on a 2x2-value key, and averages derive from
+    the sums (no second pass).  Charge is ~2*10^13 cent-percent^2 per
+    max-price line, so the int64 sum holds through ~4*10^5 max-price
+    lines per group at fixture prices and ~10^9 at typical ones —
+    past that, pre-aggregate per day partition before combining (the
+    q_late_arrival overflow discipline)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        f"l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'"
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("c"),
+        F.expr("CAST(floor(l_discount * 100) AS BIGINT)").alias("d"),
+        F.expr("CAST(floor(l_tax * 100) AS BIGINT)").alias("t"),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("count_order"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.sum("c").cast("long").alias("sum_base_c"),
+        F.sum(F.expr("c * (100 - d)")).cast("long").alias("sum_disc_cp"),
+        F.sum(F.expr("c * (100 - d) * (100 + t)"))
+        .cast("long")
+        .alias("sum_charge_cp2"),
+        F.expr("sum(qty) DIV count(*)").cast("long").alias("avg_qty"),
+        F.expr("sum(c) DIV count(*)").cast("long").alias("avg_price_c"),
+        F.expr("sum(d) DIV count(*)").cast("long").alias("avg_disc_pct"),
+    )
+
+
+_PRICING_SUMMARY = f"""
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(floor(l_discount * 100) AS BIGINT) AS d,
+         CAST(floor(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(c) AS BIGINT) AS sum_base_c,
+       CAST(sum(c * (100 - d)) AS BIGINT) AS sum_disc_cp,
+       CAST(sum(c * (100 - d) * (100 + t)) AS BIGINT) AS sum_charge_cp2,
+       CAST(sum(qty) // count(*) AS BIGINT) AS avg_qty,
+       CAST(sum(c) // count(*) AS BIGINT) AS avg_price_c,
+       CAST(sum(d) // count(*) AS BIGINT) AS avg_disc_pct
+FROM l GROUP BY 1, 2
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-topology star join: revenue by region and order year
+    where the supplier sits in the customer's nation — the classic
+    local-supply-chain readout, and the registry's showcase for
+    broadcast-dimension join strategy on REAL dimension tables
+    (region 5 rows, nation 25, supplier small: all broadcast; the
+    two corpus-sized joins — orders-customer on custkey and
+    lineitem-orders on orderkey — shuffle on 8-byte keys).  Revenue
+    is exact int64 cent-percent units (cents*(100-discount)), the
+    q_pricing_summary money discipline.
+
+    Scale shape: dims broadcast below the fact joins so Catalyst
+    prunes columns into every scan; the same-nation predicate rides
+    the supplier join condition (no post-join filter); ONE final
+    map-side-combinable groupBy on (region, year)."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    nr = (
+        t("nation")
+        .join(
+            F.broadcast(t("region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "r_name")
+    )
+    cust = t("customer").join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("cnat"), "r_name")
+    sup = t("supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("snat")
+    )
+    ord_ = t("orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias(
+            "o_year"
+        )
+    )
+    li = t("lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+        ).alias("rev_cp"),
+    )
+    j = (
+        ord_.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("cnat") == F.col("snat")),
+        )
+    )
+    return j.groupBy("r_name", "o_year").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("rev_cp").cast("long").alias("revenue_cp"),
+    )
+
+
+_REGION_REVENUE = """
+SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cp
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
 STATE_SPAN_MAX_DAYS = 64  # one state interval may cross at most this
 
 
@@ -14275,6 +14421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # post-freeze, tail entry
         "q_value_drift": q_value_drift,
         "q_image_quality": q_image_quality,
+        # r06d arrivals (first queries over the relational fixture
+        # tables: Q1-style pricing summary, Q5-topology star join):
+        # post-freeze, tail entry
+        "q_pricing_summary": q_pricing_summary,
+        "q_region_revenue": q_region_revenue,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -14471,6 +14622,8 @@ FROM win
         "q_tier_plan": _tier_plan_sql(),
         "q_value_drift": _value_drift_sql(),
         "q_image_quality": _IMAGE_QUALITY,
+        "q_pricing_summary": _PRICING_SUMMARY,
+        "q_region_revenue": _REGION_REVENUE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

@@ -281,6 +281,17 @@ BLURBS = {
         "events scan, joined broadcast at <= |sources| rows; the ladder "
         "pick is a flat 7-branch CASE inside WholeStageCodegen."
     ),
+    "q_value_drift": (
+        "Distribution-shift monitor: ONE corpus-sized map-side-"
+        "combinable (type, era, bin) census groupBy; shares, gaps, TVD "
+        "and the worst-bin argmax all run on |types|*|bins|*2 rows — "
+        "never a window, never a second corpus exchange."
+    ),
+    "q_image_quality": (
+        "Image-quality gate: two chained MapInPandas (synthesize PGM, "
+        "parse + numpy histogram/contrast per Arrow batch) straight off "
+        "the scan — ZERO exchanges (plan-pinned in test_r06c_ops)."
+    ),
 }
 
 
