@@ -8978,6 +8978,211 @@ GROUP BY 1, 2
 """
 
 
+SHIP_PRIORITY_SEGMENT = "BUILDING"
+SHIP_PRIORITY_CUTOFF = "1998-06-01 00:00:00"
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-topology shipping-priority top-k: the 10 highest-
+    revenue orders still open at the cutoff (ordered before it, with
+    lines shipping after it) for one market segment.  Revenue is the
+    exact int64 cent-percent unit (q_pricing_summary discipline);
+    the order date lands as an epoch DAY integer (floor(epoch) DIV
+    86400 — the documented cross-engine timestamp form).
+
+    Scale shape: the segment never leaves the build side — orders
+    LEFT SEMI join the filtered customer keys (no customer column is
+    emitted, so the probe rows stay narrow; at 100 TB the 1/5-segment
+    customer table is NOT broadcastable and this is a shuffle semi
+    join on the 8-byte custkey), lineitem joins the surviving orders
+    on the 8-byte orderkey, ONE map-side-combinable groupBy per
+    order, and the top 10 rides TakeOrderedAndProject (never a
+    global sort) with the unique orderkey as the deterministic
+    tie-break.  Date predicates on both fact scans push into parquet
+    (PushedFilters plan-pinned)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == SHIP_PRIORITY_SEGMENT)
+        .select("c_custkey")
+    )
+    ord_ = (
+        load_table(spark, sf_dir, "orders")
+        .where(f"o_orderdate < TIMESTAMP '{SHIP_PRIORITY_CUTOFF}'")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr(
+                "CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT)"
+                " DIV 86400"
+            ).alias("o_day"),
+            "o_orderpriority",
+        )
+        .join(
+            cust,
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(f"l_shipdate > TIMESTAMP '{SHIP_PRIORITY_CUTOFF}'")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+            ).alias("rev_cp"),
+        )
+    )
+    agg = (
+        li.join(ord_, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_day", "o_orderpriority")
+        .agg(F.sum("rev_cp").cast("long").alias("revenue_cp"))
+    )
+    return agg.orderBy(
+        F.col("revenue_cp").desc(), F.col("o_orderkey").asc()
+    ).limit(10)
+
+
+_SHIP_PRIORITY = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS o_day,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{SHIP_PRIORITY_CUTOFF}'
+    AND o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = '{SHIP_PRIORITY_SEGMENT}')
+)
+SELECT o_orderkey, o_day, o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cp
+FROM lineitem JOIN o ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '{SHIP_PRIORITY_CUTOFF}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cp DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+ORDER_DIST_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-topology customer order-count distribution: how many
+    customers placed exactly k qualifying orders (priority actually
+    specified), INCLUDING the zero-order customers — the histogram
+    behind engagement/churn cuts, and the registry's outer-join
+    aggregate representative.
+
+    Scale shape: orders collapse to (custkey, n) in ONE map-side-
+    combinable groupBy FIRST, then the narrow count table LEFT-joins
+    onto the customer key list (aggregate-then-join — the raw orders
+    never ride the outer join, so the shuffle carries 16-byte rows
+    instead of full order tuples); missing matches coalesce to 0 and
+    the final histogram groupBy runs on <= |distinct counts| values.
+    Both shuffles key on the 8-byte custkey."""
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != ORDER_DIST_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(oc, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+_ORDER_COUNT_DIST = f"""
+WITH oc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  WHERE o_orderpriority <> '{ORDER_DIST_EXCLUDED_PRIORITY}'
+  GROUP BY 1
+)
+SELECT CAST(coalesce(n, 0) AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+BIG_ORDER_MIN_QTY = 200  # sum(l_quantity) HAVING bound (fixture avg ~103)
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-topology large-volume orders: every order whose total
+    line quantity exceeds BIG_ORDER_MIN_QTY, joined back to its order
+    row and customer — the HAVING-then-join-back representative
+    (aggregate first, decorate the few survivors after).  Money is
+    exact cents (floor(o_totalprice*100)); the order date is the
+    epoch-day integer.
+
+    Scale shape: the quantity sum is ONE map-side-combinable groupBy
+    on the 8-byte orderkey and the HAVING filter drops ~80% of groups
+    BEFORE any join; the survivors join orders on orderkey and
+    customer on custkey (both 8-byte-key shuffles; AQE may broadcast
+    the filtered side at small SF — either plan is right, the
+    filter-before-join is the invariant)."""
+    s = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty").cast("long").alias("sum_qty"))
+        .where(F.col("sum_qty") > BIG_ORDER_MIN_QTY)
+    )
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("o_day"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "total_c"
+        ),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        s.join(ord_, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_day",
+            "total_c",
+            "sum_qty",
+        )
+    )
+
+
+_BIG_ORDERS = f"""
+WITH s AS (
+  SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > {BIG_ORDER_MIN_QTY}
+)
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS o_day,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c,
+       sum_qty
+FROM s JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 STATE_SPAN_MAX_DAYS = 64  # one state interval may cross at most this
 
 
@@ -14426,6 +14631,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # post-freeze, tail entry
         "q_pricing_summary": q_pricing_summary,
         "q_region_revenue": q_region_revenue,
+        # r06e arrivals (Q3-topology top-k, Q13-topology outer-join
+        # distribution, Q18-topology having-then-join-back):
+        # post-freeze, tail entry
+        "q_ship_priority": q_ship_priority,
+        "q_order_count_dist": q_order_count_dist,
+        "q_big_orders": q_big_orders,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -14624,6 +14835,9 @@ FROM win
         "q_image_quality": _IMAGE_QUALITY,
         "q_pricing_summary": _PRICING_SUMMARY,
         "q_region_revenue": _REGION_REVENUE,
+        "q_ship_priority": _SHIP_PRIORITY,
+        "q_order_count_dist": _ORDER_COUNT_DIST,
+        "q_big_orders": _BIG_ORDERS,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
