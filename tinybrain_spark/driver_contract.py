@@ -9183,6 +9183,249 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+PROMO_PART_TYPE = "PROMO"
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-topology promotion-revenue share: per order month,
+    the permille of line revenue attributable to PROMO-type parts —
+    the campaign-effect readout, and the registry's conditional-
+    aggregate-over-a-join representative.  All integers: revenue in
+    cent-percent units, share = promo*1000 DIV total (exact while
+    promo < 2^53 cent-percent per month ~ 10^9 dollars/month;
+    pre-aggregate per day partition past that — the q_pricing_summary
+    budget discipline).
+
+    Scale shape: lineitem needs only the part's TYPE, so the join
+    ships a projected (partkey, is_promo) table — two 8-byte-ish
+    columns, broadcastable far beyond the raw part table's budget (at
+    100 TB part is ~1/7 of lineitem by rows but the projection is
+    ~1/40 by bytes; past the broadcast budget the same plan shuffles
+    on the 8-byte partkey).  The conditional sum folds in the SAME
+    map-side-combinable groupBy as the total — one pass, one
+    exchange on the tiny month key."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_type") == PROMO_PART_TYPE).cast("long").alias("is_promo"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(date_format(l_shipdate, 'yyyyMM') AS BIGINT)"
+        ).alias("ship_month"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+        ).alias("rev_cp"),
+    )
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        j.groupBy("ship_month")
+        .agg(
+            F.sum(F.expr("rev_cp * is_promo")).cast("long").alias(
+                "promo_rev_cp"
+            ),
+            F.sum("rev_cp").cast("long").alias("total_rev_cp"),
+        )
+        .select(
+            "ship_month",
+            "promo_rev_cp",
+            "total_rev_cp",
+            F.expr("promo_rev_cp * 1000 DIV total_rev_cp").alias(
+                "promo_permille"
+            ),
+        )
+    )
+
+
+_PROMO_SHARE = f"""
+WITH j AS (
+  SELECT CAST(strftime(l_shipdate, '%Y%m') AS BIGINT) AS ship_month,
+         CAST(floor(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev_cp,
+         CASE WHEN p_type = '{PROMO_PART_TYPE}' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), m AS (
+  SELECT ship_month,
+         CAST(sum(rev_cp * is_promo) AS BIGINT) AS promo_rev_cp,
+         CAST(sum(rev_cp) AS BIGINT) AS total_rev_cp
+  FROM j GROUP BY 1
+)
+SELECT ship_month, promo_rev_cp, total_rev_cp,
+       CAST(promo_rev_cp * 1000 // total_rev_cp AS BIGINT)
+         AS promo_permille
+FROM m
+"""
+
+RETURNED_REV_START = "1999-01-01 00:00:00"
+RETURNED_REV_END = "1999-07-01 00:00:00"  # exclusive
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-topology returned-item reporting: the 20 customers
+    who lost the most revenue to returned lines ('R') on orders
+    placed in one half-year window, decorated with their nation —
+    the churn-risk escalation list.
+
+    Scale shape: the order-date predicate pushes into the orders
+    scan and the returnflag predicate into the lineitem scan
+    (PushedFilters both); the orders-lineitem join shuffles on the
+    8-byte orderkey with BOTH sides pre-filtered; revenue collapses
+    per custkey in ONE map-side-combinable groupBy BEFORE the
+    customer join (aggregate-then-decorate — the q_big_orders
+    discipline), nation broadcasts, and the top 20 rides
+    TakeOrderedAndProject with the unique custkey tie-break."""
+    ord_ = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            f"o_orderdate >= TIMESTAMP '{RETURNED_REV_START}' AND "
+            f"o_orderdate < TIMESTAMP '{RETURNED_REV_END}'"
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+            ).alias("rev_cp"),
+        )
+    )
+    per_cust = (
+        li.join(ord_, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_returned_lines"),
+            F.sum("rev_cp").cast("long").alias("lost_rev_cp"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            "n_returned_lines",
+            "lost_rev_cp",
+        )
+        .orderBy(F.col("lost_rev_cp").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_RETURNED_REVENUE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_returned_lines,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS lost_rev_cp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{RETURNED_REV_START}'
+    AND o_orderdate < TIMESTAMP '{RETURNED_REV_END}'
+  GROUP BY 1
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       n_returned_lines, lost_rev_cp
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY lost_rev_cp DESC, c_custkey ASC
+LIMIT 20
+"""
+
+# (brand, max size, min qty, max qty) disjunctive brackets — Q19 shape
+BRACKETS = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#3", 10, 10, 20),
+    ("Brand#17", 15, 20, 30),
+)
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-topology bracket filter: revenue from lines whose
+    (part brand, part size, line quantity) fall into one of three
+    disjunctive brackets — the representative for OR-of-ANDs
+    predicates spanning a join.
+
+    Scale shape: the part-side half of every bracket (brand + size)
+    filters part BEFORE the join, shrinking it to the brackets'
+    union (~3 brands x bounded sizes — comfortably broadcastable at
+    any corpus scale; the explicit F.broadcast pins the plan), and
+    the quantity half evaluates post-join against the matched
+    bracket's bounds carried on the build row.  One row out: a
+    count + exact cent-percent revenue.  Never a cartesian; the
+    probe side ships only (partkey, qty, rev)."""
+    conds_p = None
+    for brand, max_size, _, _ in BRACKETS:
+        c = (F.col("p_brand") == brand) & (F.col("p_size") <= max_size)
+        conds_p = c if conds_p is None else (conds_p | c)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size") >= 1) & conds_p)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+        ).alias("rev_cp"),
+    )
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    conds_q = None
+    for brand, max_size, min_q, max_q in BRACKETS:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= max_size)
+            & (F.col("qty") >= min_q)
+            & (F.col("qty") <= max_q)
+        )
+        conds_q = c if conds_q is None else (conds_q | c)
+    return j.where(conds_q).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("rev_cp").cast("long").alias("revenue_cp"),
+    )
+
+
+def _bracket_sql() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
+        f" AND CAST(floor(l_quantity) AS BIGINT) BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in BRACKETS
+    )
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+
+_BRACKET_REVENUE = _bracket_sql()
+
+
 STATE_SPAN_MAX_DAYS = 64  # one state interval may cross at most this
 
 
@@ -14637,6 +14880,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ship_priority": q_ship_priority,
         "q_order_count_dist": q_order_count_dist,
         "q_big_orders": q_big_orders,
+        # r06f arrivals (Q14-topology conditional-agg-over-join, Q10
+        # aggregate-then-decorate top-k, Q19 disjunctive bracket
+        # filter): post-freeze, tail entry
+        "q_promo_share": q_promo_share,
+        "q_returned_revenue": q_returned_revenue,
+        "q_bracket_revenue": q_bracket_revenue,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -14838,6 +15087,9 @@ FROM win
         "q_ship_priority": _SHIP_PRIORITY,
         "q_order_count_dist": _ORDER_COUNT_DIST,
         "q_big_orders": _BIG_ORDERS,
+        "q_promo_share": _PROMO_SHARE,
+        "q_returned_revenue": _RETURNED_REVENUE,
+        "q_bracket_revenue": _BRACKET_REVENUE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
