@@ -9065,15 +9065,18 @@ ORDER BY revenue_cp DESC, o_orderkey ASC
 LIMIT 10
 """
 
-ORDER_DIST_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+ORDER_DIST_PRIORITY = "1-URGENT"
+ORDER_DIST_START = "1999-01-01 00:00:00"
+ORDER_DIST_END = "2000-01-01 00:00:00"  # exclusive
 
 
 def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-topology customer order-count distribution: how many
-    customers placed exactly k qualifying orders (priority actually
-    specified), INCLUDING the zero-order customers — the histogram
-    behind engagement/churn cuts, and the registry's outer-join
-    aggregate representative.
+    customers placed exactly k qualifying orders (urgent priority
+    within one year), INCLUDING the zero-order customers — the
+    histogram behind engagement/churn cuts, and the registry's
+    outer-join aggregate representative (the zero bucket only exists
+    because the join is outer; an inner join silently drops it).
 
     Scale shape: orders collapse to (custkey, n) in ONE map-side-
     combinable groupBy FIRST, then the narrow count table LEFT-joins
@@ -9084,7 +9087,11 @@ def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both shuffles key on the 8-byte custkey."""
     oc = (
         load_table(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") != ORDER_DIST_EXCLUDED_PRIORITY)
+        .where(
+            (F.col("o_orderpriority") == ORDER_DIST_PRIORITY)
+            & (F.col("o_orderdate") >= F.lit(ORDER_DIST_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(ORDER_DIST_END).cast("timestamp"))
+        )
         .groupBy("o_custkey")
         .agg(F.count("*").cast("long").alias("n"))
     )
@@ -9103,7 +9110,9 @@ _ORDER_COUNT_DIST = f"""
 WITH oc AS (
   SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
   FROM orders
-  WHERE o_orderpriority <> '{ORDER_DIST_EXCLUDED_PRIORITY}'
+  WHERE o_orderpriority = '{ORDER_DIST_PRIORITY}'
+    AND o_orderdate >= TIMESTAMP '{ORDER_DIST_START}'
+    AND o_orderdate < TIMESTAMP '{ORDER_DIST_END}'
   GROUP BY 1
 )
 SELECT CAST(coalesce(n, 0) AS BIGINT) AS c_count,
