@@ -292,6 +292,55 @@ BLURBS = {
         "parse + numpy histogram/contrast per Arrow batch) straight off "
         "the scan — ZERO exchanges (plan-pinned in test_r06c_ops)."
     ),
+    "q_pricing_summary": (
+        "Q1-topology pricing summary: the cutoff predicate pushed into "
+        "the parquet scan (PushedFilters), 6-column ReadSchema pruning, "
+        "ONE map-side-combinable groupBy on the 2x2-value key — whole "
+        "query is scan -> partial agg -> one exchange -> final agg."
+    ),
+    "q_region_revenue": (
+        "Q5-topology star join: region/nation/supplier broadcast below "
+        "the fact joins; orders-customer and lineitem-orders shuffle on "
+        "8-byte keys; the same-nation predicate rides the supplier join "
+        "condition (never a cartesian)."
+    ),
+    "q_ship_priority": (
+        "Q3-topology top-k: LEFT SEMI join onto the filtered customer "
+        "keys (narrow probe rows — no customer column emitted), 8-byte "
+        "orderkey join, one per-order groupBy, top-10 via "
+        "TakeOrderedAndProject with the unique-orderkey tie-break."
+    ),
+    "q_order_count_dist": (
+        "Q13-topology outer-join aggregate: orders collapse to "
+        "(custkey, n) map-side FIRST, then LEFT join onto customer keys "
+        "(aggregate-then-join — 16-byte rows through the outer join); "
+        "coalesce(0) keeps the zero-order bucket; final histogram "
+        "groupBy runs on |distinct counts| values."
+    ),
+    "q_big_orders": (
+        "Q18-topology HAVING + join-back: ONE map-side-combinable "
+        "orderkey groupBy, the > threshold filter drops ~80% of groups "
+        "BEFORE any join, survivors decorate from orders/customer on "
+        "8-byte keys (AQE free to broadcast the filtered side)."
+    ),
+    "q_promo_share": (
+        "Q14-topology conditional aggregate over a join: lineitem joins "
+        "a projected (partkey, is_promo) broadcast table; promo and "
+        "total sums fold in the SAME map-side groupBy — exactly one "
+        "hash exchange in the whole plan (pinned)."
+    ),
+    "q_returned_revenue": (
+        "Q10-topology aggregate-then-decorate: both fact scans "
+        "pre-filtered (PushedFilters), orderkey shuffle join, revenue "
+        "collapses per custkey BEFORE the customer join, nation "
+        "broadcast, top-20 via TakeOrderedAndProject."
+    ),
+    "q_bracket_revenue": (
+        "Q19-topology disjunctive brackets: the brand/size half filters "
+        "part BELOW the broadcast join (the brackets' union is tiny at "
+        "any scale), the qty half evaluates post-join against the "
+        "matched build row; single count+revenue row out."
+    ),
 }
 
 

@@ -18,7 +18,13 @@ key-domain realism:
 - embeddings: vec_id += k*V; each copy's vectors are cyclically rolled
   by k dims (norms preserved, directions distinct — no cross-copy
   cosine ties to stress float tie-breaking in the compare).
-- remaining TPC-H-ish tables are copied verbatim (no query reads them).
+- relational facts (r06d+: the TPC-H-topology queries read them):
+  customer c_custkey += k*C; orders o_orderkey += k*O with the custkey
+  shifted to match; lineitem l_orderkey += k*O (part/supplier keys
+  unchanged — those stay dimension tables, copied verbatim).  FK
+  structure is preserved per copy, so join cardinalities and per-order
+  aggregates scale exactly linearly.
+- nation/region/part/supplier are copied verbatim (pure dimensions).
 
 Usage: python tools/make_sf.py --out /tmp/tb_sf1 [--factor 10]
 """
@@ -73,6 +79,30 @@ FROM '{path}'""")
                 parts.append(f"""
 SELECT vec_id + {k * 2000} AS vec_id, {emb} AS embedding, label
 FROM '{path}'""")
+            q = " UNION ALL ".join(parts)
+        elif t == "customer":
+            parts = [
+                f"SELECT c_custkey + {k * 15000} AS c_custkey, c_name, "
+                f"c_nationkey, c_acctbal, c_mktsegment FROM '{path}'"
+                for k in range(factor)
+            ]
+            q = " UNION ALL ".join(parts)
+        elif t == "orders":
+            parts = [
+                f"SELECT o_orderkey + {k * 150000} AS o_orderkey, "
+                f"o_custkey + {k * 15000} AS o_custkey, o_orderstatus, "
+                f"o_totalprice, o_orderdate, o_orderpriority FROM '{path}'"
+                for k in range(factor)
+            ]
+            q = " UNION ALL ".join(parts)
+        elif t == "lineitem":
+            parts = [
+                f"SELECT l_orderkey + {k * 150000} AS l_orderkey, "
+                f"l_partkey, l_suppkey, l_linenumber, l_quantity, "
+                f"l_extendedprice, l_discount, l_tax, l_returnflag, "
+                f"l_linestatus, l_shipdate FROM '{path}'"
+                for k in range(factor)
+            ]
             q = " UNION ALL ".join(parts)
         else:
             q = f"SELECT * FROM '{path}'"
