@@ -9435,6 +9435,218 @@ WHERE {ors}
 _BRACKET_REVENUE = _bracket_sql()
 
 
+SMALL_QTY_BRAND = "Brand#17"
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-topology decorrelated scalar subquery: revenue locked
+    up in small-quantity orders of one brand's parts — lines whose
+    quantity is below 20% of that part's average order quantity.  The
+    correlated `< 0.2 * avg(qty) WHERE same part` subquery
+    decorrelates into a per-part aggregate JOINED back, and the
+    fractional threshold stays exact-integer: qty < sum/(5*count)
+    rewrites to 5*qty*count < sum (no division, no float — both
+    engines agree bit-for-bit).
+
+    Scale shape: the brand filter lands on part FIRST and broadcasts
+    (pinned), so BOTH the per-part average and the probe read only
+    the brand's lines; the per-part aggregate is ONE map-side-
+    combinable groupBy on the 8-byte partkey and joins back to the
+    same filtered stream (self-join on partkey — at 100 TB both
+    sides are brand-pruned, ~1/25 of lineitem).  Single row out:
+    count + exact cent revenue (and cents DIV 7 — Q17's
+    avg-yearly convention, truncated)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == SMALL_QTY_BRAND)
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .select(
+            "l_partkey",
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+            F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+                "c"
+            ),
+        )
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp")).agg(
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    j = li.join(stats, F.col("l_partkey") == F.col("sp")).where(
+        F.expr("5 * qty * n_lines < sum_qty")
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_small_lines"),
+        F.expr("coalesce(sum(c), 0)").cast("long").alias("revenue_c"),
+        F.expr("coalesce(sum(c), 0) DIV 7").cast("long").alias(
+            "avg_yearly_c"
+        ),
+    )
+
+
+_SMALL_QTY_REVENUE = f"""
+WITH li AS (
+  SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{SMALL_QTY_BRAND}'
+), stats AS (
+  SELECT l_partkey AS sp, CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM li GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS revenue_c,
+       CAST(coalesce(sum(c), 0) // 7 AS BIGINT) AS avg_yearly_c
+FROM li JOIN stats ON l_partkey = sp
+WHERE 5 * qty * n_lines < sum_qty
+"""
+
+TOP_SUPPLIER_START = "1999-01-01 00:00:00"
+TOP_SUPPLIER_END = "1999-04-01 00:00:00"  # exclusive quarter
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-topology maximum-with-ties: the supplier(s) whose
+    quarter revenue equals the global maximum — the view-then-max-
+    then-equality pattern, kept EXACT (integer cent-percent revenue,
+    so the `= max` never suffers float fuzz and genuine ties all
+    emerge).
+
+    Scale shape: per-supplier revenue is ONE map-side-combinable
+    groupBy on the 8-byte suppkey over the date-pruned lineitem scan
+    (PushedFilters); the global max is a broadcast 1-row aggregate
+    (never a window over the supplier table — the q_tfidf_terms
+    n_docs discipline), and the winner row(s) decorate from the
+    broadcast supplier dim."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            f"l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_START}' AND "
+            f"l_shipdate < TIMESTAMP '{TOP_SUPPLIER_END}'"
+        )
+        .select(
+            "l_suppkey",
+            F.expr(
+                "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+            ).alias("rev_cp"),
+        )
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("rev_cp").cast("long").alias("total_rev_cp")
+    )
+    mx = per_supp.agg(
+        F.max("total_rev_cp").cast("long").alias("mx")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return (
+        per_supp.join(
+            F.broadcast(mx), F.col("total_rev_cp") == F.col("mx")
+        )
+        .join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("s_nationkey").cast("long").alias("s_nationkey"),
+            "total_rev_cp",
+        )
+    )
+
+
+_TOP_SUPPLIER = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_rev_cp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_START}'
+    AND l_shipdate < TIMESTAMP '{TOP_SUPPLIER_END}'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(s_nationkey AS BIGINT) AS s_nationkey, total_rev_cp
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_cp = (SELECT max(total_rev_cp) FROM per_supp)
+"""
+
+IDLE_SINCE = "2000-01-01 00:00:00"  # no orders on/after this
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-topology anti join + scalar average: per nation, the
+    count and total balance of customers with ABOVE-AVERAGE account
+    balance and NO orders since the cutoff — the lapsed-high-value
+    segment.  The average-balance comparison stays exact: bal_c *
+    n_customers > sum_bal_c (cents cross-multiplied against the
+    1-row global aggregate, no division).
+
+    Scale shape: the global (count, sum) is a broadcast 1-row
+    aggregate; the no-recent-orders test is a LEFT ANTI join against
+    the date-pruned orders scan keyed on the 8-byte custkey (never
+    NOT IN — null-hostile and unplannable); the final per-nation
+    rollup is ONE map-side-combinable groupBy.  Balance cents can be
+    negative — floor(x*100) is still the documented cross-engine
+    form (IEEE floor is exact on both)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("bal_c"),
+    )
+    g = cust.agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("bal_c").cast("long").alias("sum_bal_c"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(f"o_orderdate >= TIMESTAMP '{IDLE_SINCE}'")
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(g)).where(
+        F.expr("bal_c * n_cust > sum_bal_c")
+    )
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_idle_rich"),
+        F.sum("bal_c").cast("long").alias("total_bal_c"),
+    )
+
+
+_IDLE_RICH_CUSTOMERS = f"""
+WITH cust AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(bal_c) AS BIGINT) AS sum_bal_c
+  FROM cust
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_idle_rich,
+       CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+FROM cust, g
+WHERE bal_c * n_cust > sum_bal_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{IDLE_SINCE}')
+GROUP BY 1
+"""
+
+
 STATE_SPAN_MAX_DAYS = 64  # one state interval may cross at most this
 
 
@@ -14895,6 +15107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_promo_share": q_promo_share,
         "q_returned_revenue": q_returned_revenue,
         "q_bracket_revenue": q_bracket_revenue,
+        # r06g arrivals (Q17 decorrelated scalar subquery, Q15
+        # max-with-ties, Q22 anti join + scalar average):
+        # post-freeze, tail entry
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_top_supplier": q_top_supplier,
+        "q_idle_rich_customers": q_idle_rich_customers,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -15099,6 +15317,9 @@ FROM win
         "q_promo_share": _PROMO_SHARE,
         "q_returned_revenue": _RETURNED_REVENUE,
         "q_bracket_revenue": _BRACKET_REVENUE,
+        "q_small_qty_revenue": _SMALL_QTY_REVENUE,
+        "q_top_supplier": _TOP_SUPPLIER,
+        "q_idle_rich_customers": _IDLE_RICH_CUSTOMERS,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
