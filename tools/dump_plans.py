@@ -341,6 +341,25 @@ BLURBS = {
         "any scale), the qty half evaluates post-join against the "
         "matched build row; single count+revenue row out."
     ),
+    "q_small_qty_revenue": (
+        "Q17-topology decorrelated scalar subquery: the brand filter "
+        "broadcasts and prunes BOTH the per-part stats and the probe; "
+        "the 20%-of-average threshold cross-multiplies to "
+        "((qty * n_lines) * 5) < sum_qty and rides the join condition "
+        "— exact integers, no float division anywhere."
+    ),
+    "q_top_supplier": (
+        "Q15-topology max-with-ties: per-supplier map-side groupBy "
+        "over the date-pruned scan, global max as a broadcast 1-row "
+        "aggregate (no Window node in the plan), supplier dim "
+        "broadcast onto the winner row(s)."
+    ),
+    "q_idle_rich_customers": (
+        "Q22-topology anti join + scalar average: broadcast 1-row "
+        "(count, sum) aggregate, cross-multiplied above-average "
+        "filter, LEFT ANTI join against the date-pruned orders scan, "
+        "one final map-side-combinable nation groupBy."
+    ),
 }
 
 
