@@ -9647,6 +9647,198 @@ GROUP BY 1
 """
 
 
+LOOP_MAX_PERIOD = 4  # trailing-cycle periods scanned (words)
+LOOP_MAX_REPS = 16  # cap on counted consecutive repeats
+
+
+def q_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-generation loop detector: docs ENDING in an exact
+    repeating cycle — the last p words repeated r >= 2 times in a row
+    (p <= LOOP_MAX_PERIOD, r capped at LOOP_MAX_REPS).  This is the
+    ORDER-SENSITIVE complement of q_repetition_score's bag-of-2-grams
+    ratio: a shuffled doc keeps its repetition score but loses its
+    trailing cycle, and a looping generation ("... the end the end the
+    end") is exactly what this flags.  Reports the cycle covering the
+    most words (ties -> smallest period) per flagged doc.
+
+    Scale shape: entirely IN-ROW — per period p the candidate blocks
+    compare via slice equality inside a transform over a bounded index
+    sequence (<= 15 block compares of <= 4 words each), the repeat
+    count is array_position (first mismatch), and the argmax over
+    periods folds in a flat greatest() — scan -> project -> filter,
+    ZERO exchanges (plan-pinned).  Nothing explodes, so the r05j
+    InferFiltersFromGenerate trap never arms."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _best(ws):
+        """Whole per-doc computation against the BOUND lambda variable
+        `ws` — binding the split array once this way is load-bearing:
+        referencing a projected split() alias from inside the slice
+        lambdas lets projection collapse inline the regex split into
+        every slice call (94 split nodes, 13 s for 500 docs; the
+        r05j pathology without the explode)."""
+        n = F.size(ws)
+        encs = []
+        for p in range(1, LOOP_MAX_PERIOD + 1):
+            jmax = (
+                F.floor(n / F.lit(p)).cast("int")
+                if p > 1
+                else n
+            )
+            jmax = F.least(F.lit(LOOP_MAX_REPS), jmax)
+
+            # greatest(...) keeps slice args valid on the n < 2p docs
+            # where sequence(2, jmax<2) descends (the documented
+            # F.sequence auto-step -1 trap) — those rows' encs are
+            # discarded by the CASE below in BOTH engines.  The closure
+            # factory is also load-bearing: a `lambda j, p=p` would
+            # make F.transform pass the ARRAY INDEX as the second
+            # argument (two-arg lambdas mean (element, index)),
+            # silently replacing the period with 0 and comparing empty
+            # slices as equal.
+            def _block_eq(period: int):
+                return lambda j: F.slice(
+                    ws,
+                    F.greatest(F.lit(1), n - j * period + 1),
+                    period,
+                ) == F.slice(ws, n - period + 1, period)
+
+            eq = F.transform(
+                F.sequence(F.lit(2), F.greatest(F.lit(2), jmax)),
+                _block_eq(p),
+            )
+            # array_position = first mismatched j-1 (j runs from 2),
+            # 0 if every scanned block matches -> reps = jmax
+            reps = F.when(
+                F.array_position(eq, F.lit(False)) == 0, jmax
+            ).otherwise(F.array_position(eq, F.lit(False)))
+            enc = F.when(
+                (n >= 2 * p) & (reps >= 2),
+                (reps * p) * 8 + (8 - p),
+            ).otherwise(F.lit(-1))
+            encs.append(enc.cast("long"))
+        return F.greatest(*encs).cast("long")
+
+    best = F.element_at(
+        F.transform(
+            F.array(F.split(F.trim(F.col("text")), " +")), _best
+        ),
+        1,
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            best.alias("best"),
+        )
+        .where(F.col("best") >= 0)
+        .select(
+            "doc_id",
+            (F.lit(8) - F.col("best") % 8).cast("long").alias("loop_p"),
+            F.expr("(best DIV 8) DIV (8 - best % 8)")
+            .cast("long")
+            .alias("loop_reps"),
+            F.expr("best DIV 8").cast("long").alias("covered_words"),
+        )
+    )
+
+
+def _loop_detect_sql() -> str:
+    pieces = []
+    for p in range(1, LOOP_MAX_PERIOD + 1):
+        pieces.append(f"""
+    CASE WHEN n >= {2 * p} AND coalesce(list_position(
+           list_transform(generate_series(2, least({LOOP_MAX_REPS},
+                                                   n // {p})),
+             j -> ws[n - j * {p} + 1 : n - (j - 1) * {p}]
+                  = ws[n - {p} + 1 : n]),
+           false), least({LOOP_MAX_REPS}, n // {p})) >= 2
+    THEN coalesce(list_position(
+           list_transform(generate_series(2, least({LOOP_MAX_REPS},
+                                                   n // {p})),
+             j -> ws[n - j * {p} + 1 : n - (j - 1) * {p}]
+                  = ws[n - {p} + 1 : n]),
+           false), least({LOOP_MAX_REPS}, n // {p})) * {p} * 8 + {8 - p}
+    ELSE -1 END""")
+    enc = ",\n".join(pieces)
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), d AS (
+  SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 2
+), e AS (
+  SELECT doc_id, greatest({enc}) AS best FROM d
+)
+SELECT doc_id,
+       CAST(8 - best % 8 AS BIGINT) AS loop_p,
+       CAST((best // 8) // (8 - best % 8) AS BIGINT) AS loop_reps,
+       CAST(best // 8 AS BIGINT) AS covered_words
+FROM e WHERE best >= 0
+"""
+
+
+_LOOP_DETECT = _loop_detect_sql()
+
+
+def q_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio downsampling through the PRODUCTION rollup kernel: the
+    synthetic RIFF/WAVE PCM16 payloads decode, de-interleave, and pool
+    per channel with kernels.avg_pool (window 2, two tiers) — the
+    exact signed-accumulator semantics of the token tiers (toward-zero
+    render accelerated.hpp:932-946, odd-edge cyclic doubling hpp:66-69)
+    exercised on a second modality.  Per (doc, tier): output-sample
+    count and sum/min/max of the rendered values.
+
+    The oracle recomputes EVERY pooled sample arithmetically (each
+    input sample is a pure function of (doc_id, i); toward-zero
+    integer division is `//` in DuckDB and the kernel's
+    -(abs(a)>>shift) — identical by the documented cross-engine rule).
+    Zero shuffles: one mapInPandas chain, binary never leaves the
+    Arrow batch."""
+    from .multimodal import audio_downsample, synth_wav_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return audio_downsample(synth_wav_payloads(docs))
+
+
+_AUDIO_DOWNSAMPLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 2 + 1 AS BIGINT) AS n_ch,
+         CAST(doc_id % 129 + 64 AS BIGINT) AS n_fr
+  FROM documents
+), i AS (
+  SELECT doc_id, n_ch, n_fr, unnest(range(0, n_fr * n_ch)) AS i
+  FROM d
+), s AS (
+  SELECT doc_id, i % n_ch AS ch, i // n_ch AS fr,
+         (doc_id * 37 + 73 * i) % 4001 - 2000 AS v
+  FROM i
+), g1 AS (  -- tier-1 accumulators: odd tail doubles (cyclic pad)
+  SELECT doc_id, ch, fr // 2 AS b1,
+         CASE WHEN count(*) = 1 THEN 2 * sum(v) ELSE sum(v) END AS a1
+  FROM s GROUP BY 1, 2, 3
+), g2 AS (  -- tier-2 accumulators over tier-1 accums (pre-render)
+  SELECT doc_id, ch, b1 // 2 AS b2,
+         CASE WHEN count(*) = 1 THEN 2 * sum(a1) ELSE sum(a1) END AS a2
+  FROM g1 GROUP BY 1, 2, 3
+), t AS (
+  SELECT doc_id, 1 AS tier, a1 // 2 AS v FROM g1
+  UNION ALL
+  SELECT doc_id, 2 AS tier, a2 // 4 AS v FROM g2
+)
+SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM t GROUP BY 1, 2
+"""
+
+
 STATE_SPAN_MAX_DAYS = 64  # one state interval may cross at most this
 
 
@@ -15113,6 +15305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_small_qty_revenue": q_small_qty_revenue,
         "q_top_supplier": q_top_supplier,
         "q_idle_rich_customers": q_idle_rich_customers,
+        # r06h arrivals (trailing-cycle loop detector, audio
+        # downsampling through the production avg kernel):
+        # post-freeze, tail entry
+        "q_loop_detect": q_loop_detect,
+        "q_audio_downsample": q_audio_downsample,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -15320,6 +15517,8 @@ FROM win
         "q_small_qty_revenue": _SMALL_QTY_REVENUE,
         "q_top_supplier": _TOP_SUPPLIER,
         "q_idle_rich_customers": _IDLE_RICH_CUSTOMERS,
+        "q_loop_detect": _LOOP_DETECT,
+        "q_audio_downsample": _AUDIO_DOWNSAMPLE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

@@ -384,6 +384,64 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_DOWNSAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("tier", LongType(), False),
+        StructField("n_out", LongType(), False),
+        StructField("sum_v", LongType(), False),
+        StructField("min_v", LongType(), False),
+        StructField("max_v", LongType(), False),
+    ]
+)
+
+
+def audio_downsample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    window: int = 2,
+    num_tiers: int = 2,
+) -> DataFrame:
+    """Audio downsampling through the PRODUCTION pooling kernel: decode
+    PCM16, de-interleave, and run :func:`kernels.avg_pool` per channel
+    — the same signed-accumulator render (toward-zero shift,
+    odd-edge cyclic doubling, reference accelerated.hpp:66-69,932-946)
+    that rolls up token tiers, applied to an audio modality.  Emits
+    per (doc, tier): output-sample count and the sum/min/max of the
+    rendered values across channels — enough for an oracle to pin
+    every pooled sample arithmetically.
+
+    Shape: one mapInPandas, binary crosses once per Arrow batch; the
+    per-channel pooling is vectorized numpy inside the kernel.  A
+    frame count below window**num_tiers raises (the kernel's
+    validate_pool_args guard, same as the token path)."""
+    from .kernels import avg_pool
+
+    def _pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "tier", "n_out", "sum_v",
+                                   "min_v", "max_v")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                _rate, n_ch, samples = parse_wav(bytes(payload))
+                tiers: list[list[np.ndarray]] = [
+                    avg_pool(samples[:, ch], window, num_tiers)
+                    for ch in range(n_ch)
+                ]
+                for t in range(num_tiers):
+                    per_ch = [tiers[ch][t].astype(np.int64)
+                              for ch in range(n_ch)]
+                    allv = np.concatenate(per_ch)
+                    out["doc_id"].append(int(did))
+                    out["tier"].append(t + 1)
+                    out["n_out"].append(int(allv.size))
+                    out["sum_v"].append(int(allv.sum()))
+                    out["min_v"].append(int(allv.min()))
+                    out["max_v"].append(int(allv.max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_pool, AUDIO_DOWNSAMPLE_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
