@@ -360,6 +360,17 @@ BLURBS = {
         "filter, LEFT ANTI join against the date-pruned orders scan, "
         "one final map-side-combinable nation groupBy."
     ),
+    "q_loop_detect": (
+        "Trailing-cycle loop detector: entirely in-row (scan -> "
+        "project -> filter, ZERO exchanges); the split array binds "
+        "once as a lambda variable so projection collapse cannot "
+        "inline the regex split into every slice compare."
+    ),
+    "q_audio_downsample": (
+        "PCM16 pooling through the production avg kernel: one "
+        "MapInPandas, zero shuffles; per-channel kernels.avg_pool "
+        "with the token tiers' exact signed render semantics."
+    ),
 }
 
 
