@@ -9839,6 +9839,184 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation-style image downsampling end to end: synthetic PGM
+    payloads decode with the real netpbm parser, odd axes pad by
+    trailing-edge duplication (the reference's code-not-docstring
+    odd_to_even2d rule, downsample.py:106-114), and one 2x2 COUNTLESS
+    mode tier pools every image (kernels.mode_pool_2d countless-if
+    chain, hpp:1023-1042) — the reference's ACTUAL image use case
+    through the multimodal path, distributed.  The oracle recomputes
+    every pooled pixel arithmetically: pixel(y, x) = (id*37 + y*w + x)
+    % 241 with clamped (edge-padded) indices, and the countless chain
+    is a flat CASE.  Zero shuffles (plan-pinned)."""
+    from .multimodal import image_downsample, synth_pgm_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return image_downsample(synth_pgm_payloads(docs))
+
+
+_IMAGE_DOWNSAMPLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 11 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 5 + 4 AS BIGINT) AS h
+  FROM documents
+), dims AS (
+  SELECT doc_id, w, h,
+         (h + 1) // 2 AS oh, (w + 1) // 2 AS ow
+  FROM d
+), o AS (
+  SELECT doc_id, w, h, oh, ow, unnest(range(0, oh * ow)) AS k
+  FROM dims
+), px AS (
+  SELECT doc_id, oh, ow,
+         -- a=(2y,2x) b=(2y+1,2x) c=(2y,2x+1) d=(2y+1,2x+1), indices
+         -- clamped to the last row/col (trailing-edge padding)
+         (doc_id * 37 + (2 * (k // ow)) * w + (2 * (k % ow))) % 241 AS a,
+         (doc_id * 37 + least(2 * (k // ow) + 1, h - 1) * w
+            + (2 * (k % ow))) % 241 AS b,
+         (doc_id * 37 + (2 * (k // ow)) * w
+            + least(2 * (k % ow) + 1, w - 1)) % 241 AS c,
+         (doc_id * 37 + least(2 * (k // ow) + 1, h - 1) * w
+            + least(2 * (k % ow) + 1, w - 1)) % 241 AS dd
+  FROM o
+), m AS (
+  SELECT doc_id, oh, ow,
+         CASE WHEN a = b OR a = c THEN a
+              WHEN b = c THEN b
+              ELSE dd END AS v
+  FROM px
+)
+SELECT doc_id,
+       CAST(oh AS BIGINT) AS out_h,
+       CAST(ow AS BIGINT) AS out_w,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM m GROUP BY 1, 2, 3
+"""
+
+WINSOR_LO_PCT = 5  # clip below the 5th percentile...
+WINSOR_HI_PCT = 95  # ...and above the 95th
+WINSOR_MAX_CENTS = 1 << 20  # census stays domain-bounded past this
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics: exact type-1 (lower-rank)
+    p05/p95 cent values from the cumulative value census, then the
+    clipped sum and clip counts — the robust-mean preprocessing step,
+    EXACT without any global sort.
+
+    Scale shape: ONE corpus-sized map-side-combinable census groupBy
+    (event_type, cents); everything after — cumulative window, rank
+    thresholds ceil(p*n/100) via (p*n + 99) DIV 100, the clip pass
+    (winsorized sum = sum(cnt * clamp(v))) — runs on the census,
+    whose size is bounded by the VALUE DOMAIN (< 2^20 cents,
+    runtime-guarded with an actionable raise), never by the corpus.
+    The clip pass never rescans raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    census = ev.groupBy("event_type", "v").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    guarded_v = F.when(
+        (F.col("v") >= 0) & (F.col("v") < WINSOR_MAX_CENTS), F.col("v")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q_winsorized_stats: cent value outside [0, 2^20) — "
+                "the census is no longer domain-bounded; widen "
+                "WINSOR_MAX_CENTS or bucket first"
+            )
+        ).cast("long")
+    )
+    census = census.select("event_type", guarded_v.alias("v"), "cnt")
+    wc = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    c = census.select(
+        "event_type",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    # the winsor bounds ride two more windows over the SAME census
+    # partitioning (never a join back — a census-vs-bounds join would
+    # recompute the census groupBy and rescan events; single-scan
+    # lineage is pinned in test_r06i_ops)
+    j = c.select(
+        "event_type",
+        "v",
+        "cnt",
+        "n",
+        F.min(
+            F.when(
+                F.expr(f"cum >= ({WINSOR_LO_PCT} * n + 99) DIV 100"),
+                F.col("v"),
+            )
+        ).over(wt).alias("lo_c"),
+        F.min(
+            F.when(
+                F.expr(f"cum >= ({WINSOR_HI_PCT} * n + 99) DIV 100"),
+                F.col("v"),
+            )
+        ).over(wt).alias("hi_c"),
+    )
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("lo_c").cast("long").alias("lo_c"),
+        F.max("hi_c").cast("long").alias("hi_c"),
+        F.sum(
+            F.expr("cnt * greatest(lo_c, least(hi_c, v))")
+        ).cast("long").alias("wsum_c"),
+        F.sum(F.when(F.col("v") < F.col("lo_c"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("v") > F.col("hi_c"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_clip_hi"),
+    )
+
+
+_WINSORIZED_STATS = f"""
+WITH census AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, v, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM census
+), bounds AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN cum >= ({WINSOR_LO_PCT} * n + 99) // 100
+                       THEN v END) AS BIGINT) AS lo_c,
+         CAST(min(CASE WHEN cum >= ({WINSOR_HI_PCT} * n + 99) // 100
+                       THEN v END) AS BIGINT) AS hi_c
+  FROM c GROUP BY 1
+)
+SELECT census.event_type, n, lo_c, hi_c,
+       CAST(sum(cnt * greatest(lo_c, least(hi_c, v))) AS BIGINT)
+         AS wsum_c,
+       CAST(sum(CASE WHEN v < lo_c THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN v > hi_c THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_clip_hi
+FROM census JOIN bounds ON census.event_type = bounds.event_type
+GROUP BY 1, 2, 3, 4
+"""
+
+
 STATE_SPAN_MAX_DAYS = 64  # one state interval may cross at most this
 
 
@@ -15310,6 +15488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # post-freeze, tail entry
         "q_loop_detect": q_loop_detect,
         "q_audio_downsample": q_audio_downsample,
+        # r06i arrivals (COUNTLESS image downsample end-to-end,
+        # winsorized stats from the domain-bounded census):
+        # post-freeze, tail entry
+        "q_image_downsample": q_image_downsample,
+        "q_winsorized_stats": q_winsorized_stats,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -15519,6 +15702,8 @@ FROM win
         "q_idle_rich_customers": _IDLE_RICH_CUSTOMERS,
         "q_loop_detect": _LOOP_DETECT,
         "q_audio_downsample": _AUDIO_DOWNSAMPLE,
+        "q_image_downsample": _IMAGE_DOWNSAMPLE,
+        "q_winsorized_stats": _WINSORIZED_STATS,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

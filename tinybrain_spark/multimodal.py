@@ -442,6 +442,56 @@ def audio_downsample(
     return df.mapInPandas(_pool, AUDIO_DOWNSAMPLE_SCHEMA)
 
 
+IMAGE_DOWNSAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("out_h", LongType(), False),
+        StructField("out_w", LongType(), False),
+        StructField("n_out", LongType(), False),
+        StructField("sum_v", LongType(), False),
+        StructField("min_v", LongType(), False),
+        StructField("max_v", LongType(), False),
+    ]
+)
+
+
+def image_downsample(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Segmentation-style image downsampling through the PRODUCTION
+    COUNTLESS kernel: decode PGM, pad odd axes by trailing-edge
+    duplication (compat._odd_to_even_mirror — the reference's
+    code-not-docstring odd_to_even2d rule, downsample.py:106-114), and
+    2x2 mode-pool with kernels.mode_pool_2d's countless-if chain
+    (a==b -> a; a==c -> a; b==c -> b; else d, hpp:1023-1042) — the
+    reference's actual image use case, end to end through a real image
+    format.  Emits per doc: pooled dims and the sum/min/max of the
+    pooled pixels (every output pixel is a pure function of (doc_id,
+    y, x), so the oracle recomputes them all).
+
+    Shape: one mapInPandas, binary crosses once per Arrow batch."""
+    from .compat import _odd_to_even_mirror
+    from .kernels import mode_pool_2d
+
+    def _pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "out_h", "out_w", "n_out",
+                                   "sum_v", "min_v", "max_v")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                _w, _h, pix = parse_pgm(bytes(payload))
+                pooled = mode_pool_2d(_odd_to_even_mirror(pix)).astype(
+                    np.int64
+                )
+                out["doc_id"].append(int(did))
+                out["out_h"].append(int(pooled.shape[0]))
+                out["out_w"].append(int(pooled.shape[1]))
+                out["n_out"].append(int(pooled.size))
+                out["sum_v"].append(int(pooled.sum()))
+                out["min_v"].append(int(pooled.min()))
+                out["max_v"].append(int(pooled.max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_pool, IMAGE_DOWNSAMPLE_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
