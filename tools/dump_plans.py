@@ -371,6 +371,17 @@ BLURBS = {
         "MapInPandas, zero shuffles; per-channel kernels.avg_pool "
         "with the token tiers' exact signed render semantics."
     ),
+    "q_image_downsample": (
+        "COUNTLESS 2x2 mode pooling on real decoded PGM images: one "
+        "MapInPandas, zero shuffles; the reference's actual image use "
+        "case end-to-end (odd-edge trailing pad + countless-if chain)."
+    ),
+    "q_winsorized_stats": (
+        "Winsorize from the domain-bounded census: ONE corpus exchange "
+        "(the census groupBy); cumulative + total + bounds all ride "
+        "windows over the same census partitioning — no join back, "
+        "no second events scan."
+    ),
 }
 
 
