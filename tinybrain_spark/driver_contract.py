@@ -9900,6 +9900,129 @@ SELECT doc_id,
 FROM m GROUP BY 1, 2, 3
 """
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP census: after near-dup clustering
+    (minhash -> LSH -> verified pairs -> star connected components),
+    which docs does each source actually keep?  The canonical survivor
+    of a cluster is its min doc_id (exactly the star-CC label), so per
+    source: total docs, survivors (doc_id == cluster label), dropped —
+    the readout that turns a dedup pass into a retention decision and
+    shows deduplication pressure per source.
+
+    Scale shape: the cluster computation dominates and is the already-
+    proven O(log^2 n) star path (clusters.connected_components_star,
+    localCheckpoint per round); the census adds ONE join of the (doc,
+    label) table to the (doc, source) projection on the 8-byte doc_id
+    and a map-side-combinable source groupBy.  Oracle: the identical
+    recursive CTE extended with the source rollup (quadratic per
+    component in DuckDB — fine at the sf0.01 gate, excluded from sf1
+    sweeps like its parent)."""
+    cc = q_dedup_clusters_star(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("sd"), "source"
+    )
+    j = cc.join(src, F.col("doc_id") == F.col("sd"))
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("doc_id") == F.col("cluster_id")).cast("long")
+        ).cast("long").alias("n_survivors"),
+        F.sum(
+            (F.col("doc_id") != F.col("cluster_id")).cast("long")
+        ).cast("long").alias("n_dropped"),
+    )
+
+
+def _dedup_survivors_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_verified_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+cc(node, label) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+),
+lab AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN lab.doc_id = cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN lab.doc_id <> cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM lab JOIN documents ON lab.doc_id = CAST(documents.doc_id AS BIGINT)
+GROUP BY 1
+"""
+
+
+IMAGE_GATE_MIN_CONTRAST = 20  # keep images with RMS contrast >= this
+
+
+def q_stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode UNDER Structured Streaming: the doc ids
+    stream in as parquet micro-batches, each batch synthesizes +
+    decodes PGM with the real parser and applies the quality gate
+    (RMS contrast >= IMAGE_GATE_MIN_CONTRAST) — proving the
+    mapInPandas decode chain runs stateless inside a streaming query
+    (parquet sink, availableNow drain, exactly-once checkpoint).  The
+    end state must value-hash-equal the batch gate: the image-quality
+    oracle with the same WHERE, which no streaming state can fudge."""
+    import shutil
+    import tempfile
+
+    from .multimodal import image_quality, synth_pgm_payloads
+
+    work = tempfile.mkdtemp(prefix="tb_stream_imggate_")
+    try:
+        ids_dir = f"{work}/ids"
+        (
+            load_table(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"))
+            .repartition(4)  # several files -> several micro-batches
+            .write.parquet(ids_dir)
+        )
+        stream_ids = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(ids_dir)
+        )
+        gated = image_quality(synth_pgm_payloads(stream_ids)).where(
+            F.col("contrast_u") >= IMAGE_GATE_MIN_CONTRAST
+        )
+        out_dir = f"{work}/out"
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "image-gate stream did not drain within 600s — "
+                "refusing to return a partial end state"
+            )
+        rows = spark.read.parquet(out_dir)
+        # the sink lives in a temp dir we are about to delete — pin
+        # the rows in executor memory before cleanup
+        rows = spark.createDataFrame(rows.collect(), rows.schema)
+        return rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_STREAM_IMAGE_GATE = f"""
+SELECT * FROM ({_IMAGE_QUALITY.rstrip()}
+) WHERE contrast_u >= {IMAGE_GATE_MIN_CONTRAST}
+"""
+
+
 WINSOR_LO_PCT = 5  # clip below the 5th percentile...
 WINSOR_HI_PCT = 95  # ...and above the 95th
 WINSOR_MAX_CENTS = 1 << 20  # census stays domain-bounded past this
@@ -15493,6 +15616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # post-freeze, tail entry
         "q_image_downsample": q_image_downsample,
         "q_winsorized_stats": q_winsorized_stats,
+        # r06j arrivals (dedup survivorship census, multimodal decode
+        # under Structured Streaming): post-freeze, tail entry
+        "q_dedup_survivors": q_dedup_survivors,
+        "q_stream_image_gate": q_stream_image_gate,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -15704,6 +15831,8 @@ FROM win
         "q_audio_downsample": _AUDIO_DOWNSAMPLE,
         "q_image_downsample": _IMAGE_DOWNSAMPLE,
         "q_winsorized_stats": _WINSORIZED_STATS,
+        "q_dedup_survivors": _dedup_survivors_sql(),
+        "q_stream_image_gate": _STREAM_IMAGE_GATE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
