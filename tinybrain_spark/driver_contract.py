@@ -10023,6 +10023,183 @@ SELECT * FROM ({_IMAGE_QUALITY.rstrip()}
 """
 
 
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors in embedding space: pairs where
+    each vector is the other's bucketed 1-NN — the high-precision
+    semantic-dup candidate set (the margin/RNN criterion bitext mining
+    and embedding dedup use before thresholding cosine alone: a
+    one-directional NN can be a hub, a MUTUAL one is a genuine pair).
+
+    Scale shape: composes q_ann_nn_bucketed (LSH-bucket-local 1-NN,
+    never a corpus cross join); the NN table localCheckpoints ONCE
+    (|vectors| rows — linear) so the self-join's two sides read the
+    materialized table instead of re-running the bucketed argmax
+    twice; the join keys are 8-byte vec ids, labels broadcast on.
+    Integer outputs only (cos_c is the floor-milli cosine already
+    under the parent's oracle)."""
+    nn = (
+        q_ann_nn_bucketed(spark, sf_dir)
+        .select("vec_id", "nn_id", "cos_c")
+        .localCheckpoint()
+    )
+    x = nn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("nn_id").alias("na"),
+        "cos_c",
+    )
+    y = nn.select(
+        F.col("vec_id").alias("vec_b"), F.col("nn_id").alias("nb")
+    )
+    pairs = x.join(
+        y,
+        (F.col("na") == F.col("vec_b"))
+        & (F.col("nb") == F.col("vec_a"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.col("label").cast("long").alias("lab"),
+    )
+    return (
+        pairs.join(F.broadcast(lab), F.col("vec_a") == F.col("vid"))
+        .select("vec_a", "vec_b", "cos_c", F.col("lab").alias("label_a"))
+        .join(
+            F.broadcast(lab.select(F.col("vid").alias("vid2"),
+                                   F.col("lab").alias("label_b"))),
+            F.col("vec_b") == F.col("vid2"),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "cos_c",
+            (F.col("label_a") == F.col("label_b"))
+            .cast("long")
+            .alias("same_label"),
+        )
+    )
+
+
+def _mutual_nn_sql() -> str:
+    return f"""
+WITH nn AS (
+  SELECT * FROM ({_ann_nn_bucketed_sql()})
+), lab AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid, CAST(label AS BIGINT) AS lab
+  FROM embeddings
+)
+SELECT x.vec_id AS vec_a, x.nn_id AS vec_b, x.cos_c,
+       CAST(CASE WHEN la.lab = lb.lab THEN 1 ELSE 0 END AS BIGINT)
+         AS same_label
+FROM nn x JOIN nn y
+  ON x.nn_id = y.vec_id AND y.nn_id = x.vec_id
+  AND x.vec_id < y.vec_id
+JOIN lab la ON x.vec_id = la.vid
+JOIN lab lb ON x.nn_id = lb.vid
+"""
+
+
+SHIP_LAG_MAX_DAYS = 4096  # census stays domain-bounded past this
+
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: line
+    count, exact type-1 median lag days, floored mean, and max — the
+    fulfillment-SLA readout, computed the q_winsorized_stats way
+    (domain-bounded census + cumulative windows), never a per-priority
+    sort of raw lines.
+
+    Scale shape: ONE orderkey shuffle join (both sides projected to
+    the needed columns), ONE corpus-sized map-side census groupBy on
+    (priority, lag_days); the quantile machinery runs on census rows
+    bounded by the LAG DOMAIN (< SHIP_LAG_MAX_DAYS, runtime-guarded),
+    and mean/max fold in the same census aggregate."""
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400"
+        ).alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(unix_timestamp(l_shipdate)) AS BIGINT) DIV 86400"
+        ).alias("sd"),
+    )
+    lag = (
+        li.join(ord_, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            (F.col("sd") - F.col("od")).alias("lag"),
+        )
+    )
+    census = lag.groupBy("o_orderpriority", "lag").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    guarded = F.when(
+        (F.col("lag") > -SHIP_LAG_MAX_DAYS)
+        & (F.col("lag") < SHIP_LAG_MAX_DAYS),
+        F.col("lag"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q_ship_latency: |lag| >= 4096 days — census no "
+                "longer domain-bounded; check the date columns"
+            )
+        ).cast("long")
+    )
+    census = census.select(
+        "o_orderpriority", guarded.alias("lag"), "cnt"
+    )
+    wc = Window.partitionBy("o_orderpriority").orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    c = census.select(
+        "o_orderpriority",
+        "lag",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    return c.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.min(
+            F.when(F.expr("cum >= (n + 1) DIV 2"), F.col("lag"))
+        ).cast("long").alias("median_days"),
+        F.expr("sum(lag * cnt) DIV max(n)").cast("long").alias(
+            "mean_days_fl"
+        ),
+        F.max("lag").cast("long").alias("max_days"),
+    )
+
+
+_SHIP_LATENCY = """
+WITH lag AS (
+  SELECT o_orderpriority,
+         CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+           - CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), census AS (
+  SELECT o_orderpriority, lag, CAST(count(*) AS BIGINT) AS cnt
+  FROM lag GROUP BY 1, 2
+), c AS (
+  SELECT o_orderpriority, lag, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lag
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM census
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_lines,
+       CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lag END) AS BIGINT)
+         AS median_days,
+       CAST(sum(lag * cnt) // max(n) AS BIGINT) AS mean_days_fl,
+       CAST(max(lag) AS BIGINT) AS max_days
+FROM c GROUP BY 1
+"""
+
+
 WINSOR_LO_PCT = 5  # clip below the 5th percentile...
 WINSOR_HI_PCT = 95  # ...and above the 95th
 WINSOR_MAX_CENTS = 1 << 20  # census stays domain-bounded past this
@@ -15620,6 +15797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under Structured Streaming): post-freeze, tail entry
         "q_dedup_survivors": q_dedup_survivors,
         "q_stream_image_gate": q_stream_image_gate,
+        # r06k arrivals (reciprocal-NN semantic-dup pairs, order-to-
+        # ship latency census): post-freeze, tail entry
+        "q_mutual_nn": q_mutual_nn,
+        "q_ship_latency": q_ship_latency,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -15833,6 +16014,8 @@ FROM win
         "q_winsorized_stats": _WINSORIZED_STATS,
         "q_dedup_survivors": _dedup_survivors_sql(),
         "q_stream_image_gate": _STREAM_IMAGE_GATE,
+        "q_mutual_nn": _mutual_nn_sql(),
+        "q_ship_latency": _SHIP_LATENCY,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
