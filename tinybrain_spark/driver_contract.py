@@ -10098,6 +10098,169 @@ JOIN lab lb ON x.nn_id = lb.vid
 """
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous label-propagation round over the bucketed-NN
+    graph: every vector takes the MAJORITY label of its undirected NN
+    neighbors (ties -> smallest label; isolated semantics impossible —
+    every node has >= 1 edge by construction).  The semi-supervised
+    label-cleaning step run after q_knn_purity flags an entangled
+    label: one round of propagation shows which assignments the
+    embedding space itself disputes.
+
+    Scale shape: the NN table localCheckpoints once (the q_mutual_nn
+    discipline), edges are its two directions (map-side union +
+    distinct on 8-byte pairs), neighbor labels broadcast on, and the
+    majority vote is the q_m4_decimate argmax encoding cnt*2^20 +
+    (2^20-1-label) — two map-side-combinable groupBys, never a
+    window.  Labels are runtime-bounded < 2^20 by the encoding
+    (fixture labels are single digits)."""
+    nn = (
+        q_ann_nn_bucketed(spark, sf_dir)
+        .select("vec_id", "nn_id")
+        .localCheckpoint()
+    )
+    edges = (
+        nn.select(F.col("vec_id").alias("a"), F.col("nn_id").alias("b"))
+        .unionByName(
+            nn.select(
+                F.col("nn_id").alias("a"), F.col("vec_id").alias("b")
+            )
+        )
+        .distinct()
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.col("label").cast("long").alias("lab"),
+    )
+    votes = (
+        edges.join(
+            F.broadcast(lab.select(F.col("vid").alias("b2"),
+                                   F.col("lab").alias("nbr_label"))),
+            F.col("b") == F.col("b2"),
+        )
+        .groupBy("a", "nbr_label")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    enc = votes.groupBy("a").agg(
+        F.max(
+            F.expr(f"cnt * {1 << 20} + ({(1 << 20) - 1} - nbr_label)")
+        ).alias("e")
+    )
+    out = enc.select(
+        F.col("a").alias("vec_id"),
+        F.expr(f"{(1 << 20) - 1} - (e % {1 << 20})")
+        .cast("long")
+        .alias("new_label"),
+    )
+    return (
+        out.join(F.broadcast(lab), F.col("vec_id") == F.col("vid"))
+        .select(
+            "vec_id",
+            F.col("lab").alias("old_label"),
+            "new_label",
+            (F.col("new_label") != F.col("lab"))
+            .cast("long")
+            .alias("changed"),
+        )
+    )
+
+
+def _label_prop_sql() -> str:
+    return f"""
+WITH nn AS (
+  SELECT * FROM ({_ann_nn_bucketed_sql()})
+), edges AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT vec_id AS a, nn_id AS b FROM nn
+    UNION ALL
+    SELECT nn_id AS a, vec_id AS b FROM nn
+  )
+), lab AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid, CAST(label AS BIGINT) AS lab
+  FROM embeddings
+), votes AS (
+  SELECT a, lab AS nbr_label, CAST(count(*) AS BIGINT) AS cnt
+  FROM edges JOIN lab ON b = vid
+  GROUP BY 1, 2
+), enc AS (
+  SELECT a, max(cnt * {1 << 20} + ({(1 << 20) - 1} - nbr_label)) AS e
+  FROM votes GROUP BY 1
+)
+SELECT a AS vec_id,
+       CAST(lab AS BIGINT) AS old_label,
+       CAST({(1 << 20) - 1} - (e % {1 << 20}) AS BIGINT) AS new_label,
+       CAST(CASE WHEN {(1 << 20) - 1} - (e % {1 << 20}) <> lab
+                 THEN 1 ELSE 0 END AS BIGINT) AS changed
+FROM enc JOIN lab ON a = vid
+"""
+
+
+LATE_ORDER_QUARTER_START = "1999-01-01 00:00:00"
+LATE_ORDER_QUARTER_END = "1999-04-01 00:00:00"  # exclusive
+LATE_ORDER_MIN_LAG_DAYS = 90
+
+
+def q_late_order_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-topology EXISTS census: orders placed in one quarter
+    that have AT LEAST ONE line shipping more than 90 days after the
+    order date, counted per priority — the fulfillment-failure rate
+    behind the SLA dashboard, and the registry's representative for an
+    EXISTS whose condition spans BOTH tables (not just the key).
+
+    Scale shape: the quarter predicate pushes into the orders scan;
+    the existence test is a LEFT SEMI join on the 8-byte orderkey
+    with the cross-table lag condition riding the join (never a
+    correlated per-row subquery, never a count-then-filter of all
+    lines); ONE final map-side groupBy."""
+    ord_ = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            f"o_orderdate >= TIMESTAMP '{LATE_ORDER_QUARTER_START}' AND "
+            f"o_orderdate < TIMESTAMP '{LATE_ORDER_QUARTER_END}'"
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr(
+                "CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT)"
+                " DIV 86400"
+            ).alias("od"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(unix_timestamp(l_shipdate)) AS BIGINT) DIV 86400"
+        ).alias("sd"),
+    )
+    late = ord_.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("sd") - F.col("od") > LATE_ORDER_MIN_LAG_DAYS),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_late_orders")
+    )
+
+
+_LATE_ORDER_CENSUS = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{LATE_ORDER_QUARTER_START}'
+  AND o_orderdate < TIMESTAMP '{LATE_ORDER_QUARTER_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+          - CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+          > {LATE_ORDER_MIN_LAG_DAYS}
+  )
+GROUP BY 1
+"""
+
+
 SHIP_LAG_MAX_DAYS = 4096  # census stays domain-bounded past this
 
 
@@ -15801,6 +15964,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ship latency census): post-freeze, tail entry
         "q_mutual_nn": q_mutual_nn,
         "q_ship_latency": q_ship_latency,
+        # r06l arrivals (label-propagation round over the NN graph,
+        # Q4-topology EXISTS census): post-freeze, tail entry
+        "q_label_prop": q_label_prop,
+        "q_late_order_census": q_late_order_census,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -16016,6 +16183,8 @@ FROM win
         "q_stream_image_gate": _STREAM_IMAGE_GATE,
         "q_mutual_nn": _mutual_nn_sql(),
         "q_ship_latency": _SHIP_LATENCY,
+        "q_label_prop": _label_prop_sql(),
+        "q_late_order_census": _LATE_ORDER_CENSUS,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
