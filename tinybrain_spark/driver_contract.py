@@ -10195,6 +10195,115 @@ FROM enc JOIN lab ON a = vid
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (aHash): nearest-neighbor resize to
+    8x8, threshold against the floored mean, pack 64 bits into two
+    uint32 halves — the image near-dup primitive (hamming distance on
+    these hashes is how image dedup blocks candidates, the visual
+    analog of simhash).  A single int64 hash would overflow at bit 63
+    under ANSI arithmetic, hence the halves.
+
+    The oracle recomputes all 64 thumbnail pixels per image from the
+    synth formula (src index = (k*dim) DIV 8 — exact nearest-neighbor
+    both up- and downsampling).  One mapInPandas, zero shuffles."""
+    from .multimodal import image_phash, synth_pgm_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return image_phash(synth_pgm_payloads(docs))
+
+
+_IMAGE_PHASH = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 11 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 5 + 4 AS BIGINT) AS h
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(range(0, 64)) AS k, w, h
+  FROM d
+), v AS (
+  SELECT doc_id, k,
+         (doc_id * 37 + ((k // 8) * h // 8) * w
+            + ((k % 8) * w // 8)) % 241 AS v
+  FROM t
+), a AS (
+  SELECT doc_id, k, v,
+         sum(v) OVER (PARTITION BY doc_id) // 64 AS avg
+  FROM v
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN k >= 32 AND v > avg
+                     THEN 1::BIGINT << (k - 32) ELSE 0 END) AS BIGINT)
+         AS phash_hi,
+       CAST(sum(CASE WHEN k < 32 AND v > avg
+                     THEN 1::BIGINT << k ELSE 0 END) AS BIGINT)
+         AS phash_lo,
+       CAST(sum(CASE WHEN v > avg THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bits_set
+FROM a GROUP BY doc_id
+"""
+
+
+def q_image_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization under the oracle: the standard integer
+    formula eq(v) = (cdf(v) - cdf_min) * 255 DIV (n - cdf_min) applied
+    to every decoded pixel — the contrast-normalization transform an
+    image pipeline runs between decode and feature extraction
+    (q_image_quality DETECTS low contrast; this FIXES it).  Per doc:
+    equalized sum/min/max — min 0 and max 255 by construction on any
+    image with >= 2 distinct values, which the differential pins.
+
+    The oracle rebuilds each image's cdf from the per-(doc, value)
+    census + one bounded window (<= 241 values per doc) and re-maps
+    every pixel.  One mapInPandas, zero shuffles."""
+    from .multimodal import image_equalize, synth_pgm_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return image_equalize(synth_pgm_payloads(docs))
+
+
+_IMAGE_EQUALIZE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 11 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 5 + 4 AS BIGINT) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w * h AS n, unnest(range(0, w * h)) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, n, (doc_id * 37 + i) % 241 AS v FROM px
+), census AS (
+  SELECT doc_id, n, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2, 3
+), c AS (
+  SELECT doc_id, n, v, cnt,
+         sum(cnt) OVER (PARTITION BY doc_id ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM census
+), bounds AS (
+  SELECT doc_id, n, v, cnt, cum,
+         min(cum) OVER (PARTITION BY doc_id) AS cdf_min
+  FROM c
+), eqv AS (
+  SELECT doc_id, v,
+         CASE WHEN n - cdf_min = 0 THEN 0
+              ELSE (cum - cdf_min) * 255 // (n - cdf_min) END AS eq,
+         cnt
+  FROM bounds
+)
+SELECT doc_id,
+       CAST(sum(eq * cnt) AS BIGINT) AS eq_sum,
+       CAST(min(eq) AS BIGINT) AS eq_min,
+       CAST(max(eq) AS BIGINT) AS eq_max
+FROM eqv GROUP BY doc_id
+"""
+
+
 LATE_ORDER_QUARTER_START = "1999-01-01 00:00:00"
 LATE_ORDER_QUARTER_END = "1999-04-01 00:00:00"  # exclusive
 LATE_ORDER_MIN_LAG_DAYS = 90
@@ -15968,6 +16077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q4-topology EXISTS census): post-freeze, tail entry
         "q_label_prop": q_label_prop,
         "q_late_order_census": q_late_order_census,
+        # r06m arrivals (perceptual aHash, histogram equalization):
+        # post-freeze, tail entry
+        "q_image_phash": q_image_phash,
+        "q_image_equalize": q_image_equalize,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -16185,6 +16298,8 @@ FROM win
         "q_ship_latency": _SHIP_LATENCY,
         "q_label_prop": _label_prop_sql(),
         "q_late_order_census": _LATE_ORDER_CENSUS,
+        "q_image_phash": _IMAGE_PHASH,
+        "q_image_equalize": _IMAGE_EQUALIZE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

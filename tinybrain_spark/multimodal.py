@@ -492,6 +492,98 @@ def image_downsample(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(_pool, IMAGE_DOWNSAMPLE_SCHEMA)
 
 
+IMAGE_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("phash_hi", LongType(), False),
+        StructField("phash_lo", LongType(), False),
+        StructField("n_bits_set", LongType(), False),
+    ]
+)
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Average-hash perceptual fingerprint (the classic aHash image
+    near-dup primitive): nearest-neighbor resize to 8x8 (src index =
+    (k*dim) DIV 8 — works as up- or downsampling), threshold each
+    thumbnail pixel against the floored mean (v > sum DIV 64), and
+    pack the 64 bits into two unsigned 32-bit halves (a single int64
+    would overflow at bit 63 under ANSI arithmetic).  Bit k = y*8+x;
+    `lo` carries k < 32.
+
+    Shape: one mapInPandas, numpy-vectorized per doc, zero shuffles."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "phash_hi", "phash_lo",
+                                   "n_bits_set")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                _w, _h, pix = parse_pgm(bytes(payload))
+                h, w = pix.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                thumb = pix[np.ix_(ys, xs)].astype(np.int64)
+                avg = int(thumb.sum()) // 64
+                bits = (thumb > avg).astype(np.int64).ravel()  # k = y*8+x
+                weights = 1 << (np.arange(64, dtype=np.int64) % 32)
+                lo = int((bits[:32] * weights[:32]).sum())
+                hi = int((bits[32:] * weights[:32]).sum())
+                out["doc_id"].append(int(did))
+                out["phash_hi"].append(hi)
+                out["phash_lo"].append(lo)
+                out["n_bits_set"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_hash, IMAGE_PHASH_SCHEMA)
+
+
+IMAGE_EQUALIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("eq_sum", LongType(), False),
+        StructField("eq_min", LongType(), False),
+        StructField("eq_max", LongType(), False),
+    ]
+)
+
+
+def image_equalize(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Histogram equalization (the contrast-normalization preprocessing
+    transform): eq(v) = (cdf(v) - cdf_min) * 255 DIV (n - cdf_min),
+    the standard integer formula with cdf_min = the count of the
+    darkest value — all-integer, so the oracle recomputes every
+    equalized pixel exactly.  Emits per doc the sum/min/max of the
+    equalized pixels (eq_min is 0 and eq_max 255 by construction
+    whenever the image has >= 2 distinct values — the invariant that
+    makes equalization useful).
+
+    Shape: one mapInPandas, numpy bincount + cumsum per doc."""
+
+    def _eq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "eq_sum", "eq_min",
+                                   "eq_max")}
+            for did, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                _w, _h, pix = parse_pgm(bytes(payload))
+                flat = pix.ravel().astype(np.int64)
+                n = flat.size
+                counts = np.bincount(flat, minlength=256)
+                cdf = np.cumsum(counts)
+                cdf_min = int(counts[flat.min()])
+                denom = n - cdf_min
+                if denom == 0:  # constant image -> all zeros
+                    eq = np.zeros_like(flat)
+                else:
+                    eq = (cdf[flat] - cdf_min) * 255 // denom
+                out["doc_id"].append(int(did))
+                out["eq_sum"].append(int(eq.sum()))
+                out["eq_min"].append(int(eq.min()))
+                out["eq_max"].append(int(eq.max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_eq, IMAGE_EQUALIZE_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
