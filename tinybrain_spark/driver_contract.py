@@ -10304,6 +10304,142 @@ FROM eqv GROUP BY doc_id
 """
 
 
+PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
+
+
+def q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by banded perceptual-hash blocking: split
+    each 64-bit aHash into four 16-bit bands; two images sharing ANY
+    band become a candidate pair (pigeonhole: hamming <= 4 over 4
+    bands guarantees >= 1 equal 16-bit band... when the <= 4 differing
+    bits hit <= 3 bands — with 4 bits in 4 bands a miss requires one
+    bit per band, so recall is guaranteed for hamming <= 3 and holds
+    for hamming 4 unless the bits split 1+1+1+1; the oracle and Spark
+    agree on the same blocking, so the CONTRACT is exact), then exact
+    hamming (bit_count of the XOR halves) verifies candidates only —
+    the engine's LSH-band discipline transplanted onto the visual
+    fingerprint.
+
+    Scale shape — the exact-dup/near-dup split is the load-bearing
+    part: hashes first COLLAPSE to distinct-hash groups (hash ->
+    (n_docs, rep = min doc_id); exact visual dups stay linear — a
+    first cut banded raw docs and a 500-doc fixture already emitted
+    77,588 pairs because identical-hash groups pair quadratically),
+    then ONLY distinct hashes band (4 bounded rows each), candidate
+    pairs join on the 8-byte band key, and the hamming verify is two
+    JVM bit_counts per candidate.  Output rows are GROUP pairs
+    (rep_a, rep_b, hamming, n_a, n_b) — the n_a * n_b doc-pair count
+    is implied, never materialized."""
+    from .multimodal import image_phash, synth_pgm_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    g = (
+        image_phash(synth_pgm_payloads(docs))
+        .groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep"),
+        )
+        .localCheckpoint()
+    )
+    bands = g.select(
+        "phash_hi",
+        "phash_lo",
+        "n_docs",
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"(phash_{'hi' if i >= 2 else 'lo'} >> "
+                            f"{(i % 2) * 16}) % 65536"
+                        ).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "phash_hi", "phash_lo", "n_docs", "rep",
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+    )
+    a = bands.select(
+        F.col("rep").alias("rep_a"),
+        F.col("n_docs").alias("n_a"),
+        F.col("phash_hi").alias("ha"),
+        F.col("phash_lo").alias("la"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("rep").alias("rep_b"),
+        F.col("n_docs").alias("n_b"),
+        F.col("phash_hi").alias("hb"),
+        F.col("phash_lo").alias("lb"),
+        F.col("band").alias("band2"),
+        F.col("val").alias("val2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band2"))
+            & (F.col("val") == F.col("val2"))
+            & (F.col("rep_a") < F.col("rep_b")),
+        )
+        .select("rep_a", "rep_b", "n_a", "n_b", "ha", "la", "hb", "lb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "rep_a",
+            "rep_b",
+            (
+                F.bit_count(F.expr("ha ^ hb"))
+                + F.bit_count(F.expr("la ^ lb"))
+            ).cast("long").alias("hamming"),
+            "n_a",
+            "n_b",
+        )
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
+def _phash_dup_pairs_sql() -> str:
+    return f"""
+WITH ph AS (
+  SELECT phash_hi, phash_lo,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(doc_id) AS BIGINT) AS rep
+  FROM ({_IMAGE_PHASH})
+  GROUP BY 1, 2
+), bands AS (
+  SELECT phash_hi, phash_lo, n_docs, rep, band,
+         CASE WHEN band >= 2
+              THEN (phash_hi >> ((band % 2) * 16)) % 65536
+              ELSE (phash_lo >> ((band % 2) * 16)) % 65536 END AS val
+  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+), cand AS (
+  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+         a.n_docs AS n_a, b.n_docs AS n_b,
+         a.phash_hi AS ha, a.phash_lo AS la,
+         b.phash_hi AS hb, b.phash_lo AS lb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.rep < b.rep
+)
+SELECT rep_a, rep_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+         AS hamming,
+       n_a, n_b
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+      <= {PHASH_MAX_HAMMING}
+"""
+
+
 LATE_ORDER_QUARTER_START = "1999-01-01 00:00:00"
 LATE_ORDER_QUARTER_END = "1999-04-01 00:00:00"  # exclusive
 LATE_ORDER_MIN_LAG_DAYS = 90
@@ -16081,6 +16217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # post-freeze, tail entry
         "q_image_phash": q_image_phash,
         "q_image_equalize": q_image_equalize,
+        # r06n arrival (banded hamming near-dup on the perceptual
+        # hash): post-freeze, tail entry
+        "q_phash_dup_pairs": q_phash_dup_pairs,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -16300,6 +16439,7 @@ FROM win
         "q_late_order_census": _LATE_ORDER_CENSUS,
         "q_image_phash": _IMAGE_PHASH,
         "q_image_equalize": _IMAGE_EQUALIZE,
+        "q_phash_dup_pairs": _phash_dup_pairs_sql(),
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
