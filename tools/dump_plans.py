@@ -382,6 +382,25 @@ BLURBS = {
         "windows over the same census partitioning — no join back, "
         "no second events scan."
     ),
+    "q_ship_latency": (
+        "Join + domain-bounded census quantiles: one orderkey shuffle "
+        "join of projected columns, one map-side census groupBy, "
+        "quantile windows over census rows bounded by the lag domain."
+    ),
+    "q_late_order_census": (
+        "Q4-topology EXISTS: LEFT SEMI join carrying the cross-table "
+        "lag condition on the join itself; quarter predicate pushed "
+        "into the orders scan; one final map-side groupBy."
+    ),
+    "q_image_phash": (
+        "Perceptual aHash: one MapInPandas, zero shuffles; 8x8 "
+        "nearest resize + mean threshold, bits packed into two uint32 "
+        "halves (ANSI-safe)."
+    ),
+    "q_image_equalize": (
+        "Histogram equalization: one MapInPandas, zero shuffles; "
+        "integer cdf formula, full-range [0,255] output invariant."
+    ),
 }
 
 
