@@ -357,3 +357,39 @@ def test_bracket_revenue_plan_broadcast_filtered_part(spark):
         if "ReadSchema" in l and "l_quantity" in l
     ][0]
     assert "l_shipdate" not in liread and "l_tax" not in liread, liread
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_revenue (Q6 topology, r06o)
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_revenue_differential_vs_literal(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    sel = li[
+        (li["l_shipdate"] >= pd.Timestamp("1999-01-01"))
+        & (li["l_shipdate"] < pd.Timestamp("2000-01-01"))
+        & (li["l_discount"] >= 0.05)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    ]
+    delta = int((_cents(sel["l_extendedprice"]) * _cents(sel["l_discount"])).sum()) if len(sel) else 0
+    got = dc.q_forecast_revenue(spark, SF_DIR).toPandas()
+    assert int(got["n_lines"].iloc[0]) == len(sel) and len(sel) > 0
+    assert int(got["revenue_delta_cpct"].iloc[0]) == delta
+
+
+def test_forecast_revenue_plan_full_pushdown(spark):
+    plan = _plan(dc.q_forecast_revenue(spark, SF_DIR))
+    # every predicate reaches the parquet scan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, (frag, plan)
+    # only the needed columns are read
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_tax" not in read, read

@@ -10304,6 +10304,55 @@ FROM eqv GROUP BY doc_id
 """
 
 
+FORECAST_YEAR = 1999
+FORECAST_DISC_LO = 5  # discount percent bracket, inclusive
+FORECAST_DISC_HI = 7
+FORECAST_MAX_QTY = 24  # exclusive
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-topology forecast-revenue delta: the revenue that
+    would have been gained by eliminating small discounts on
+    small-quantity lines in one year — a PURE single-table
+    scan-filter-aggregate, the registry's cleanest predicate-pushdown
+    showcase (every predicate — year range, discount bracket,
+    quantity cap — reaches the parquet scan as a PushedFilter; the
+    aggregate is one partial+final count/sum pair with NO groupBy
+    key).  Revenue delta = sum(cents * discount_pct), exact int64.
+
+    Scale shape: scan -> WholeStageCodegen filter+partial agg -> one
+    single-partition exchange of ONE row."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        f"l_shipdate >= TIMESTAMP '{FORECAST_YEAR}-01-01 00:00:00' AND "
+        f"l_shipdate < TIMESTAMP '{FORECAST_YEAR + 1}-01-01 00:00:00' AND "
+        f"l_discount >= 0.0{FORECAST_DISC_LO} AND "
+        f"l_discount <= 0.0{FORECAST_DISC_HI} AND "
+        f"l_quantity < {FORECAST_MAX_QTY}"
+    )
+    return li.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST(coalesce(sum(CAST(floor(l_extendedprice * 100) AS "
+            "BIGINT) * CAST(floor(l_discount * 100) AS BIGINT)), 0) "
+            "AS BIGINT)"
+        ).alias("revenue_delta_cpct"),
+    )
+
+
+_FORECAST_REVENUE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         * CAST(floor(l_discount * 100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_delta_cpct
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{FORECAST_YEAR}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{FORECAST_YEAR + 1}-01-01 00:00:00'
+  AND l_discount >= 0.0{FORECAST_DISC_LO}
+  AND l_discount <= 0.0{FORECAST_DISC_HI}
+  AND l_quantity < {FORECAST_MAX_QTY}
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -16220,6 +16269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06n arrival (banded hamming near-dup on the perceptual
         # hash): post-freeze, tail entry
         "q_phash_dup_pairs": q_phash_dup_pairs,
+        # r06o arrival (Q6-topology pure pushdown aggregate):
+        # post-freeze, tail entry
+        "q_forecast_revenue": q_forecast_revenue,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -16440,6 +16492,7 @@ FROM win
         "q_image_phash": _IMAGE_PHASH,
         "q_image_equalize": _IMAGE_EQUALIZE,
         "q_phash_dup_pairs": _phash_dup_pairs_sql(),
+        "q_forecast_revenue": _FORECAST_REVENUE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
