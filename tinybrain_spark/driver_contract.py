@@ -10304,6 +10304,120 @@ FROM eqv GROUP BY doc_id
 """
 
 
+PQ_SUBSPACES = 8  # 64 dims -> 8 subspaces x 8 dims
+PQ_SUBDIM = 8
+PQ_CENTROIDS = 16  # codes are 4-bit per subspace
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (the ANN memory-compression
+    primitive: IVF-PQ's second stage): each 64-dim embedding splits
+    into 8 subspaces of 8 dims; per subspace the code is the argmin
+    squared distance over 16 FIXED centroids (deterministic dyadic
+    rationals c(s,c,k) = ((s*131 + c*17 + k*7) % 19 - 9) / 8 — exact
+    in both engines, no training step to disagree about), ties ->
+    smallest centroid id.  Emits the 8 codes plus the total
+    quantization error in 2^20 fixed point.
+
+    Float parity is by CONSTRUCTION: both engines evaluate the same
+    expression tree in the same left-to-right fold (F.aggregate here,
+    list_sum(list_transform) in the oracle — the documented zip_with/
+    aggregate parity rule), on exact f32->f64 casts and dyadic
+    centroids, so every distance is the identical IEEE double and the
+    floor is hash-stable.  The per-distance fold also keeps the
+    Catalyst tree small (1024 flat Add terms would hit the documented
+    512-term codegen cliff).  Entirely IN-ROW: zero shuffles
+    (plan-pinned); a non-64-dim embedding raises."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.when(
+            F.size("embedding") == PQ_SUBSPACES * PQ_SUBDIM,
+            F.col("embedding"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("q_pq_encode: embedding is not 64-dim")
+            ).cast("array<float>")
+        )
+        .alias("v"),
+    )
+    cols = [F.col("vec_id")]
+    err_total = None
+    # closure FACTORY, not a `s=s` default arg: a two-parameter lambda
+    # makes F.transform pass the ARRAY INDEX as the second argument
+    # (the q_loop_detect arity trap) — here that silently swapped the
+    # subspace for the centroid index and read element_at(65)
+    def _dist_for(s: int):
+        def _dist(c):
+            acc = F.lit(0.0)
+            # fold dims left-to-right: ((0 + t0) + t1) + ... parity
+            # with the oracle's list_sum order
+            for k in range(PQ_SUBDIM):
+                vk = F.element_at("v", s * PQ_SUBDIM + k + 1).cast(
+                    "double"
+                )
+                ck = (
+                    ((F.lit(s * 131) + c * 17 + F.lit(k * 7)) % 19)
+                    - 9
+                ).cast("double") / 8.0
+                acc = acc + (vk - ck) * (vk - ck)
+            return acc
+
+        return _dist
+
+    for s in range(PQ_SUBSPACES):
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(15)), _dist_for(s)
+        )
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("long")
+            .alias(f"code_{s}")
+        )
+        e = F.array_min(dists)
+        err_total = e if err_total is None else err_total + e
+    cols.append(
+        F.floor(err_total * (1 << 20)).cast("long").alias("err_u")
+    )
+    return emb.select(*cols)
+
+
+def _pq_encode_sql() -> str:
+    d_cols = ",\n       ".join(
+        f"list_transform(range(0, {PQ_CENTROIDS}), c -> "
+        + " + ".join(
+            f"(v[{s * PQ_SUBDIM + k + 1}] - (({s * 131} + c * 17 + "
+            f"{k * 7}) % 19 - 9) / 8.0)"
+            f" * (v[{s * PQ_SUBDIM + k + 1}] - (({s * 131} + c * 17 + "
+            f"{k * 7}) % 19 - 9) / 8.0)"
+            for k in range(PQ_SUBDIM)
+        )
+        + f") AS d{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    codes = ",\n       ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS BIGINT)"
+        f" AS code_{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    err = " + ".join(f"list_min(d{s})" for s in range(PQ_SUBSPACES))
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), d AS (
+  SELECT vec_id,
+       {d_cols}
+  FROM e
+)
+SELECT vec_id,
+       {codes},
+       CAST(floor(({err}) * {1 << 20}) AS BIGINT) AS err_u
+FROM d
+"""
+
+
 FORECAST_YEAR = 1999
 FORECAST_DISC_LO = 5  # discount percent bracket, inclusive
 FORECAST_DISC_HI = 7
@@ -16272,6 +16386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06o arrival (Q6-topology pure pushdown aggregate):
         # post-freeze, tail entry
         "q_forecast_revenue": q_forecast_revenue,
+        # r06p arrival (product-quantization encode): post-freeze,
+        # tail entry
+        "q_pq_encode": q_pq_encode,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -16493,6 +16610,7 @@ FROM win
         "q_image_equalize": _IMAGE_EQUALIZE,
         "q_phash_dup_pairs": _phash_dup_pairs_sql(),
         "q_forecast_revenue": _FORECAST_REVENUE,
+        "q_pq_encode": _pq_encode_sql(),
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
