@@ -10418,6 +10418,160 @@ FROM d
 """
 
 
+PQ_TOPK = 20  # ADC search result size
+
+
+def _pq_query_num(i: int) -> int:
+    """Integer numerator of the fixed ADC query vector: q[i] =
+    ((i*13 + 5) % 17 - 8) / 8 — dyadic like the centroids, so every
+    query-to-centroid distance is an exact rational with denominator
+    64 and the whole scoring path can stay in int64."""
+    return (i * 13 + 5) % 17 - 8
+
+
+def _pq_centroid_num(s: int, c: int, k: int) -> int:
+    """Integer numerator of centroid c(s,c,k) (q_pq_encode's dyadic
+    codebook): value is num/8."""
+    return (s * 131 + c * 17 + k * 7) % 19 - 9
+
+
+def _pq_ilut(s: int, c: int) -> int:
+    """64 * ||q_s - centroid(s,c)||^2 — EXACT integer (both factors
+    are eighths, so each squared term is 64ths)."""
+    return sum(
+        (
+            _pq_query_num(s * PQ_SUBDIM + k)
+            - _pq_centroid_num(s, c, k)
+        )
+        ** 2
+        for k in range(PQ_SUBDIM)
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k search (IVF-PQ's third stage,
+    completing encode -> search): a fixed 64-dim dyadic query vector
+    scores every embedding through its PQ codes — score = sum over
+    subspaces of the precomputed query-to-centroid distance for the
+    vector's assigned centroid (the asymmetric-distance-computation
+    lookup-table trick: 8 array lookups per vector instead of 64
+    float multiplies) — then the 20 best (score ASC, vec_id ASC)
+    emerge via TakeOrderedAndProject.
+
+    Two-layer exactness: the CODE assignment reuses q_pq_encode's
+    float-parity-by-construction argmin (identical expression tree,
+    fold order, dyadic centroids in both engines); the SCORE never
+    touches floats at all — query and centroids are both eighths, so
+    64*distance is an exact int64 computed as an integer LUT (Spark
+    embeds the 8x16 table as literals; the oracle re-derives every
+    entry from the same integer formula — exactness makes the two
+    routes identical).  score64 = 64 * the true ADC squared
+    distance.  No exchange anywhere: per-partition top-k merges on
+    the driver (plan-pinned: TakeOrderedAndProject, zero Exchange)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.when(
+            F.size("embedding") == PQ_SUBSPACES * PQ_SUBDIM,
+            F.col("embedding"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("q_pq_search: embedding is not 64-dim")
+            ).cast("array<float>")
+        )
+        .alias("v"),
+    )
+
+    # the same closure factory as q_pq_encode (the documented
+    # two-arg-lambda arity-trap cure)
+    def _dist_for(s: int):
+        def _dist(c):
+            acc = F.lit(0.0)
+            for k in range(PQ_SUBDIM):
+                vk = F.element_at("v", s * PQ_SUBDIM + k + 1).cast(
+                    "double"
+                )
+                ck = (
+                    ((F.lit(s * 131) + c * 17 + F.lit(k * 7)) % 19)
+                    - 9
+                ).cast("double") / 8.0
+                acc = acc + (vk - ck) * (vk - ck)
+            return acc
+
+        return _dist
+
+    score = None
+    for s in range(PQ_SUBSPACES):
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_CENTROIDS - 1)), _dist_for(s)
+        )
+        code = F.array_position(dists, F.array_min(dists))  # 1-based
+        ilut = F.array(
+            *[
+                F.lit(_pq_ilut(s, c)).cast("long")
+                for c in range(PQ_CENTROIDS)
+            ]
+        )
+        term = F.element_at(ilut, code.cast("int"))
+        score = term if score is None else score + term
+    return (
+        emb.select("vec_id", score.alias("score64"))
+        .orderBy("score64", "vec_id")
+        .limit(PQ_TOPK)
+    )
+
+
+def _pq_search_sql() -> str:
+    d_cols = ",\n       ".join(
+        f"list_transform(range(0, {PQ_CENTROIDS}), c -> "
+        + " + ".join(
+            f"(v[{s * PQ_SUBDIM + k + 1}] - (({s * 131} + c * 17 + "
+            f"{k * 7}) % 19 - 9) / 8.0)"
+            f" * (v[{s * PQ_SUBDIM + k + 1}] - (({s * 131} + c * 17 + "
+            f"{k * 7}) % 19 - 9) / 8.0)"
+            for k in range(PQ_SUBDIM)
+        )
+        + f") AS d{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    # integer LUT re-derived arithmetically (never literals): entry c
+    # of subspace s is sum_k (qnum - cnum)^2, both numerators of
+    # eighths -> 64 * distance, exact
+    def _ilut_expr(s: int) -> str:
+        return (
+            f"list_transform(range(0, {PQ_CENTROIDS}), c -> "
+            + " + ".join(
+                f"({_pq_query_num(s * PQ_SUBDIM + k)} - "
+                f"(({s * 131} + c * 17 + {k * 7}) % 19 - 9)) * "
+                f"({_pq_query_num(s * PQ_SUBDIM + k)} - "
+                f"(({s * 131} + c * 17 + {k * 7}) % 19 - 9))"
+                for k in range(PQ_SUBDIM)
+            )
+            + ")"
+        )
+
+    score = " + ".join(
+        f"{_ilut_expr(s)}[list_position(d{s}, list_min(d{s}))]"
+        for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), d AS (
+  SELECT vec_id,
+       {d_cols}
+  FROM e
+)
+SELECT vec_id,
+       CAST({score} AS BIGINT) AS score64
+FROM d
+ORDER BY score64, vec_id
+LIMIT {PQ_TOPK}
+"""
+
+
 FORECAST_YEAR = 1999
 FORECAST_DISC_LO = 5  # discount percent bracket, inclusive
 FORECAST_DISC_HI = 7
@@ -16389,6 +16543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06p arrival (product-quantization encode): post-freeze,
         # tail entry
         "q_pq_encode": q_pq_encode,
+        # r06q arrival (PQ ADC top-k search): post-freeze, tail entry
+        "q_pq_search": q_pq_search,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -16611,6 +16767,7 @@ FROM win
         "q_phash_dup_pairs": _phash_dup_pairs_sql(),
         "q_forecast_revenue": _FORECAST_REVENUE,
         "q_pq_encode": _pq_encode_sql(),
+        "q_pq_search": _pq_search_sql(),
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
