@@ -10621,6 +10621,291 @@ WHERE l_shipdate >= TIMESTAMP '{FORECAST_YEAR}-01-01 00:00:00'
 """
 
 
+TRADE_NATION_A = "NATION_1"
+TRADE_NATION_B = "NATION_2"
+TRADE_YEAR_LO = 1996
+TRADE_YEAR_HI = 1997  # inclusive
+
+
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-topology volume shipping: line revenue flowing
+    between two nations (supplier in one, customer in the other,
+    both directions) per ship year in a two-year window — the
+    bilateral-trade readout.  Revenue is exact int64 cent-percent
+    (q_pricing_summary discipline).
+
+    Scale shape: both nation filters collapse into the DIM tables
+    before any fact touches them — supplier joins its (filtered,
+    2-row) nation broadcast and becomes a broadcast build side
+    itself; customer joins the same broadcast and then meets orders
+    in an 8-byte-custkey shuffle join (a 2/25-nation customer table
+    is NOT broadcastable at 100 TB); lineitem's ship-year window
+    pushes into the parquet scan and joins surviving orders on the
+    8-byte orderkey.  The cross-pair condition reduces to
+    supp_nation != cust_nation because both sides are already
+    filtered to the pair.  ONE final map-side-combinable groupBy on
+    (supp_nation, cust_nation, year): <= 4 output rows."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    nat = t("nation").where(
+        F.col("n_name").isin(TRADE_NATION_A, TRADE_NATION_B)
+    ).select("n_nationkey", "n_name")
+    sup = (
+        t("supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t("customer")
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    ord_ = t("orders").select("o_orderkey", "o_custkey").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    li = (
+        t("lineitem")
+        .where(
+            f"l_shipdate >= TIMESTAMP '{TRADE_YEAR_LO}-01-01 00:00:00'"
+            f" AND l_shipdate < TIMESTAMP "
+            f"'{TRADE_YEAR_HI + 1}-01-01 00:00:00'"
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+            ).alias("rev_cp"),
+        )
+    )
+    j = li.join(
+        ord_, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(
+        F.broadcast(sup),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("supp_nation") != F.col("cust_nation")),
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("rev_cp").cast("long").alias("revenue_cp"),
+    )
+
+
+_NATION_TRADE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cp
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+  AND cn.n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '{TRADE_YEAR_LO}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{TRADE_YEAR_HI + 1}-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+SHARE_REGION = "AMERICA"
+SHARE_NATION = "NATION_3"
+SHARE_PART_TYPE = "ECONOMY"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-topology market share: per order year, the permille
+    of one region's revenue in one part type that flows to suppliers
+    of one nation — the competitive-position readout.  share =
+    nation_cp * 1000 DIV total_cp, exact int64 throughout (no float
+    division; both engines truncate identically on the non-negative
+    quotient).
+
+    Scale shape: the part-type filter broadcasts (~1/6 of part)
+    under lineitem; orders meets the region-filtered customer keys
+    as a LEFT SEMI join on the 8-byte custkey (narrow probe rows —
+    a 1/5-region customer table is NOT broadcastable at 100 TB);
+    supplier broadcasts with its nationkey and the nation test is a
+    flat integer compare; the conditional and total sums fold in the
+    SAME single map-side-combinable groupBy (the q_promo_share
+    one-pass discipline): <= |years| output rows."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    nr = (
+        t("nation")
+        .join(
+            F.broadcast(
+                t("region").where(F.col("r_name") == SHARE_REGION)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = t("customer").join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    parts = t("part").where(
+        F.col("p_type") == SHARE_PART_TYPE
+    ).select("p_partkey")
+    share_nat = (
+        t("nation")
+        .where(F.col("n_name") == SHARE_NATION)
+        .select(F.col("n_nationkey").alias("share_natkey"))
+    )
+    sup = t("supplier").join(
+        F.broadcast(share_nat),
+        F.col("s_nationkey") == F.col("share_natkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    ord_ = (
+        t("orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    li = t("lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+        ).alias("rev_cp"),
+    ).join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(ord_, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(
+            sup.select(F.col("s_suppkey").alias("nat_suppkey"))
+        ),
+        F.col("l_suppkey") == F.col("nat_suppkey"),
+        "left",
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum("rev_cp").cast("long").alias("total_cp"),
+        F.sum(
+            F.when(F.col("nat_suppkey").isNotNull(), F.col("rev_cp"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("nation_cp"),
+    )
+    return agg.select(
+        "o_year",
+        "total_cp",
+        "nation_cp",
+        F.expr("nation_cp * 1000 DIV total_cp").cast("long").alias(
+            "share_permille"
+        ),
+    )
+
+
+_MARKET_SHARE = f"""
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev_cp,
+         (SELECT n_nationkey FROM nation
+          WHERE n_name = '{SHARE_NATION}') = s_nationkey AS is_nat
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE p_type = '{SHARE_PART_TYPE}' AND r_name = '{SHARE_REGION}'
+)
+SELECT o_year,
+       CAST(sum(rev_cp) AS BIGINT) AS total_cp,
+       CAST(sum(CASE WHEN is_nat THEN rev_cp ELSE 0 END) AS BIGINT)
+         AS nation_cp,
+       CAST(sum(CASE WHEN is_nat THEN rev_cp ELSE 0 END) * 1000
+            // sum(rev_cp) AS BIGINT) AS share_permille
+FROM j GROUP BY 1
+"""
+
+
+PROFIT_PART_MARK = "widget"  # p_name substring filter
+
+
+def q_parttype_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-topology product-line profit (minus the supplycost
+    term — the fixture has no partsupp table, so the measure is the
+    discounted-revenue half of Q9's profit expression; the join
+    TOPOLOGY is the point): revenue by (supplier nation, order year)
+    for parts whose name carries one substring mark.  Exact int64
+    cent-percent money.
+
+    Scale shape: the p_name CONTAINS filter prunes part before its
+    broadcast under lineitem (a substring predicate can't push into
+    parquet min/max stats, but it DOES prune the broadcast build
+    side to ~1/6); supplier+nation broadcast as one small dim;
+    orders joins on the 8-byte orderkey purely to supply the year
+    (aggregate-then-decorate is pointless here — every line
+    survives, so the join IS the fact join).  ONE final map-side
+    groupBy on (nation, year): <= 25 * |years| rows."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    parts = t("part").where(
+        F.col("p_name").contains(PROFIT_PART_MARK)
+    ).select("p_partkey")
+    sup = (
+        t("supplier")
+        .join(
+            F.broadcast(t("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    ord_ = t("orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = t("lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+        ).alias("rev_cp"),
+    ).join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        ord_, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("nation", "o_year").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("rev_cp").cast("long").alias("revenue_cp"),
+    )
+
+
+_PARTTYPE_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cp
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{PROFIT_PART_MARK}%'
+GROUP BY 1, 2
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -16545,6 +16830,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_encode": q_pq_encode,
         # r06q arrival (PQ ADC top-k search): post-freeze, tail entry
         "q_pq_search": q_pq_search,
+        # r06r arrivals (Q7/Q8/Q9 relational topologies): post-freeze,
+        # tail entries
+        "q_nation_trade": q_nation_trade,
+        "q_market_share": q_market_share,
+        "q_parttype_profit": q_parttype_profit,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -16768,6 +17058,9 @@ FROM win
         "q_forecast_revenue": _FORECAST_REVENUE,
         "q_pq_encode": _pq_encode_sql(),
         "q_pq_search": _pq_search_sql(),
+        "q_nation_trade": _NATION_TRADE,
+        "q_market_share": _MARKET_SHARE,
+        "q_parttype_profit": _PARTTYPE_PROFIT,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
