@@ -10906,6 +10906,270 @@ GROUP BY 1, 2
 """
 
 
+def q_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-topology fraction-of-global HAVING: parts whose total
+    revenue exceeds 1.5x the mean per-part revenue — the "important
+    stock" concentration cut, restructured scale-free (classic Q11's
+    FRACTION must shrink with SF; comparing against a multiple of the
+    mean makes the selectivity scale-invariant — ~1% of parts at both
+    fixture scales — and the fixture's 10-supplier sf0.001 slice
+    makes Q11's nation filter degenerate, so it is dropped — the
+    decorrelated global-scalar HAVING is the topology under test).
+    All money exact int64 cent-percent.
+
+    Scale shape: per-part value is ONE map-side-combinable groupBy on
+    the 8-byte partkey; the global (total, n_parts) is a broadcast
+    1-row aggregate over the per-part table (never a window — the
+    q_top_supplier discipline); the HAVING is `value_cp > (3 *
+    total_cp) DIV (2 * n_parts)` — pure integer, truncation identical
+    in both engines for non-negative operands.  share_permille (value
+    * 1000 DIV total) is runtime-guarded at value_cp < 2^52 so the
+    multiply can never overflow, and total_cp < 2^61 keeps 3*total
+    exact; both raise actionably long before a 100 TB corpus
+    approaches them."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+        ).alias("rev_cp"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("rev_cp").cast("long").alias("value_cp")
+    )
+    g = per_part.agg(
+        F.sum("value_cp").cast("long").alias("total_cp"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    val_ok = F.when(
+        F.col("value_cp") < (1 << 52), F.col("value_cp")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "q_value_concentration: per-part value >= 2^52 "
+                    "overflows the permille multiply: "
+                ),
+                F.col("value_cp").cast("string"),
+            )
+        ).cast("long")
+    )
+    tot_ok = F.when(
+        F.col("total_cp") < (1 << 61), F.col("total_cp")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "q_value_concentration: total >= 2^61 overflows "
+                    "the 1.5x-mean threshold: "
+                ),
+                F.col("total_cp").cast("string"),
+            )
+        ).cast("long")
+    )
+    return (
+        per_part.join(F.broadcast(g))
+        .select(
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            val_ok.alias("value_cp"),
+            tot_ok.alias("total_cp"),
+            "n_parts",
+        )
+        .where(F.expr("value_cp > (3 * total_cp) DIV (2 * n_parts)"))
+        .select(
+            "l_partkey",
+            "value_cp",
+            F.expr("value_cp * 1000 DIV total_cp").cast("long").alias(
+                "share_permille"
+            ),
+        )
+    )
+
+
+_VALUE_CONCENTRATION = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS value_cp
+  FROM lineitem GROUP BY 1
+), g AS (
+  SELECT CAST(sum(value_cp) AS BIGINT) AS total_cp,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM per_part
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey, value_cp,
+       CAST(value_cp * 1000 // total_cp AS BIGINT) AS share_permille
+FROM per_part, g
+WHERE value_cp > (3 * total_cp) // (2 * n_parts)
+"""
+
+
+DIVERSITY_EXCL_BRAND = "Brand#1"
+DIVERSITY_SIZES = (1, 9, 17, 25, 33, 41, 49)
+DIVERSITY_MIN_BAL_C = 100000  # exclude suppliers below 1000.00
+
+
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-topology supplier census: how many distinct suppliers
+    (and distinct parts) ship each surviving (brand, type, size) part
+    group — brand exclusion + size IN-list on the part dim, and a
+    NOT-IN supplier blocklist (fixture has no comment column, so the
+    "customer complaints" set is re-keyed to under-capitalized
+    suppliers, floor(s_acctbal*100) < 100000) expressed as a LEFT
+    ANTI join, never NOT IN (null-hostile and unplannable).
+
+    Scale shape: both dims broadcast (part is size/brand-pruned,
+    the blocklist is a <= |suppliers| key set); the corpus collapses
+    FIRST to distinct (brand, type, size, suppkey, partkey) tuples in
+    ONE map-side-combinable distinct — bounded by the pruned part
+    count x suppliers-per-part, NOT by lineitem — and only that
+    collapsed table pays the two-distinct-column Expand."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != DIVERSITY_EXCL_BRAND)
+            & F.col("p_size").isin(*DIVERSITY_SIZES)
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+    )
+    blocked = (
+        load_table(spark, sf_dir, "supplier")
+        .where(
+            F.expr("CAST(floor(s_acctbal * 100) AS BIGINT)")
+            < DIVERSITY_MIN_BAL_C
+        )
+        .select("s_suppkey")
+    )
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blocked),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey", "l_partkey")
+        .distinct()
+    )
+    return base.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"),
+        F.countDistinct("l_partkey").cast("long").alias("part_cnt"),
+    )
+
+
+_SUPPLIER_DIVERSITY = f"""
+WITH base AS (
+  SELECT DISTINCT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                  l_suppkey, l_partkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand <> '{DIVERSITY_EXCL_BRAND}'
+    AND p_size IN {DIVERSITY_SIZES}
+    AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier
+      WHERE CAST(floor(s_acctbal * 100) AS BIGINT)
+            < {DIVERSITY_MIN_BAL_C}
+    )
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS part_cnt
+FROM base GROUP BY 1, 2, 3
+"""
+
+
+SOLE_LATE_DAYS = 60  # ship > orderdate + this many days = late
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-topology EXISTS + NOT-EXISTS double correlation: per
+    supplier, how many multi-supplier orders they ALONE shipped late
+    (late = l_shipdate more than 60 days after o_orderdate — the
+    fixture has no commit/receipt dates, so the lateness predicate is
+    re-keyed onto ship-vs-order lag; the double-correlated-subquery
+    TOPOLOGY is the point).  EXISTS(another supplier in the order)
+    AND NOT EXISTS(another LATE supplier) decorrelate into one
+    per-(order, supplier) aggregate and one per-order aggregate —
+    n_supp >= 2, n_late = 1, blame = the unique late suppkey via
+    max(CASE) — never a self-join per subquery.
+
+    Scale shape: lineitem joins orders on the 8-byte orderkey (a
+    fact-fact shuffle join; BOTH sides are corpus-sized, so no
+    broadcast), then TWO map-side-combinable groupBys collapse to
+    (order, supplier) and then order granularity; the winner census
+    groups on the 8-byte suppkey and decorates from the broadcast
+    supplier dim.  Everything downstream of the first groupBy is
+    bounded by orders, not lineitem."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_os = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr(
+                "CAST(l_shipdate > o_orderdate + INTERVAL "
+                f"{SOLE_LATE_DAYS} DAYS AS INT)"
+            ).alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").cast("long").alias("any_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_supp"),
+        F.sum("any_late").cast("long").alias("n_late"),
+        F.max(
+            F.when(F.col("any_late") == 1, F.col("l_suppkey"))
+        ).alias("blame"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_o.where("n_supp >= 2 AND n_late = 1")
+        .groupBy("blame")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(sup), F.col("blame") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "numwait",
+        )
+    )
+
+
+_SOLE_LATE_SUPPLIER = f"""
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate
+                       + INTERVAL {SOLE_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS any_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(any_late) AS n_late,
+         max(CASE WHEN any_late = 1 THEN l_suppkey END) AS blame
+  FROM per_os GROUP BY 1
+)
+SELECT CAST(blame AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM per_o JOIN supplier ON blame = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -16835,6 +17099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nation_trade": q_nation_trade,
         "q_market_share": q_market_share,
         "q_parttype_profit": q_parttype_profit,
+        "q_value_concentration": q_value_concentration,
+        "q_supplier_diversity": q_supplier_diversity,
+        "q_sole_late_supplier": q_sole_late_supplier,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -17061,6 +17328,9 @@ FROM win
         "q_nation_trade": _NATION_TRADE,
         "q_market_share": _MARKET_SHARE,
         "q_parttype_profit": _PARTTYPE_PROFIT,
+        "q_value_concentration": _VALUE_CONCENTRATION,
+        "q_supplier_diversity": _SUPPLIER_DIVERSITY,
+        "q_sole_late_supplier": _SOLE_LATE_SUPPLIER,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
