@@ -11170,6 +11170,217 @@ GROUP BY 1, 2
 """
 
 
+CHEAPEST_SIZE = 15  # Q2's size class
+CHEAPEST_REGION = "EUROPE"
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-topology correlated-min subquery: for every part in
+    one size class, the region supplier(s) quoting the minimum unit
+    price — `WHERE price = (SELECT min(price) ... same part)`
+    decorrelated into a per-part aggregate joined back by equality
+    (ties all emerge, exactly like the reference query).  The fixture
+    has no partsupp, so a supplier's quote is re-keyed to the
+    cheapest line they ever shipped of the part: unit_price_c =
+    min(cents DIV qty) over their lines (integer truncation,
+    identical both engines; qty >= 1 in the fixture, runtime-guarded).
+
+    Scale shape: the size-class part dim and the region->nation->
+    supplier chain BOTH broadcast (each a dim-table prune); the
+    corpus collapses to (part, supplier) quotes in ONE map-side-
+    combinable groupBy, the per-part min is a SECOND bounded
+    aggregate on the 8-byte partkey, and the equality join-back runs
+    quote-table x min-table — both bounded by parts x
+    suppliers-per-part, never lineitem."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") == CHEAPEST_SIZE)
+        .select("p_partkey")
+    )
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == CHEAPEST_REGION)
+        .select("r_regionkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(reg),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    qty_ok = F.when(
+        F.expr("CAST(floor(l_quantity) AS BIGINT)") >= 1,
+        F.expr("CAST(floor(l_quantity) AS BIGINT)"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q_cheapest_supplier: qty < 1 breaks the unit-price "
+                "quotient"
+            )
+        ).cast("long")
+    )
+    quotes = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "s_name",
+            "nation",
+            F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            .alias("c"),
+            qty_ok.alias("qty"),
+        )
+        .groupBy("l_partkey", "l_suppkey", "s_name", "nation")
+        .agg(F.min(F.expr("c DIV qty")).cast("long").alias("unit_price_c"))
+    )
+    mins = quotes.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.min("unit_price_c").cast("long").alias("min_price_c")
+    )
+    return quotes.join(
+        mins,
+        (F.col("l_partkey") == F.col("mp"))
+        & (F.col("unit_price_c") == F.col("min_price_c")),
+    ).select(
+        F.col("l_partkey").cast("long").alias("p_partkey"),
+        F.col("l_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        "nation",
+        "unit_price_c",
+    )
+
+
+_CHEAPEST_SUPPLIER = f"""
+WITH quotes AS (
+  SELECT l_partkey, l_suppkey, s_name, n_name AS nation,
+         CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  // CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+           AS unit_price_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = {CHEAPEST_SIZE} AND r_name = '{CHEAPEST_REGION}'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(l_suppkey AS BIGINT) AS s_suppkey,
+       s_name, nation, unit_price_c
+FROM quotes q
+WHERE unit_price_c = (SELECT min(unit_price_c) FROM quotes m
+                      WHERE m.l_partkey = q.l_partkey)
+"""
+
+
+DOMINANT_PART_MARK = "widget"  # p_name substring filter
+
+
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-topology nested semi-join chain: suppliers who
+    dominate a marked part's shipments — shipped quantity above TWICE
+    the part's mean per-supplier share (Q20's `availqty > 0.5 *
+    shipped` correlated-aggregate test re-keyed scale-free: the
+    fixture has no partsupp, and a fixed global fraction goes
+    degenerate as suppliers-per-part grows — the 1.5x/2x-mean
+    discipline of q_value_concentration).  The dominance test stays
+    pure integer: `q > (2 * tq) DIV ns` (truncation identical both
+    engines, non-negative operands; tq < 2^61 runtime-guarded).
+
+    Scale shape: the name-marked part dim broadcasts under lineitem;
+    the corpus collapses to (part, supplier) quantities in ONE
+    map-side-combinable groupBy; the per-part (total, n_suppliers)
+    is a SECOND bounded aggregate joined back on the 8-byte partkey;
+    winners collapse to supplier granularity in a THIRD bounded
+    groupBy and decorate from the broadcast supplier dim.  Everything
+    after the first groupBy is bounded by parts x suppliers-per-part,
+    never lineitem."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(DOMINANT_PART_MARK))
+        .select("p_partkey")
+    )
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").cast("long").alias("q"))
+    )
+    tot_ok = F.when(
+        F.col("tq") < (1 << 61), F.col("tq")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "q_dominant_supplier: part total >= 2^61 overflows "
+                    "the 2x-mean threshold: "
+                ),
+                F.col("tq").cast("string"),
+            )
+        ).cast("long")
+    )
+    tot = ps.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("q").cast("long").alias("tq"),
+        F.count("*").cast("long").alias("ns"),
+    )
+    winners = (
+        ps.join(tot, F.col("l_partkey") == F.col("tp"))
+        .select("l_partkey", "l_suppkey", "q", tot_ok.alias("tq"), "ns")
+        .where(F.expr("q > (2 * tq) DIV ns"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_dominated"),
+            F.sum("q").cast("long").alias("total_qty"),
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return winners.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        "n_dominated",
+        "total_qty",
+    )
+
+
+_DOMINANT_SUPPLIER = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%{DOMINANT_PART_MARK}%'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey AS tp, CAST(sum(q) AS BIGINT) AS tq,
+         CAST(count(*) AS BIGINT) AS ns
+  FROM ps GROUP BY 1
+)
+SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS n_dominated,
+       CAST(sum(q) AS BIGINT) AS total_qty
+FROM ps JOIN tot ON l_partkey = tp
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE q > (2 * tq) // ns
+GROUP BY 1, 2
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -17102,6 +17313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_concentration": q_value_concentration,
         "q_supplier_diversity": q_supplier_diversity,
         "q_sole_late_supplier": q_sole_late_supplier,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "q_dominant_supplier": q_dominant_supplier,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -17331,6 +17544,8 @@ FROM win
         "q_value_concentration": _VALUE_CONCENTRATION,
         "q_supplier_diversity": _SUPPLIER_DIVERSITY,
         "q_sole_late_supplier": _SOLE_LATE_SUPPLIER,
+        "q_cheapest_supplier": _CHEAPEST_SUPPLIER,
+        "q_dominant_supplier": _DOMINANT_SUPPLIER,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
