@@ -11381,6 +11381,75 @@ GROUP BY 1, 2
 """
 
 
+PRIORITY_MIX_YEAR = 1999  # ship-year window (parquet pushdown)
+
+
+def q_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-topology two-branch conditional counts: per
+    ship-latency bucket (fast <= 30 days, medium <= 60, slow beyond —
+    the fixture has no l_shipmode, so Q12's mode grouping is re-keyed
+    to the order->ship lag bucket derived from the same joined row),
+    how many lines belong to critical-priority orders (1-URGENT /
+    2-HIGH) vs everything else, inside one ship year.  The lag stays
+    exact integer: (floor(epoch(ship)) - floor(epoch(order))) DIV
+    86400 — unix_timestamp FLOORS in Spark and the oracle wraps
+    epoch() in floor(), the documented cross-engine form.
+
+    Scale shape: the ship-year predicate pushes into the lineitem
+    parquet scan (PushedFilters); lineitem joins orders on the 8-byte
+    orderkey (size-driven strategy — broadcast at tiny sf, shuffle at
+    corpus scale); both branch counts fold in ONE map-side-combinable
+    groupBy over the 3-row bucket key — the whole answer is one scan,
+    one join, one aggregate."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            f"l_shipdate >= TIMESTAMP '{PRIORITY_MIX_YEAR}-01-01 00:00:00'"
+            f" AND l_shipdate < TIMESTAMP "
+            f"'{PRIORITY_MIX_YEAR + 1}-01-01 00:00:00'"
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.expr(
+            "CASE WHEN (unix_timestamp(l_shipdate)"
+            " - unix_timestamp(o_orderdate)) DIV 86400 <= 30"
+            " THEN 'fast'"
+            " WHEN (unix_timestamp(l_shipdate)"
+            " - unix_timestamp(o_orderdate)) DIV 86400 <= 60"
+            " THEN 'medium' ELSE 'slow' END"
+        ).alias("latency_bucket"),
+        F.expr(
+            "CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT)"
+        ).alias("crit"),
+    )
+    return j.groupBy("latency_bucket").agg(
+        F.sum("crit").cast("long").alias("high_line_count"),
+        F.sum(F.expr("1 - crit")).cast("long").alias("low_line_count"),
+    )
+
+
+_PRIORITY_MIX = f"""
+SELECT CASE WHEN (floor(epoch(l_shipdate))
+                  - floor(epoch(o_orderdate))) // 86400 <= 30
+            THEN 'fast'
+            WHEN (floor(epoch(l_shipdate))
+                  - floor(epoch(o_orderdate))) // 86400 <= 60
+            THEN 'medium' ELSE 'slow' END AS latency_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{PRIORITY_MIX_YEAR}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{PRIORITY_MIX_YEAR + 1}-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -17315,6 +17384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sole_late_supplier": q_sole_late_supplier,
         "q_cheapest_supplier": q_cheapest_supplier,
         "q_dominant_supplier": q_dominant_supplier,
+        "q_priority_mix": q_priority_mix,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -17546,6 +17616,7 @@ FROM win
         "q_sole_late_supplier": _SOLE_LATE_SUPPLIER,
         "q_cheapest_supplier": _CHEAPEST_SUPPLIER,
         "q_dominant_supplier": _DOMINANT_SUPPLIER,
+        "q_priority_mix": _PRIORITY_MIX,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
