@@ -401,6 +401,78 @@ BLURBS = {
         "Histogram equalization: one MapInPandas, zero shuffles; "
         "integer cdf formula, full-range [0,255] output invariant."
     ),
+    "q_phash_dup_pairs": (
+        "Banded hamming near-dup: the corpus collapses to DISTINCT "
+        "64-bit hashes first (linear, never quadratic on identical-hash "
+        "groups), 4x16-bit bands join GROUPS not rows, pigeonhole makes "
+        "hamming<=3 recall structurally total."
+    ),
+    "q_forecast_revenue": (
+        "TPC-H Q6 topology: single scan-filter-aggregate where EVERY "
+        "predicate (year range, discount bracket, quantity cap) reaches "
+        "the parquet scan as a PushedFilter; the groupBy-free aggregate "
+        "exchanges exactly one row."
+    ),
+    "q_pq_encode": (
+        "Product-quantization encode: entirely in-row (zero exchanges); "
+        "per-subspace distance folds keep the Catalyst tree under the "
+        "512-term codegen cliff; float parity by construction."
+    ),
+    "q_pq_search": (
+        "PQ ADC top-k: 8 LUT lookups per vector instead of 64 "
+        "multiplies, all-integer scoring, TakeOrderedAndProject top-20 "
+        "— zero exchanges before the final top-k."
+    ),
+    "q_nation_trade": (
+        "TPC-H Q7 topology: nation filters collapse into the dims "
+        "FIRST (supplier broadcasts; customer shuffles on the 8-byte "
+        "custkey — NOT broadcastable at 100 TB), ship-year window "
+        "pushed into the lineitem scan, ONE map-side groupBy to <=4 "
+        "rows."
+    ),
+    "q_market_share": (
+        "TPC-H Q8 topology: part-type broadcast under lineitem, region "
+        "as a LEFT SEMI custkey join, conditional + total sums fold in "
+        "ONE map-side groupBy (one pass, no second scan)."
+    ),
+    "q_parttype_profit": (
+        "TPC-H Q9 topology: substring-pruned part broadcast, "
+        "supplier+nation broadcast as one dim, orders joined on the "
+        "8-byte orderkey, ONE final map-side groupBy — the broadcast "
+        "dims add zero exchanges."
+    ),
+    "q_value_concentration": (
+        "TPC-H Q11 topology: per-part value in ONE map-side groupBy, "
+        "the global (total, n_parts) as a broadcast 1-row aggregate — "
+        "never a window — integer HAVING threshold."
+    ),
+    "q_supplier_diversity": (
+        "TPC-H Q16 topology: dims pruned BEFORE their broadcast, "
+        "blocklist rides LEFT ANTI, and the corpus collapses to "
+        "distinct 5-tuples map-side so only the bounded table pays the "
+        "two-distinct-column Expand."
+    ),
+    "q_sole_late_supplier": (
+        "TPC-H Q21 topology: the EXISTS + NOT-EXISTS double "
+        "correlation decorrelates into TWO map-side-combinable "
+        "groupBys — never a self-join per subquery, never a window."
+    ),
+    "q_cheapest_supplier": (
+        "TPC-H Q2 topology: the correlated min decorrelates into a "
+        "per-part aggregate equality-joined back (ties emerge); dims "
+        "broadcast, corpus collapses to (part, supplier) quotes in ONE "
+        "map-side groupBy."
+    ),
+    "q_dominant_supplier": (
+        "TPC-H Q20 topology: marked-part dim broadcasts, THREE bounded "
+        "map-side groupBys (collapse -> per-part totals -> winner "
+        "census), pure-integer 2x-mean threshold."
+    ),
+    "q_priority_mix": (
+        "TPC-H Q12 topology: ship-year predicate in PushedFilters, "
+        "size-driven orders join on the 8-byte orderkey, BOTH branch "
+        "counts fold in ONE map-side-combinable groupBy to 3 rows."
+    ),
 }
 
 
