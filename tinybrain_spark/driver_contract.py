@@ -11450,6 +11450,134 @@ GROUP BY 1
 """
 
 
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model fluency census: score every document
+    by its mean bigram surprisal under the corpus's own bigram LM,
+    then histogram the corpus by that score — the "perplexity filter"
+    stage of Wenzek et al.'s CCNet / the quality partition used for
+    LLaMA's CommonCrawl, next to q_quality_score (heuristics) and
+    q_doc_entropy (in-doc distribution): this one is the only signal
+    conditioned on CORPUS statistics, so boilerplate scores fluent
+    while keyboard mash scores surprising.  Surprisal of one bigram is
+    the EXACT integer log2 bucket -log2 P(w2|w1) ~ bitlen(c(w1)) -
+    bitlen(c(w1 w2)) (bitlen = length(bin(n)), identical cross-engine;
+    c_big <= c_uni so every term is >= 0, and no float log or division
+    ever enters the hash).  A doc's bucket is its mean surprisal in
+    DECI-bits (total_bits * 1000 DIV n_bigrams DIV 100 — integer-bit
+    buckets collapse a natural corpus to one bucket; tenth-of-bit
+    buckets resolve the CCNet head/middle/tail split); docs with < 2
+    words carry no evidence and drop out, counted nowhere
+    (documented, matches the oracle).
+
+    Scale shape: unigram and bigram counts are two map-side-combinable
+    groupBys on md5-derived 8-byte fingerprints (the r05j idiom —
+    explode a cheap INDEX sequence, build text + hash in the flat
+    post-explode projection, never md5 in a lambda).  Per-DISTINCT-
+    bigram surprisal is computed on the collapsed bigram table (joined
+    to unigram counts on the 8-byte left-hash AFTER collapse — the
+    narrow side), so the corpus-sized occurrence stream pays exactly
+    ONE 8-byte-keyed shuffle join (occurrence bh -> scored bigram)
+    plus the per-doc groupBy; the final bucket census folds to ~16
+    rows map-side.  Every exchanged row is (8-byte key, small ints) —
+    no strings cross a shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("ws")
+    )
+    uc = (
+        w.select(F.explode("ws").alias("word"))
+        .select(_word_hash_expr(F.col("word")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("c_uni"))
+    )
+    # guard: size() BEFORE sequence() — sequence(1, n) auto-steps -1
+    # when n < 1 (CLAUDE.md), so 1-word docs take the empty branch
+    occ = w.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.sequence(F.lit(1), F.size("ws") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        _word_hash_expr(
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), 2))
+        ).alias("bh"),
+        _word_hash_expr(F.element_at("ws", F.col("i"))).alias("lh"),
+    )
+    bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    scored = (
+        occ.groupBy("bh")
+        .agg(
+            F.count("*").cast("long").alias("c_big"),
+            F.min("lh").alias("lh"),
+        )
+        .join(uc.select(F.col("h").alias("lh"), "c_uni"), "lh")
+        .select("bh", (bits(F.col("c_uni")) - bits(F.col("c_big"))).alias("sbits"))
+    )
+    perdoc = (
+        occ.select("doc_id", "bh")
+        .join(scored, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("sbits").cast("long").alias("total_bits"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+        .select(
+            F.expr("total_bits * 1000 DIV n_bigrams DIV 100").alias(
+                "surprisal_dbits"
+            ),
+            "n_bigrams",
+        )
+    )
+    return perdoc.groupBy("surprisal_dbits").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
+    )
+
+
+_LM_SURPRISAL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+), idx AS (
+  SELECT unnest(generate_series(1,
+    (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i
+), occ_uni AS (
+  SELECT CAST(('0x' || substr(md5(ws[i]), 1, 14)) AS BIGINT) AS h
+  FROM w CROSS JOIN idx WHERE i <= len(ws)
+), uc AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS c_uni FROM occ_uni GROUP BY 1
+), occ AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 14))
+              AS BIGINT) AS bh,
+         CAST(('0x' || substr(md5(ws[i]), 1, 14)) AS BIGINT) AS lh
+  FROM w CROSS JOIN idx WHERE i <= len(ws) - 1
+), bc AS (
+  SELECT bh, CAST(count(*) AS BIGINT) AS c_big, min(lh) AS lh
+  FROM occ GROUP BY 1
+), scored AS (
+  SELECT bh, CAST(length(bin(c.c_uni)) - length(bin(bc.c_big))
+                  AS BIGINT) AS sbits
+  FROM bc JOIN uc c ON bc.lh = c.h
+), perdoc AS (
+  SELECT o.doc_id,
+         CAST(sum(s.sbits) AS BIGINT) AS total_bits,
+         CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM occ o JOIN scored s USING (bh)
+  GROUP BY 1
+)
+SELECT CAST(total_bits * 1000 // n_bigrams // 100 AS BIGINT)
+         AS surprisal_dbits,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams
+FROM perdoc GROUP BY 1
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -17385,6 +17513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cheapest_supplier": q_cheapest_supplier,
         "q_dominant_supplier": q_dominant_supplier,
         "q_priority_mix": q_priority_mix,
+        "q_lm_surprisal": q_lm_surprisal,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -17617,6 +17746,7 @@ FROM win
         "q_cheapest_supplier": _CHEAPEST_SUPPLIER,
         "q_dominant_supplier": _DOMINANT_SUPPLIER,
         "q_priority_mix": _PRIORITY_MIX,
+        "q_lm_surprisal": _LM_SURPRISAL,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

@@ -468,6 +468,13 @@ BLURBS = {
         "map-side groupBys (collapse -> per-part totals -> winner "
         "census), pure-integer 2x-mean threshold."
     ),
+    "q_lm_surprisal": (
+        "CCNet-style LM fluency census: unigram/bigram counts are two "
+        "map-side fingerprint groupBys; the corpus occurrence stream "
+        "pays ONE 8-byte-keyed shuffle join (bh -> scored distinct "
+        "bigram) plus the per-doc groupBy; the deci-bit census folds "
+        "map-side to ~10 rows. No strings cross any exchange."
+    ),
     "q_priority_mix": (
         "TPC-H Q12 topology: ship-year predicate in PushedFilters, "
         "size-driven orders join on the 8-byte orderkey, BOTH branch "
