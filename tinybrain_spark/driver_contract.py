@@ -11578,6 +11578,96 @@ FROM perdoc GROUP BY 1
 """
 
 
+def q_tier_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-fidelity report: how much information the lossy avg
+    pyramid destroys, per tier — the QA census a tiered timeseries
+    store publishes next to its retention policy (q_retention_policy
+    decides WHEN a tier serves; this measures WHAT serving it costs).
+    For tiers 1 and 2 of the production w=4 avg pyramid
+    (reference downsample.py:75 semantics, the q_avg_rollup_t1/_t2
+    renders), every raw point is compared against the tier value that
+    would serve it (tier t covers 4^t raw slots): per tier we report
+    points compared, total and max absolute error, and mean relative
+    error in permille (sum_abs_err * 1000 DIV sum of raw values —
+    all-integer; tokens are non-negative so truncation == floor both
+    engines).  Renders go through the REAL pooling kernel
+    (udfs.pool_udf -> kernels.avg_pool), not a SQL re-derivation —
+    the oracle independently recomputes the render arithmetically, so
+    this is also an end-to-end conformance check of the production
+    path against raw data.
+
+    Scale shape: the per-user sequence table is built once (one hash
+    exchange, the hot-key cap bounding every group); raw points
+    explode from it in-row; each tier's render joins raw on the
+    (user_id, window) pair — an 8+8-byte composite key carrying only
+    small ints; the per-tier census folds map-side to ONE row per
+    tier.  Window counts per user are bounded by MAX_SEQ, so no join
+    side ever skews past the cap."""
+    tt = token_table(spark, sf_dir)
+    tt = tt.localCheckpoint()  # one sequence build feeds raw + 2 renders
+    raw = tt.select(
+        "user_id", F.posexplode("tokens").alias("pos", "tok")
+    )
+    out = []
+    for tier in (1, 2):
+        w = 4**tier
+        udf = pool_udf("avg", window=4, num_tiers=tier, sparse=False)
+        pooled = _explode_pooled(
+            tt.select("user_id", udf("tokens").alias("p")), "p"
+        ).withColumnRenamed("pos", "opos").withColumnRenamed(
+            "token", "render"
+        )
+        j = raw.join(
+            pooled,
+            (raw.user_id == pooled.user_id)
+            & ((raw.pos / w).cast("long") == pooled.opos),
+        ).select(
+            F.abs(F.col("tok") - F.col("render")).alias("aerr"),
+            "tok",
+        )
+        out.append(
+            j.agg(
+                F.lit(tier).cast("long").alias("tier"),
+                F.count("*").cast("long").alias("n_points"),
+                F.sum("aerr").cast("long").alias("sum_abs_err"),
+                F.max("aerr").cast("long").alias("max_abs_err"),
+                F.expr(
+                    "sum(aerr) * 1000 DIV greatest(sum(tok), 1)"
+                ).alias("err_permille"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+_TIER_FIDELITY = SEQ_CTE + """
+, t1 AS (
+  SELECT user_id, pos // 4 AS opos, sum(tok) // 4 AS render
+  FROM seq GROUP BY 1, 2
+), t2 AS (
+  SELECT user_id, pos // 16 AS opos, sum(tok) // 16 AS render
+  FROM seq GROUP BY 1, 2
+), e1 AS (
+  SELECT abs(s.tok - t.render) AS aerr, s.tok
+  FROM seq s JOIN t1 t ON s.user_id = t.user_id AND s.pos // 4 = t.opos
+), e2 AS (
+  SELECT abs(s.tok - t.render) AS aerr, s.tok
+  FROM seq s JOIN t2 t ON s.user_id = t.user_id AND s.pos // 16 = t.opos
+)
+SELECT CAST(1 AS BIGINT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(aerr) AS BIGINT) AS sum_abs_err,
+       CAST(max(aerr) AS BIGINT) AS max_abs_err,
+       CAST(sum(aerr) * 1000 // greatest(sum(tok), 1) AS BIGINT)
+         AS err_permille
+FROM e1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(aerr) AS BIGINT), CAST(max(aerr) AS BIGINT),
+       CAST(sum(aerr) * 1000 // greatest(sum(tok), 1) AS BIGINT)
+FROM e2
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -17514,6 +17604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dominant_supplier": q_dominant_supplier,
         "q_priority_mix": q_priority_mix,
         "q_lm_surprisal": q_lm_surprisal,
+        "q_tier_fidelity": q_tier_fidelity,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -17747,6 +17838,7 @@ FROM win
         "q_dominant_supplier": _DOMINANT_SUPPLIER,
         "q_priority_mix": _PRIORITY_MIX,
         "q_lm_surprisal": _LM_SURPRISAL,
+        "q_tier_fidelity": _TIER_FIDELITY,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

@@ -468,6 +468,12 @@ BLURBS = {
         "map-side groupBys (collapse -> per-part totals -> winner "
         "census), pure-integer 2x-mean threshold."
     ),
+    "q_tier_fidelity": (
+        "Pyramid information-loss QA: one localCheckpointed sequence "
+        "build feeds raw + both tier renders (real pooling kernel); "
+        "each tier joins raw on the (user, window) composite key, "
+        "census folds map-side to one row per tier."
+    ),
     "q_lm_surprisal": (
         "CCNet-style LM fluency census: unigram/bigram counts are two "
         "map-side fingerprint groupBys; the corpus occurrence stream "
