@@ -11668,6 +11668,150 @@ FROM e2
 """
 
 
+_DSIR_BUCKETS = 1024  # hashed-ngram feature space (Xie et al. use 10k)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): every document
+    scored by the log-likelihood ratio of its hashed-ngram features
+    under the TARGET distribution (here the English subset — the
+    domain being up-sampled) vs the RAW corpus distribution, censused
+    in deci-bit buckets — the distribution-matching data-mixing stage
+    between quality filtering (q_quality_filter / q_lm_surprisal) and
+    sampling (q_weighted_sample consumes exactly these weights).
+    Features are unigrams + bigrams hashed into _DSIR_BUCKETS = 1024
+    buckets (pmod of the md5-derived 8-byte fingerprint); the
+    per-bucket log ratio is the EXACT integer log2 bucket
+    bitlen(c_target + 1) - bitlen(c_raw + 1) (add-one smoothing keeps
+    empty target buckets finite; bitlen = length(bin(n)) is
+    engine-exact).  Target is a subset of raw, so weights are <= 0 —
+    integer division truncates toward zero identically on both
+    engines (documented).
+
+    Scale shape: BOTH distribution tables collapse map-side onto the
+    10-bit bucket key (<= 1024 rows each — broadcast-sized at ANY
+    corpus scale, the structural win over per-pair statistics); the
+    corpus occurrence stream joins the broadcast LUT and pays exactly
+    ONE exchange, the per-doc groupBy; the census folds map-side to a
+    handful of rows.  No strings cross any shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), " +").alias("ws")
+    )
+    uni = w.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("ws") >= 1, F.sequence(F.lit(1), F.size("ws"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            _word_hash_expr(F.element_at("ws", F.col("i"))),
+            F.lit(_DSIR_BUCKETS),
+        ).alias("b"),
+    )
+    big = w.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2, F.sequence(F.lit(1), F.size("ws") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            _word_hash_expr(
+                F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), 2))
+            ),
+            F.lit(_DSIR_BUCKETS),
+        ).alias("b"),
+    )
+    occ = uni.unionByName(big)
+    bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    raw_lut = occ.groupBy("b").agg(F.count("*").cast("long").alias("c_raw"))
+    tgt_lut = (
+        occ.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c_tgt"))
+    )
+    lut = raw_lut.join(tgt_lut, "b", "left").select(
+        "b",
+        (
+            bits(F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+            - bits(F.col("c_raw") + 1)
+        ).alias("dbits"),
+    )
+    perdoc = (
+        occ.select("doc_id", "b")
+        .join(F.broadcast(lut), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dbits").cast("long").alias("total"),
+            F.count("*").cast("long").alias("n_ngrams"),
+        )
+        .select(
+            F.expr("total * 1000 DIV n_ngrams DIV 100").alias(
+                "wbucket_dbits"
+            ),
+            "n_ngrams",
+        )
+    )
+    return perdoc.groupBy("wbucket_dbits").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_ngrams").cast("long").alias("sum_ngrams"),
+    )
+
+
+_DSIR_WEIGHTS = f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+), idx AS (
+  SELECT unnest(generate_series(1,
+    (SELECT coalesce(max(len(ws)), 0) FROM w))) AS i
+), occ AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(ws[i]), 1, 14)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS b
+  FROM w CROSS JOIN idx WHERE i <= len(ws)
+  UNION ALL
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 14))
+              AS BIGINT) % {_DSIR_BUCKETS} AS b
+  FROM w CROSS JOIN idx WHERE i <= len(ws) - 1
+), raw_lut AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_raw FROM occ GROUP BY 1
+), tgt_lut AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_tgt
+  FROM occ WHERE lang = 'en' GROUP BY 1
+), lut AS (
+  SELECT r.b,
+         CAST(length(bin(coalesce(t.c_tgt, 0) + 1))
+              - length(bin(r.c_raw + 1)) AS BIGINT) AS dbits
+  FROM raw_lut r LEFT JOIN tgt_lut t ON r.b = t.b
+), perdoc AS (
+  SELECT o.doc_id,
+         CAST(sum(l.dbits) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_ngrams
+  FROM occ o JOIN lut l ON o.b = l.b
+  GROUP BY 1
+)
+SELECT CAST(total * 1000 // n_ngrams // 100 AS BIGINT) AS wbucket_dbits,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ngrams) AS BIGINT) AS sum_ngrams
+FROM perdoc GROUP BY 1
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -17605,6 +17749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_priority_mix": q_priority_mix,
         "q_lm_surprisal": q_lm_surprisal,
         "q_tier_fidelity": q_tier_fidelity,
+        "q_dsir_weights": q_dsir_weights,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -17839,6 +17984,7 @@ FROM win
         "q_priority_mix": _PRIORITY_MIX,
         "q_lm_surprisal": _LM_SURPRISAL,
         "q_tier_fidelity": _TIER_FIDELITY,
+        "q_dsir_weights": _DSIR_WEIGHTS,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

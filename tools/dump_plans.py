@@ -474,6 +474,12 @@ BLURBS = {
         "each tier joins raw on the (user, window) composite key, "
         "census folds map-side to one row per tier."
     ),
+    "q_dsir_weights": (
+        "DSIR distribution matching: both ngram distributions fold "
+        "map-side onto the 10-bit bucket key (<=1024 rows, broadcast "
+        "at any scale); the corpus occurrence stream pays exactly ONE "
+        "exchange — the per-doc groupBy."
+    ),
     "q_lm_surprisal": (
         "CCNet-style LM fluency census: unigram/bigram counts are two "
         "map-side fingerprint groupBys; the corpus occurrence stream "
