@@ -687,3 +687,53 @@ def test_rrf_fusion_takeordered_no_raw_scan(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "Scan parquet" not in plan
+
+
+def test_lm_surprisal_index_explodes_no_window_pruned_scan(spark):
+    """r06v: both ngram streams explode cheap INDEX sequences (no
+    transform-built array ever explodes — no lambdafunction survives
+    optimization), there is no window anywhere, and the scan prunes
+    the documents table to (doc_id, text)."""
+    df = dc.q_lm_surprisal(spark, SF_DIR)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction" not in opt, opt
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert set(f.split(":")[0] for f in s.split(",")) <= {
+            "doc_id",
+            "text",
+        }, s
+
+
+def test_dsir_weights_broadcast_lut_bounded_exchanges(spark):
+    """r06w: the two distribution tables reach the corpus join as
+    BroadcastExchanges (the 10-bit bucket key makes them <= 1024 rows
+    at any scale); the only corpus-sized plain exchanges are the two
+    map-side LUT groupBys, the per-doc groupBy, and the census — and
+    no window or string-keyed shuffle appears."""
+    df = dc.q_dsir_weights(spark, SF_DIR)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    assert tree.count("BroadcastExchange") == 2, tree
+    assert tree.count("Exchange") == 6, tree  # 2 broadcast + 4 plain
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction" not in opt, opt
+
+
+def test_tier_fidelity_reads_checkpoint_not_parquet(spark):
+    """r06v: ONE localCheckpointed sequence build feeds raw and both
+    tier renders — the fidelity plan reads ExistingRDD only (the
+    sequence window ran once, at checkpoint time), so raw + 2 renders
+    never re-run the parquet scan or the sequence sort."""
+    df = dc.q_tier_fidelity(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert_no_unpartitioned_windows(df)
