@@ -11812,6 +11812,107 @@ FROM perdoc GROUP BY 1
 """
 
 
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity reconciliation census (the Deequ /
+    dbt-`relationships`-test shape): for each foreign-key relation in
+    the warehouse — orders.o_custkey -> customer, lineitem.l_orderkey
+    -> orders, embeddings.doc_id -> documents — report child rows,
+    orphaned child rows (FK with no parent), parents, and childless
+    parents.  The audit every ingest pipeline runs before promoting a
+    snapshot; counts are exact, one row per relation.
+
+    Scale shape: each child side collapses to DISTINCT keys in a
+    map-side-combinable groupBy BEFORE any join (the corpus never
+    meets the parent raw); orphan and childless counts are LEFT ANTI
+    joins on the 8-byte key (never NOT IN — null-safe and
+    shuffle-plannable; AQE broadcasts whichever side is small); the
+    per-relation census is a handful of 1-row aggregates unioned —
+    total exchanged volume is O(distinct keys), all narrow."""
+    out = []
+    for rel, child_t, ck, parent_t, pk in (
+        ("orders->customer", "orders", "o_custkey", "customer",
+         "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders",
+         "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part",
+         "p_partkey"),
+    ):
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(ck).alias("k")
+        )
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(pk).alias("k")
+        )
+        ckeys = child.groupBy("k").agg(
+            F.count("*").cast("long").alias("n_rows")
+        )
+        orphan = ckeys.join(parent, "k", "left_anti").agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0))
+            .cast("long")
+            .alias("n_orphan_child")
+        )
+        childless = parent.join(ckeys, "k", "left_anti").agg(
+            F.count("*").cast("long").alias("n_childless_parent")
+        )
+        totals = child.agg(
+            F.count("*").cast("long").alias("n_child")
+        ).crossJoin(parent.agg(F.count("*").cast("long").alias("n_parent")))
+        out.append(
+            totals.crossJoin(orphan)
+            .crossJoin(childless)
+            .select(
+                F.lit(rel).alias("relation"),
+                "n_child",
+                "n_orphan_child",
+                "n_parent",
+                "n_childless_parent",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+_INTEGRITY_AUDIT = """
+WITH rel1 AS (
+  SELECT 'orders->customer' AS relation,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+         (SELECT CAST(coalesce(count(*), 0) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+           AS n_orphan_child,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_parent,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey))
+           AS n_childless_parent
+), rel2 AS (
+  SELECT 'lineitem->orders',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(coalesce(count(*), 0) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey))
+), rel3 AS (
+  SELECT 'lineitem->part',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(coalesce(count(*), 0) AS BIGINT) FROM lineitem li
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = li.l_partkey)),
+         (SELECT CAST(count(*) AS BIGINT) FROM part),
+         (SELECT CAST(count(*) AS BIGINT) FROM part p
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem li
+                            WHERE li.l_partkey = p.p_partkey))
+)
+SELECT * FROM rel1 UNION ALL SELECT * FROM rel2 UNION ALL
+SELECT * FROM rel3
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -17750,6 +17851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_surprisal": q_lm_surprisal,
         "q_tier_fidelity": q_tier_fidelity,
         "q_dsir_weights": q_dsir_weights,
+        "q_integrity_audit": q_integrity_audit,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -17985,6 +18087,7 @@ FROM win
         "q_lm_surprisal": _LM_SURPRISAL,
         "q_tier_fidelity": _TIER_FIDELITY,
         "q_dsir_weights": _DSIR_WEIGHTS,
+        "q_integrity_audit": _INTEGRITY_AUDIT,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
