@@ -737,3 +737,16 @@ def test_tier_fidelity_reads_checkpoint_not_parquet(spark):
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert_no_unpartitioned_windows(df)
+
+
+def test_delta_join_view_deltas_broadcast(spark):
+    """r06x: all four quadrants are present and the three delta
+    quadrants each put the batch-sized delta in the broadcast-build
+    slot (>= 3 BroadcastExchanges — at tiny sf the size-driven base
+    quadrant may broadcast too; the explicit F.broadcast hints pin
+    the delta sides regardless of scale)."""
+    plan = _plan(dc.q_delta_join_view(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashJoin") == 4, tree
+    assert tree.count("BroadcastExchange") >= 3, tree
+    assert "Window" not in tree, tree

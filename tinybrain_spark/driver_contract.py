@@ -11913,6 +11913,75 @@ SELECT * FROM rel3
 """
 
 
+DELTA_VIEW_CUT = 1998  # orders before this year are the materialized base
+
+
+def q_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta-join bilinear
+    identity (A0 + dA) JOIN (B0 + dB) = A0 JOIN B0  UNION ALL
+    dA JOIN B0  UNION ALL  A0 JOIN dB  UNION ALL  dA JOIN dB — the
+    join half of the incremental-view story next to
+    q_cagg_refresh/q_stream_upsert_refresh (which maintain
+    AGGREGATES): a streaming warehouse never re-joins the full fact
+    and dim tables when a batch of new orders (dA: orderdate past the
+    materialization cut) and a batch of dim updates (dB: a
+    deterministic tenth of customers) arrive — it computes the three
+    delta quadrants and unions them onto the stored base.  This query
+    EXECUTES the four-quadrant plan; the oracle runs the plain
+    one-shot join — the hash match proves the identity row-exact
+    (any dropped or duplicated quadrant changes the census).
+
+    Scale shape: the base quadrant A0xB0 is the stored view (here
+    recomputed: one shuffle join on the 8-byte custkey); all three
+    delta quadrants put the DELTA side in the broadcast-build slot
+    (deltas are batch-sized by construction, never corpus-sized), so
+    maintenance cost is O(|dA| + |dB|) exchanged rows — the reason
+    incremental beats re-join at 100 TB.  The census folds map-side
+    to |priority| rows per quadrant before the union."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderdate",
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    cut = f"TIMESTAMP '{DELTA_VIEW_CUT}-01-01 00:00:00'"
+    a0 = o.where(f"o_orderdate < {cut}")
+    da = o.where(f"o_orderdate >= {cut}")
+    b0 = c.where(F.col("c_custkey") % 10 != 0)
+    db = c.where(F.col("c_custkey") % 10 == 0)
+    def jk(a, b, bcast):
+        # bcast: which side is the batch-sized delta -> broadcast build
+        if bcast == "a":
+            a = F.broadcast(a)
+        elif bcast == "b":
+            b = F.broadcast(b)
+        return a.join(b, a.o_custkey == b.c_custkey).select(
+            "o_orderpriority", "cents"
+        )
+
+    view = (
+        jk(a0, b0, None)  # stored base: shuffle join on the 8-byte key
+        .unionByName(jk(da, b0, "a"))
+        .unionByName(jk(a0, db, "b"))
+        .unionByName(jk(da, db, "a"))
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+_DELTA_JOIN_VIEW = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -17852,6 +17921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tier_fidelity": q_tier_fidelity,
         "q_dsir_weights": q_dsir_weights,
         "q_integrity_audit": q_integrity_audit,
+        "q_delta_join_view": q_delta_join_view,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -18088,6 +18158,7 @@ FROM win
         "q_tier_fidelity": _TIER_FIDELITY,
         "q_dsir_weights": _DSIR_WEIGHTS,
         "q_integrity_audit": _INTEGRITY_AUDIT,
+        "q_delta_join_view": _DELTA_JOIN_VIEW,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

@@ -474,6 +474,12 @@ BLURBS = {
         "each tier joins raw on the (user, window) composite key, "
         "census folds map-side to one row per tier."
     ),
+    "q_delta_join_view": (
+        "Delta-join bilinear identity: the base quadrant is the one "
+        "shuffle join; all three delta quadrants carry the batch-sized "
+        "delta as a BroadcastExchange build side — maintenance cost "
+        "O(|delta|) exchanged rows."
+    ),
     "q_dsir_weights": (
         "DSIR distribution matching: both ngram distributions fold "
         "map-side onto the 10-bit bucket key (<=1024 rows, broadcast "
