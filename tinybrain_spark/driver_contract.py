@@ -11982,6 +11982,95 @@ GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff census — the dataset-versioning audit (Iceberg
+    snapshot diff / lakeFS / DVC shape) a corpus pipeline publishes
+    when promoting snapshot B over snapshot A: per source, how many
+    docs were ADDED, REMOVED, CHANGED (same key, different content
+    hash), and UNCHANGED.  Snapshot B is derived deterministically
+    from the fixture (no external data): docs with doc_id % 17 == 3
+    are dropped (removed), docs with doc_id % 20 == 0 have their text
+    re-tagged (changed), and a shifted-key copy of every doc_id % 23
+    == 5 row appears under key doc_id + 10^9 (added) — both engines
+    derive the identical pair of snapshots, so the diff itself is
+    what the hash match checks.
+
+    Scale shape: content equality compares 8-byte md5-derived
+    fingerprints, never text (the FULL OUTER join carries only
+    (key, 8-byte hash, source)); the join is the one corpus-sized
+    exchange, keyed on the 8-byte doc key; the per-source census
+    folds map-side to |sources| x 4 rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    h = lambda c: _word_hash_expr(c)  # noqa: E731
+    snap_a = docs.select(
+        F.col("doc_id").alias("k"), "source", h(F.col("text")).alias("ha")
+    )
+    base_b = docs.where("doc_id % 17 != 3").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.lit("rev2 "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added_b = docs.where("doc_id % 23 = 5").select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        "source",
+        "text",
+    )
+    snap_b = (
+        base_b.unionByName(added_b)
+        .select(F.col("doc_id").alias("k"), "source",
+                h(F.col("text")).alias("hb"))
+    )
+    j = snap_a.join(
+        snap_b.withColumnRenamed("source", "source_b"), "k", "full_outer"
+    ).select(
+        F.coalesce(F.col("source"), F.col("source_b")).alias("src"),
+        F.when(F.col("ha").isNull(), F.lit("added"))
+        .when(F.col("hb").isNull(), F.lit("removed"))
+        .when(F.col("ha") == F.col("hb"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
+    return j.groupBy("src", "change").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+_SNAPSHOT_DIFF = """
+WITH snap_a AS (
+  SELECT doc_id AS k, source,
+         CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) AS ha
+  FROM documents
+), snap_b AS (
+  SELECT doc_id AS k, source,
+         CAST(('0x' || substr(md5(CASE WHEN doc_id % 20 = 0
+                                       THEN 'rev2 ' || text
+                                       ELSE text END), 1, 14)) AS BIGINT)
+           AS hb
+  FROM documents WHERE doc_id % 17 != 3
+  UNION ALL
+  SELECT doc_id + 1000000000 AS k, source,
+         CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) AS hb
+  FROM documents WHERE doc_id % 23 = 5
+), j AS (
+  SELECT coalesce(a.source, b.source) AS src,
+         CASE WHEN a.ha IS NULL THEN 'added'
+              WHEN b.hb IS NULL THEN 'removed'
+              WHEN a.ha = b.hb THEN 'unchanged'
+              ELSE 'changed' END AS change
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+)
+SELECT src, change, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1, 2
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -17922,6 +18011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_integrity_audit": q_integrity_audit,
         "q_delta_join_view": q_delta_join_view,
+        "q_snapshot_diff": q_snapshot_diff,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -18159,6 +18249,7 @@ FROM win
         "q_dsir_weights": _DSIR_WEIGHTS,
         "q_integrity_audit": _INTEGRITY_AUDIT,
         "q_delta_join_view": _DELTA_JOIN_VIEW,
+        "q_snapshot_diff": _SNAPSHOT_DIFF,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

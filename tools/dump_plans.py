@@ -474,6 +474,12 @@ BLURBS = {
         "each tier joins raw on the (user, window) composite key, "
         "census folds map-side to one row per tier."
     ),
+    "q_snapshot_diff": (
+        "Dataset-versioning diff: both snapshots reduce to (8-byte "
+        "key, 8-byte content hash, source) before the FULL OUTER join "
+        "— the one corpus exchange never carries text; census folds "
+        "map-side to sources x 4 rows."
+    ),
     "q_delta_join_view": (
         "Delta-join bilinear identity: the base quadrant is the one "
         "shuffle join; all three delta quadrants carry the batch-sized "
