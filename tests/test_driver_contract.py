@@ -189,3 +189,70 @@ def test_cms_is_cell_wise_mergeable_and_one_sided(spark):
     est = q_cms_heavy(spark, SF_DIR).collect()
     assert len(est) > 0
     assert all(r.cms_est >= r.exact_n for r in est)
+
+
+def test_lm_surprisal_short_docs_drop_out(spark, tmp_path):
+    """r06v: docs with < 2 words carry no bigram evidence and must
+    drop out of the census (the sequence() guard takes the empty
+    branch — no element_at(ws, 0) error on 1-word docs)."""
+    from tinybrain_spark import driver_contract as dc
+
+    d = str(tmp_path / "short")
+    spark.createDataFrame(
+        [(1, "one", "en", "s", 3), (2, "", "en", "s", 0),
+         (3, "two words", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = dc.q_lm_surprisal(spark, d).collect()
+    # only doc 3 has a bigram; its count appears, docs 1-2 nowhere
+    assert sum(r["n_docs"] for r in rows) == 1
+    assert sum(r["sum_bigrams"] for r in rows) == 1
+
+
+def test_dsir_weights_empty_target_stays_finite(spark, tmp_path):
+    """r06w: a corpus with NO target-language docs must not divide by
+    zero or go to -infinity — add-one smoothing keeps every bucket's
+    log-ratio finite (bitlen(0+1) = 1), and every doc still gets a
+    weight."""
+    from tinybrain_spark import driver_contract as dc
+
+    d = str(tmp_path / "notgt")
+    spark.createDataFrame(
+        [(1, "aa bb cc", "fr", "s", 8), (2, "dd ee", "de", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = dc.q_dsir_weights(spark, d).collect()
+    assert sum(r["n_docs"] for r in rows) == 2
+    assert all(r["wbucket_dbits"] <= 0 for r in rows)
+
+
+def test_snapshot_diff_census_matches_derivation(spark, tmp_path):
+    """r06x: the diff census must reproduce the deterministic
+    derivation exactly — removed = doc_id%17==3, changed = %20==0
+    (minus removed), added = %23==5 — on a fixture spanning all four
+    classes."""
+    from pyspark.sql import functions as F
+
+    from tinybrain_spark import driver_contract as dc
+
+    d = str(tmp_path / "snap")
+    rows = [(i, f"text {i} body", "en", "s", 10) for i in range(0, 600)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["change"]): r["n_docs"]
+        for r in dc.q_snapshot_diff(spark, d)
+        .groupBy("change")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .collect()
+    }
+    ids = range(0, 600)
+    removed = {i for i in ids if i % 17 == 3}
+    changed = {i for i in ids if i % 20 == 0} - removed
+    added = {i for i in ids if i % 23 == 5}
+    assert got["removed"] == len(removed)
+    assert got["changed"] == len(changed)
+    assert got["added"] == len(added)
+    assert got["unchanged"] == 600 - len(removed) - len(changed)
