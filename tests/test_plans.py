@@ -750,3 +750,17 @@ def test_delta_join_view_deltas_broadcast(spark):
     assert tree.count("HashJoin") == 4, tree
     assert tree.count("BroadcastExchange") >= 3, tree
     assert "Window" not in tree, tree
+
+
+def test_pivot_daily_single_aggregate_no_expand(spark):
+    """r06y: pivot with pinned values must lower to one map-side-
+    combinable aggregate on the day key — exactly one exchange, no
+    Expand node, no second scan for distinct pivot values."""
+    plan = _plan(dc.q_pivot_daily(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    # pivot lowers to TWO stacked map-side-combinable aggregates
+    # ((day, type) counts, then the per-day pivot combine) — the
+    # q_json_props single-distinct shape: two bounded exchanges
+    assert tree.count("Exchange") == 2, tree
+    assert "Expand" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree

@@ -11433,11 +11433,11 @@ def q_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRIORITY_MIX = f"""
-SELECT CASE WHEN (floor(epoch(l_shipdate))
-                  - floor(epoch(o_orderdate))) // 86400 <= 30
+SELECT CASE WHEN (CAST(floor(epoch(l_shipdate)) AS BIGINT)
+                  - CAST(floor(epoch(o_orderdate)) AS BIGINT)) // 86400 <= 30
             THEN 'fast'
-            WHEN (floor(epoch(l_shipdate))
-                  - floor(epoch(o_orderdate))) // 86400 <= 60
+            WHEN (CAST(floor(epoch(l_shipdate)) AS BIGINT)
+                  - CAST(floor(epoch(o_orderdate)) AS BIGINT)) // 86400 <= 60
             THEN 'medium' ELSE 'slow' END AS latency_bucket,
        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -12068,6 +12068,64 @@ WITH snap_a AS (
 )
 SELECT src, change, CAST(count(*) AS BIGINT) AS n_docs
 FROM j GROUP BY 1, 2
+"""
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: the daily ops dashboard table — one row per day,
+    one count column per event type (wide form), via Spark's native
+    ``groupBy().pivot(col, values)`` with the value list PINNED (the
+    explicit list keeps the output schema static and skips the extra
+    distinct-collection job Spark otherwise runs — the form a
+    production pipeline must use, since schema-by-data is both
+    nondeterministic under late arrivals and a second scan).  The
+    oracle uses portable conditional aggregation (sum CASE WHEN), the
+    exact relational equivalent — so this also pins that Spark's
+    pivot lowering IS the conditional-aggregate plan, not something
+    weaker.
+
+    Scale shape: pivot with pinned values lowers to TWO stacked
+    map-side-combinable aggregates — (day, type) counts, then the
+    per-day pivot combine (the q_json_props single-distinct shape):
+    the corpus-side exchange carries only combined |days| x |types|
+    rows, the second |days| rows; no Expand, no second scan, no
+    per-type self-join (plan-pinned)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("floor(unix_timestamp(ts)) DIV 86400").alias("day"),
+        "event_type",
+    )
+    out = (
+        ev.groupBy("day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot emits nullable counts (a day with zero of a type) — the
+    # dashboard contract is 0, and the oracle's sum(CASE) agrees
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+_PIVOT_DAILY = """
+SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view
+FROM events GROUP BY 1
 """
 
 
@@ -18012,6 +18070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_integrity_audit": q_integrity_audit,
         "q_delta_join_view": q_delta_join_view,
         "q_snapshot_diff": q_snapshot_diff,
+        "q_pivot_daily": q_pivot_daily,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -18250,6 +18309,7 @@ FROM win
         "q_integrity_audit": _INTEGRITY_AUDIT,
         "q_delta_join_view": _DELTA_JOIN_VIEW,
         "q_snapshot_diff": _SNAPSHOT_DIFF,
+        "q_pivot_daily": _PIVOT_DAILY,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

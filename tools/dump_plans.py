@@ -474,6 +474,12 @@ BLURBS = {
         "each tier joins raw on the (user, window) composite key, "
         "census folds map-side to one row per tier."
     ),
+    "q_pivot_daily": (
+        "Native pivot with pinned values: two stacked map-side-"
+        "combinable aggregates ((day,type) then per-day combine) — "
+        "bounded exchanges, no Expand, no distinct-collection "
+        "pre-scan."
+    ),
     "q_snapshot_diff": (
         "Dataset-versioning diff: both snapshots reduce to (8-byte "
         "key, 8-byte content hash, source) before the FULL OUTER join "
