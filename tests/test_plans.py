@@ -764,3 +764,19 @@ def test_pivot_daily_single_aggregate_no_expand(spark):
     assert tree.count("Exchange") == 2, tree
     assert "Expand" not in tree, tree
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_unpivot_expand_above_aggregate_only(spark):
+    """r06y: the unpivot Expand must sit ABOVE the pivot aggregate
+    (bounded |days|-row input, never raw events) and add no exchange
+    beyond the pivot's own two."""
+    plan = _plan(dc.q_unpivot_metrics(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree, tree
+    exp_pos = tree.index("Expand")
+    agg_positions = [
+        i for i in range(len(tree)) if tree.startswith("HashAggregate", i)
+    ]
+    # plans print top-down: every aggregate is BELOW (after) the Expand
+    assert all(i > exp_pos for i in agg_positions), tree
+    assert tree.count("Exchange") == 2, tree

@@ -12129,6 +12129,54 @@ FROM events GROUP BY 1
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface (the inverse of q_pivot_daily): melt the wide
+    daily dashboard back to the long (day, metric, n) form a metrics
+    store ingests — one row per (day, type) INCLUDING explicit zeros
+    for types absent on a day (the wide form's contract; a plain
+    groupBy would silently omit those pairs, which is exactly why a
+    metrics pipeline melts the wide table instead of re-aggregating).
+    Uses Spark's native ``DataFrame.unpivot`` (ids=[day], values=the
+    five count columns).
+
+    Scale shape: unpivot lowers to an Expand node — but over the
+    BOUNDED |days|-row wide table only (the corpus was already
+    collapsed by the pivot's map-side aggregates), so the 5x row
+    multiplication costs |days| x 5 tiny rows, never touches raw
+    events, and adds zero exchanges (plan-pinned: Expand sits above
+    the final pivot aggregate)."""
+    wide = q_pivot_daily(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"],
+        values=[f"n_{t}" for t in _PIVOT_TYPES],
+        variableColumnName="metric",
+        valueColumnName="n",
+    ).select("day", "metric", F.col("n").cast("long").alias("n"))
+
+
+_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_view
+  FROM events GROUP BY 1
+)
+SELECT day, 'n_click' AS metric, n_click AS n FROM wide
+UNION ALL SELECT day, 'n_error', n_error FROM wide
+UNION ALL SELECT day, 'n_purchase', n_purchase FROM wide
+UNION ALL SELECT day, 'n_signup', n_signup FROM wide
+UNION ALL SELECT day, 'n_view', n_view FROM wide
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -18071,6 +18119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_join_view": q_delta_join_view,
         "q_snapshot_diff": q_snapshot_diff,
         "q_pivot_daily": q_pivot_daily,
+        "q_unpivot_metrics": q_unpivot_metrics,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -18310,6 +18359,7 @@ FROM win
         "q_delta_join_view": _DELTA_JOIN_VIEW,
         "q_snapshot_diff": _SNAPSHOT_DIFF,
         "q_pivot_daily": _PIVOT_DAILY,
+        "q_unpivot_metrics": _UNPIVOT_METRICS,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,

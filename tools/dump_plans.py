@@ -480,6 +480,11 @@ BLURBS = {
         "bounded exchanges, no Expand, no distinct-collection "
         "pre-scan."
     ),
+    "q_unpivot_metrics": (
+        "Unpivot's Expand sits above the pivot aggregate — 5x row "
+        "multiplication over the bounded |days|-row wide table, never "
+        "the corpus; zero added exchanges."
+    ),
     "q_snapshot_diff": (
         "Dataset-versioning diff: both snapshots reduce to (8-byte "
         "key, 8-byte content hash, source) before the FULL OUTER join "
