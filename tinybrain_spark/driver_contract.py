@@ -12177,6 +12177,87 @@ UNION ALL SELECT day, 'n_view', n_view FROM wide
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment under the oracle — the
+    canonical streaming join Structured Streaming is built around
+    (and the one streaming shape the registry did not yet pin; the
+    stream-STREAM case is q_stream_attribution): events arrive as a
+    file stream in several micro-batches (availableNow,
+    maxFilesPerTrigger=2) and every micro-batch broadcast-joins the
+    STATIC customer dim (user_id -> segment) before landing enriched
+    rows append-only through ``foreachBatch`` with a streaming
+    checkpoint.  The end state — the per-segment revenue census over
+    the landed rows — must value-hash-equal the plain batch
+    join+groupBy the oracle runs: the stream-static join must not
+    drop, duplicate, or mis-key a single row across batch
+    boundaries.
+
+    Scale shape: the dim is broadcast ONCE per micro-batch (Spark
+    re-plans each batch — exactly what you want when the dim is
+    small and slowly changing); the stream side never shuffles before
+    the sink (join is broadcast, the census runs on the landed
+    table); cents are floor(value*100) exact-integer both engines."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tb_stream_enrich_")
+    try:
+        src = f"{work}/src"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+        ev.repartition(8).write.parquet(src)  # 8 files -> 4 batches
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .join(F.broadcast(dim), "user_id")
+            .select("event_id", "segment", "cents")
+        )
+        out_dir = f"{work}/enriched"
+
+        def _land(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "enrichment stream did not drain within 600s — "
+                "refusing to return a partial end state"
+            )
+        landed = spark.read.parquet(out_dir)
+        res = landed.groupBy("segment").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        # the landed table lives in a temp dir we are about to delete
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_STREAM_ENRICH = """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -18120,6 +18201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": q_snapshot_diff,
         "q_pivot_daily": q_pivot_daily,
         "q_unpivot_metrics": q_unpivot_metrics,
+        "q_stream_enrich": q_stream_enrich,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -18360,6 +18442,7 @@ FROM win
         "q_snapshot_diff": _SNAPSHOT_DIFF,
         "q_pivot_daily": _PIVOT_DAILY,
         "q_unpivot_metrics": _UNPIVOT_METRICS,
+        "q_stream_enrich": _STREAM_ENRICH,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
