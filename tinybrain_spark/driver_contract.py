@@ -12258,6 +12258,158 @@ GROUP BY 1
 """
 
 
+def q_set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations — ``intersectAll`` / ``exceptAll``
+    (SQL INTERSECT ALL / EXCEPT ALL), the multiset half of the set-op
+    surface (q_user_set_ops pins the DISTINCT half): comparing the
+    view-event and click-event user multisets, how many view events
+    are "matched" by a click from the same user (min of the two
+    multiplicities — the bag intersection) and how many are unmatched
+    surplus (the bag difference).  Multiset semantics are what
+    event-level reconciliation actually needs — DISTINCT ops collapse
+    a 1000-view user and a 1-view user into the same row.
+
+    Scale shape: Spark lowers intersectAll/exceptAll to a per-key
+    count aggregate + Generate replicate — the exchange is keyed on
+    the 8-byte user id carrying combined counts (map-side partial);
+    the four totals fold to 1-row aggregates and broadcast-cross to
+    the single output row."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where("event_type = 'view'").select("user_id")
+    b = ev.where("event_type = 'click'").select("user_id")
+    one = lambda df, name: df.agg(  # noqa: E731
+        F.count("*").cast("long").alias(name)
+    )
+    return (
+        one(a, "n_view")
+        .crossJoin(one(b, "n_click"))
+        .crossJoin(one(a.intersectAll(b), "n_matched"))
+        .crossJoin(one(a.exceptAll(b), "n_surplus"))
+    )
+
+
+_SET_OPS_BAG = """
+WITH a AS (SELECT user_id FROM events WHERE event_type = 'view'),
+     b AS (SELECT user_id FROM events WHERE event_type = 'click')
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_click,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT user_id FROM a INTERSECT ALL
+              SELECT user_id FROM b)) AS n_matched,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT user_id FROM a EXCEPT ALL
+              SELECT user_id FROM b)) AS n_surplus
+"""
+
+
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit — the OTHER half of split QA next to
+    q_split_leakage (leakage asks "does test content appear in
+    train?"; this asks "did the hash split preserve the corpus
+    composition?"): per split (train/val/test from q_hash_split's
+    deterministic content-hash buckets, 900/50/50), the doc count,
+    total whitespace words, and the WORST per-source representation
+    skew — max over sources of |source share within the split -
+    source share in the corpus| in permille.  A split whose
+    max_share_delta_pm is large under-represents some source, and
+    per-source eval numbers stop being comparable across splits.
+    All-integer (counts and truncating permille divisions only).
+
+    Scale shape: ONE corpus-sized map-side-combinable groupBy onto
+    (split, source) — everything after runs on <= 3 x |sources| rows
+    (split totals, corpus source totals, the delta projection, the
+    3-row census); the corpus total rides a broadcast 1-row
+    aggregate.  No window ever sees a corpus-sized partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 14), 16, 10).cast(
+            "long"
+        )
+        % 1000
+    )
+    d = docs.select(
+        F.when(b < 900, F.lit("train"))
+        .when(b < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("long").alias(
+            "words"
+        ),
+    )
+    per = d.groupBy("split", "source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("words").cast("long").alias("w"),
+    )
+    split_tot = per.groupBy("split").agg(
+        F.sum("n").cast("long").alias("n_split"),
+        F.sum("w").cast("long").alias("w_split"),
+    )
+    src_tot = per.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_src")
+    )
+    corpus = per.agg(F.sum("n").cast("long").alias("n_corpus"))
+    delta = (
+        per.join(split_tot, "split")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "split",
+            "n_split",
+            "w_split",
+            F.abs(
+                F.expr("n * 1000 DIV n_split")
+                - F.expr("n_src * 1000 DIV n_corpus")
+            ).alias("delta_pm"),
+        )
+    )
+    return delta.groupBy("split").agg(
+        F.max("n_split").alias("n_docs"),
+        F.max("w_split").alias("sum_words"),
+        F.max("delta_pm").cast("long").alias("max_share_delta_pm"),
+    )
+
+
+_SPLIT_BALANCE = """
+WITH d AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT)
+                % 1000 < 900 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT)
+                % 1000 < 950 THEN 'val'
+           ELSE 'test' END AS split,
+         source,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+           AS words
+  FROM documents
+), per AS (
+  SELECT split, source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(words) AS BIGINT) AS w
+  FROM d GROUP BY 1, 2
+), split_tot AS (
+  SELECT split, CAST(sum(n) AS BIGINT) AS n_split,
+         CAST(sum(w) AS BIGINT) AS w_split
+  FROM per GROUP BY 1
+), src_tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM per GROUP BY 1
+), corpus AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_corpus FROM per
+), delta AS (
+  SELECT p.split, st.n_split, st.w_split,
+         abs(p.n * 1000 // st.n_split
+             - s.n_src * 1000 // c.n_corpus) AS delta_pm
+  FROM per p JOIN split_tot st ON p.split = st.split
+       JOIN src_tot s ON p.source = s.source
+       CROSS JOIN corpus c
+)
+SELECT split,
+       CAST(max(n_split) AS BIGINT) AS n_docs,
+       CAST(max(w_split) AS BIGINT) AS sum_words,
+       CAST(max(delta_pm) AS BIGINT) AS max_share_delta_pm
+FROM delta GROUP BY 1
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -18202,6 +18354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_daily": q_pivot_daily,
         "q_unpivot_metrics": q_unpivot_metrics,
         "q_stream_enrich": q_stream_enrich,
+        "q_set_ops_bag": q_set_ops_bag,
+        "q_split_balance": q_split_balance,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -18443,6 +18597,8 @@ FROM win
         "q_pivot_daily": _PIVOT_DAILY,
         "q_unpivot_metrics": _UNPIVOT_METRICS,
         "q_stream_enrich": _STREAM_ENRICH,
+        "q_set_ops_bag": _SET_OPS_BAG,
+        "q_split_balance": _SPLIT_BALANCE,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
