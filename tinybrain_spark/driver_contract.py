@@ -12410,6 +12410,56 @@ FROM delta GROUP BY 1
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom GROUPING SETS — the general form of the multi-level
+    aggregate surface (q_cube_metrics / q_rollup_metrics pin the two
+    FIXED shapes; this pins an arbitrary mixed list): daily event
+    counts and cents at four grain combinations — (type, day),
+    (type), (day), and the grand total — in ONE pass, labels filled
+    with 'ALL' / -1 (fixture columns are never null, so coalesce is
+    unambiguous and engine-portable — no grouping_id bit-order
+    dependency between engines).
+
+    Scale shape: Spark lowers GROUPING SETS to one Expand (x4 rows)
+    ABOVE the scan projection feeding a single map-side-combinable
+    aggregate — one exchange of partially-combined rows across all
+    four grains at once, which beats four separate scans exactly when
+    the input is the expensive side (always, at 100 TB)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "gs_events"
+    )
+    return spark.sql(
+        """
+SELECT coalesce(event_type, 'ALL') AS etype,
+       coalesce(day, -1) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM (
+  SELECT event_type,
+         CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 86400 AS day,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM gs_events
+)
+GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+"""
+    )
+
+
+_GROUPING_SETS = """
+SELECT coalesce(event_type, 'ALL') AS etype,
+       coalesce(day, -1) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -18356,6 +18406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_enrich": q_stream_enrich,
         "q_set_ops_bag": q_set_ops_bag,
         "q_split_balance": q_split_balance,
+        "q_grouping_sets": q_grouping_sets,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -18599,6 +18650,7 @@ FROM win
         "q_stream_enrich": _STREAM_ENRICH,
         "q_set_ops_bag": _SET_OPS_BAG,
         "q_split_balance": _SPLIT_BALANCE,
+        "q_grouping_sets": _GROUPING_SETS,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
