@@ -780,3 +780,37 @@ def test_unpivot_expand_above_aggregate_only(spark):
     # plans print top-down: every aggregate is BELOW (after) the Expand
     assert all(i > exp_pos for i in agg_positions), tree
     assert tree.count("Exchange") == 2, tree
+
+
+def test_bucket_join_no_exchange_under_join(spark, tmp_path):
+    """r06z: joining two tables bucketed on the join key (same bucket
+    count) must plan a SortMergeJoin with ZERO Exchange below it —
+    the write-once-shuffle-never co-location contract — and both
+    scans must report their bucket selection."""
+    t_o, t_c = "tb_pin_bj_o", "tb_pin_bj_c"
+    spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+    try:
+        a = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        b = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("w")
+        )
+        a.write.bucketBy(8, "k").sortBy("k").option(
+            "path", str(tmp_path / "a")
+        ).saveAsTable(t_o)
+        b.write.bucketBy(8, "k").sortBy("k").option(
+            "path", str(tmp_path / "b")
+        ).saveAsTable(t_c)
+        j = spark.table(t_o).join(
+            spark.table(t_c).hint("merge"), "k"
+        )
+        plan = _plan(j)
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree, tree
+        assert "Exchange" not in tree, tree
+        assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")

@@ -12460,6 +12460,79 @@ GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
 """
 
 
+def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level BUCKETING — the co-located join the task's scale
+    playbook names next to broadcast ('bucketing for co-located
+    joins') and the one join strategy the registry had not yet
+    executed: orders and customer are WRITTEN as bucketed tables
+    (``bucketBy(8, custkey)``, sorted within buckets), so the join
+    needs NO shuffle at read time — each task sort-merges bucket i of
+    both sides.  At 100 TB this is the difference between re-shuffling
+    the fact table on every join and paying the shuffle ONCE at write
+    time, amortized over every subsequent join on that key; the merge
+    hint pins the sort-merge path so the tiny-fixture broadcast
+    fallback can't mask the bucketed plan (test_plans pins zero
+    exchanges under the join and SelectedBucketsCount in both scans).
+
+    The census (per market segment: orders and exact cents) must
+    value-hash-equal the plain-join oracle — bucketed layout changes
+    the physical plan, never the answer."""
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="tb_bucket_join_")
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"tb_bj_orders_{tag}", f"tb_bj_cust_{tag}"
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_custkey",
+                F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            )
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", f"{work}/orders")
+            .saveAsTable(t_o)
+        )
+        (
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", f"{work}/cust")
+            .saveAsTable(t_c)
+        )
+        o = spark.table(t_o)
+        c = spark.table(t_c).hint("merge")
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        res = j.groupBy("c_mktsegment").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        ).select(
+            F.col("c_mktsegment").alias("segment"), "n_orders", "sum_cents"
+        )
+        # rows must outlive the dropped tables + deleted temp dir
+        return res.localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_BUCKET_JOIN = """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -18407,6 +18480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops_bag": q_set_ops_bag,
         "q_split_balance": q_split_balance,
         "q_grouping_sets": q_grouping_sets,
+        "q_bucket_join": q_bucket_join,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -18651,6 +18725,7 @@ FROM win
         "q_set_ops_bag": _SET_OPS_BAG,
         "q_split_balance": _SPLIT_BALANCE,
         "q_grouping_sets": _GROUPING_SETS,
+        "q_bucket_join": _BUCKET_JOIN,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
