@@ -12533,6 +12533,58 @@ GROUP BY 1
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured extraction (Spark 4's binary
+    variant path): the events ``props`` JSON is parsed ONCE into a
+    shredded VARIANT column (``parse_json``) and the payload is
+    extracted with typed ``variant_get`` — the engine-native
+    replacement for per-access string parsing (q_json_props pins the
+    classic ``get_json_object`` path; at 100 TB the variant encode
+    happens once at ingest and every later access is a binary field
+    read, not a JSON re-parse).  Census per event type: rows, k-sum,
+    k-min/max, distinct k — identical contract to q_json_props'
+    profile, so the two paths must agree with each other AND the
+    oracle.
+
+    Scale shape: parse + typed get are pure per-row Catalyst
+    projections; the census is the same stacked single-distinct
+    aggregate shape as q_json_props (two bounded exchanges, no raw
+    shuffle, no Expand)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "long").alias(
+            "k"
+        ),
+    )
+    kd = ev.groupBy("event_type", "k").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return kd.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.col("k") * F.col("n")).cast("long").alias("k_sum"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+        F.count("*").cast("long").alias("k_distinct"),
+    )
+
+
+_VARIANT_EXTRACT = """
+WITH ev AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+), kd AS (
+  SELECT event_type, k, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(k * n) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(count(*) AS BIGINT) AS k_distinct
+FROM kd GROUP BY 1
+"""
+
+
 PHASH_MAX_HAMMING = 4  # near-dup verify bound (bits)
 
 
@@ -18481,6 +18533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_balance": q_split_balance,
         "q_grouping_sets": q_grouping_sets,
         "q_bucket_join": q_bucket_join,
+        "q_variant_extract": q_variant_extract,
         # rows-only by design (no oracle): weakest row, lives at the tail
         "q_gorilla_roundtrip": q_gorilla_roundtrip,
     }
@@ -18726,6 +18779,7 @@ FROM win
         "q_split_balance": _SPLIT_BALANCE,
         "q_grouping_sets": _GROUPING_SETS,
         "q_bucket_join": _BUCKET_JOIN,
+        "q_variant_extract": _VARIANT_EXTRACT,
         "q_dedup_exact": _DEDUP_EXACT,
         "q_dedup_keep": _DEDUP_KEEP,
         "q_doc_fingerprint": _DOC_FINGERPRINT,
