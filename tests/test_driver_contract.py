@@ -24,6 +24,13 @@ SAMPLE = [
     "q_dedup_exact",
     "q_minhash_signature",
     "q_ann_topk",
+    # the r06z closing set has no dedicated edge-case file; keep its
+    # members in the in-suite sample so pytest exercises them without
+    # needing the full tools/check_oracle.py sweep
+    "q_set_ops_bag",
+    "q_split_balance",
+    "q_grouping_sets",
+    "q_variant_extract",
 ]
 
 
