@@ -3902,18 +3902,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", F.col("user_id").alias("dst"))
         .localCheckpoint()  # pin once; 3 rounds reuse without recompute
     )
+    # r06: the node table (union+distinct, 2 exchanges) and the degree
+    # aggregate were un-pinned subtrees re-evaluated by EVERY power
+    # round (3x each).  Fold the out-degree INTO a checkpointed node
+    # table once — each round is then ONE join (edges x ranks-with-d)
+    # + one groupBy + the teleport left join, instead of two joins
+    # plus two recomputed subtrees.  d is NULL only for dangling
+    # nodes, which by construction never match an edge src, so
+    # r DIV d never sees the NULL.
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     nodes = (
         edges.select(F.col("src").alias("u"))
         .union(edges.select(F.col("dst").alias("u")))
         .distinct()
+        .join(deg.withColumnRenamed("src", "u"), "u", "left")
+        .localCheckpoint()  # (u, d) pinned once; 3 rounds reuse it
     )
-    ranks = nodes.select("u", F.lit(PR_SCALE).cast("long").alias("r"))
+    ranks = nodes.select("u", "d", F.lit(PR_SCALE).cast("long").alias("r"))
     teleport = (15 * PR_SCALE) // 100
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(ranks.withColumnRenamed("u", "src"), "src")
-            .join(deg, "src")
+            edges.join(
+                ranks.select(F.col("u").alias("src"), "d", "r"), "src"
+            )
             .select("dst", F.expr("r DIV d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("cin"))
@@ -3922,6 +3933,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.withColumnRenamed("dst", "u"), "u", "left"
         ).select(
             "u",
+            "d",
             (
                 F.lit(teleport)
                 + F.expr(
@@ -6153,13 +6165,17 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    df_tab = (
-        words.select(F.explode(F.array_distinct("ws")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("df"))
-    )
+    # r06: df (docs containing the word) = row count per word OVER THE
+    # TF TABLE itself — tf has exactly one row per (doc, word), so a
+    # word-partitioned count window replaces the old second
+    # scan->split->array_distinct->explode->groupBy pass AND the
+    # word-keyed join that re-shuffled tf against it.  One full text
+    # pass instead of two; the exchange on word that the join needed
+    # anyway now carries the window.
     scored = (
-        tf.join(df_tab, "word")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("word")).cast("long")
+        )
         .crossJoin(F.broadcast(n_tab))
         .withColumn(
             "score",
@@ -6550,16 +6566,43 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out positions that genuinely are duplicated — no pair join exists
     anywhere (contrast q_ngram_jaccard's capped self-join)."""
     docs = load_table(spark, sf_dir, "documents")
-    base, pos, flagged = _dup_window_tables(docs)
-    nd = (
-        pos.join(flagged, "f8", "left_semi")
+    _, pos, _ = _dup_window_tables(docs)
+    # r06 single-pass shape: the old flagged-groupBy + left-semi
+    # evaluated the scan->split->explode->md5 subtree TWICE (Catalyst
+    # has no common-subtree reuse across join sides) and the per-doc
+    # window counts a THIRD split.  One f8-partitioned window computes
+    # the ">= 2 distinct docs" flag (min<>max over the partition —
+    # same rule, same collisions) on the positional rows themselves,
+    # and ONE doc-level aggregate then yields both n_dup (sum of
+    # flags) and n_windows (max(pos)+1 == size(ws)-k+1 for any doc
+    # that has windows; windowless docs fall out of the left join as
+    # zeros, exactly the old greatest(size-k+1, 0)).  Net: one md5
+    # pass instead of two, one text-split pass instead of three, and
+    # the second documents scan reads only the doc_id column.
+    wf = Window.partitionBy("f8")
+    per_doc = (
+        pos.withColumn(
+            "dup",
+            (F.min("doc_id").over(wf) < F.max("doc_id").over(wf)).cast(
+                "long"
+            ),
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_dup"))
+        .agg(
+            (F.max("pos") + 1).cast("long").alias("n_windows"),
+            F.sum("dup").cast("long").alias("n_dup"),
+        )
     )
-    out = base.join(nd, "doc_id", "left").select(
-        "doc_id",
-        "n_windows",
-        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+    out = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        )
     )
     return out.select(
         "doc_id",
@@ -8555,12 +8598,26 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), " +")).alias("word")
     )
     cands = words.mapInPandas(_mg_candidates, "word string").distinct()
-    total = words.agg(F.count("*").cast("long").alias("n_words"))
-    counted = (
-        words.join(F.broadcast(cands), "word", "left_semi")
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("n"))
+    # r06: ONE verify scan instead of two — the old shape paid a
+    # third full scan+split+explode just for n_words.  A broadcast
+    # LEFT join marks candidate words; grouping on the candidate word
+    # (NULL for everything else) yields the exact per-candidate counts
+    # AND, summed, the total word count, from the same
+    # map-side-combinable aggregate (<= |cands|+1 rows).  The tiny
+    # aggregate is localCheckpoint-pinned so the total and the
+    # candidate rows read one materialization, not two scans.
+    marked = words.join(
+        F.broadcast(cands.withColumn("_c", F.lit(1))), "word", "left"
     )
+    agg = (
+        marked.groupBy(
+            F.when(F.col("_c") == 1, F.col("word")).alias("word")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    total = agg.agg(F.sum("n").cast("long").alias("n_words"))
+    counted = agg.where(F.col("word").isNotNull())
     return (
         counted.crossJoin(F.broadcast(total))
         .where(F.col("n") * MG_K > F.col("n_words"))

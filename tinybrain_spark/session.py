@@ -133,6 +133,83 @@ def get_spark(
     return spark
 
 
+# Scan fan-out (r06, guide §2/§6): a parquet ROW GROUP is Spark's
+# atomic scan unit — maxPartitionBytes can split a file into byte
+# ranges, but only the range containing a row-group start reads
+# anything.  The driver-generated tables here are single-row-group
+# files (documents/events at every sf), so every scan — and all the
+# map work pipelined into it (regex split, explode, md5, timestamp
+# math) — ran on ONE core of 32 (measured r06: q_dup_spans 15.0 s ->
+# 5.6 s at sf1.0 from this change alone).  When the footer says the
+# layout cannot feed the cores, hash-repartition on the table's unique
+# key right after the read: one tiny exchange of the raw rows buys
+# 32-way parallelism for everything pipelined above the scan.
+#
+# Scale-adaptive by construction (never a local-only constant): a real
+# 100 TB table has thousands of row groups, so `splits >= cores` and
+# the plan is unchanged; and inputs too small to amortize a shuffle
+# (rows/split below _FANOUT_MIN_ROWS) are also left alone — sf0.001
+# test fixtures keep their pinned plans.  Filters and column pruning
+# push through RepartitionByExpression, so PushedFilters/ReadSchema
+# pins are unaffected.  Hash (not round-robin) partitioning on a
+# unique key: deterministic under task retry (guide §2.5) and skew-
+# free.  SPARK_GRAFT_SCAN_FANOUT=0 disables.
+_FANOUT_ENABLED = os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") != "0"
+_FANOUT_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_SCAN_FANOUT_MIN_ROWS", "4096")
+)
+# unique (or near-unique) key per driver table — hash target for the
+# fan-out exchange; tables absent here (tiny dims) never fan out
+_FANOUT_KEYS = {
+    "documents": "doc_id",
+    "events": "event_id",
+    "embeddings": "doc_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(natural_splits, rows) from parquet footers — row groups are the
+    real scan-parallelism bound, whatever maxPartitionBytes says."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(
+            _glob.glob(os.path.join(path, "*.parquet"))
+            + _glob.glob(os.path.join(path, "part-*"))
+        )
+    )
+    splits = rows = 0
+    for f in files:
+        try:
+            md = _pq.ParquetFile(f).metadata
+        except Exception:
+            return (1 << 30, 0)  # unreadable footer: assume wide layout
+        splits += md.num_row_groups
+        rows += md.num_rows
+    return (splits or 1, rows)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-provided parquet table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver-provided parquet table (TESTDATA.md), fanning
+    the scan out across cores when the file layout cannot (see
+    _FANOUT_KEYS note above)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    key = _FANOUT_KEYS.get(name) if _FANOUT_ENABLED else None
+    if key is not None:
+        cores = spark.sparkContext.defaultParallelism
+        splits, rows = _parquet_layout(path)
+        if splits < cores and rows // splits >= _FANOUT_MIN_ROWS:
+            from pyspark.sql import functions as _F
+
+            df = df.repartition(2 * cores, _F.col(key))
+    return df
