@@ -1617,7 +1617,13 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s_i - v_i) % WRAP, and 'first row of its type' is exactly
     'running count == 1' — both map-side expressions over the same
     prefix pass (two sums ride one shuffle)."""
-    ev = load_table(spark, sf_dir, "events").select(
+    # r06: fan the scan out on the unique event_id so the four
+    # timestamp/centi-value projections and the range-partition
+    # sampling pass run on all cores instead of the one row-group
+    # reader (2.38 s -> 1.75 s at sf1.0)
+    ev = load_table(
+        spark, sf_dir, "events", fanout_on=["event_id"]
+    ).select(
         "event_type",
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
         F.unix_timestamp("ts").alias("t"),
@@ -3336,7 +3342,12 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch would cost more than it saves).  Permille =
     1000*n DIV row_total: truncating division, identical on both
     engines."""
-    ev = load_table(spark, sf_dir, "events").select(
+    # r06: fan out on user_id — the in-day lag window's leading
+    # partition key, so the fan-out exchange replaces the window's and
+    # the timestamp projection parallelizes (2.22 s -> 1.18 s at sf1.0)
+    ev = load_table(
+        spark, sf_dir, "events", fanout_on=["user_id"]
+    ).select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "event_id",
@@ -3889,7 +3900,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key — exchange reuse) + one groupBy(dst) of per-edge
     contributions, 3 rounds = a bounded chain exactly like
     clusters.py's star-CC.  Ranks stay < n*SCALE, far inside int64."""
-    ev = load_table(spark, sf_dir, "events").select(
+    # r06: fan the scan out on event_id — parallelizes the edge
+    # projection feeding the (stream, day) lag window (3.29 s ->
+    # 2.88 s at sf1.0)
+    ev = load_table(
+        spark, sf_dir, "events", fanout_on=["event_id"]
+    ).select(
         F.col("event_type").alias("stream"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "event_id",
@@ -8492,7 +8508,13 @@ def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     Microsecond timestamps + event_id tie-break give both engines an
     identical within-journey order even when a user fires two events
     in the same second."""
-    ev = load_table(spark, sf_dir, "events").select(
+    # r06: fan the single-row-group scan out on user_id — the same
+    # key the journey groupBy clusters on, so the fan-out exchange IS
+    # the aggregation exchange and the projection runs on all cores
+    # (2.41 s -> 1.33 s at sf1.0, OPTIMIZATION_r06.md)
+    ev = load_table(
+        spark, sf_dir, "events", fanout_on=["user_id"]
+    ).select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),

@@ -158,17 +158,19 @@ _FANOUT_ENABLED = os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") != "0"
 _FANOUT_MIN_ROWS = int(
     os.environ.get("SPARK_GRAFT_SCAN_FANOUT_MIN_ROWS", "4096")
 )
-# unique (or near-unique) key per driver table — hash target for the
-# fan-out exchange; tables absent here (tiny dims) never fan out
-_FANOUT_KEYS = {
-    "documents": "doc_id",
-    "events": "event_id",
-    "embeddings": "doc_id",
-    "lineitem": "l_orderkey",
-    "orders": "o_orderkey",
-    "customer": "c_custkey",
-    "part": "p_partkey",
-    "supplier": "s_suppkey",
+# Default fan-out tables: only those whose downstream map work is
+# heavy per row (regex split + explode + md5 over text; vector GEMM
+# prep) — measured 2-8x per-query wins at sf1.0.  events is NOT fanned
+# out by default: its consumers mostly project a few timestamp/int
+# expressions and immediately aggregate, and the blind extra exchange
+# measured as a net loss (A/B in OPTIMIZATION_r06.md) — queries whose
+# first exchange is on a known key opt in per call site via
+# ``fanout_on`` (the added exchange then doubles as the exchange the
+# query needed anyway, so the scan-side projection parallelizes for
+# free).
+_FANOUT_DEFAULT_KEYS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 
 
@@ -198,18 +200,29 @@ def _parquet_layout(path: str) -> tuple[int, int]:
     return (splits or 1, rows)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fanout_on: list[str] | None = None,
+):
     """Read one driver-provided parquet table (TESTDATA.md), fanning
-    the scan out across cores when the file layout cannot (see
-    _FANOUT_KEYS note above)."""
+    the scan out across cores when the file layout cannot (see the
+    fan-out note above).  ``fanout_on``: hash keys for a caller-chosen
+    fan-out — pass the downstream partition key so the added exchange
+    substitutes for the one the query would plan anyway."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    key = _FANOUT_KEYS.get(name) if _FANOUT_ENABLED else None
-    if key is not None:
+    keys = (
+        (fanout_on or _FANOUT_DEFAULT_KEYS.get(name))
+        if _FANOUT_ENABLED
+        else None
+    )
+    if keys:
         cores = spark.sparkContext.defaultParallelism
         splits, rows = _parquet_layout(path)
         if splits < cores and rows // splits >= _FANOUT_MIN_ROWS:
             from pyspark.sql import functions as _F
 
-            df = df.repartition(2 * cores, _F.col(key))
+            df = df.repartition(2 * cores, *[_F.col(k) for k in keys])
     return df
