@@ -170,3 +170,48 @@ def test_naive_window_is_flagged_by_the_pin(spark):
     bad = df.withColumn("rs", F.sum("v").over(Window.orderBy("id")))
     with pytest.raises(AssertionError):
         assert_no_unpartitioned_windows(bad)
+
+
+# --- running_sums_bucketed (r06) -------------------------------------
+
+
+def _bucketed_df(spark):
+    # bucket = id DIV 3: monotone in the order column within each group
+    rows = [(i, "a" if i % 2 == 0 else "b", (i * 37) % 11 - 5, i // 3)
+            for i in range(25)]
+    return spark.createDataFrame(rows, "id long, g string, v long, b long")
+
+
+def test_bucketed_matches_naive(spark):
+    from tinybrain_spark.prefix import running_sums_bucketed
+
+    df = _bucketed_df(spark)
+    out = running_sums_bucketed(df, ["v"], ["id"], "b", ["g"])
+    got = {r.id: r.rs_v for r in out.collect()}
+    w = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.id: r.rs for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_bucketed_multi_sum_cols_and_plan(spark):
+    from tinybrain_spark.prefix import running_sums_bucketed
+
+    df = _bucketed_df(spark).withColumn("one", F.lit(1).cast("long"))
+    out = running_sums_bucketed(df, ["v", "one"], ["id"], "b", ["g"])
+    assert_no_unpartitioned_windows(out)
+    rows = out.collect()
+    # rs_one is the 1-based running position within the group
+    for g in ("a", "b"):
+        seq = sorted([r for r in rows if r.g == g], key=lambda r: r.id)
+        assert [r.rs_one for r in seq] == list(range(1, len(seq) + 1))
+
+
+def test_bucketed_requires_partition_cols(spark):
+    from tinybrain_spark.prefix import running_sums_bucketed
+
+    with pytest.raises(ValueError, match="partition_cols"):
+        running_sums_bucketed(_bucketed_df(spark), ["v"], ["id"], "b", [])

@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .prefix import running_mins, running_sums
+from .prefix import running_mins, running_sums, running_sums_bucketed
 from .session import load_table
 from .udfs import pool_udf
 
@@ -1617,21 +1617,24 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s_i - v_i) % WRAP, and 'first row of its type' is exactly
     'running count == 1' — both map-side expressions over the same
     prefix pass (two sums ride one shuffle)."""
-    # r06: fan the scan out on the unique event_id so the four
-    # timestamp/centi-value projections and the range-partition
-    # sampling pass run on all cores instead of the one row-group
-    # reader (2.38 s -> 1.75 s at sf1.0)
-    ev = load_table(
-        spark, sf_dir, "events", fanout_on=["event_id"]
-    ).select(
+    # (fan-out helped the old range-sampling shape but is a net loss
+    # under the bucketed prefix below — the projections pipeline into
+    # the one (type, hb) exchange the query needs anyway)
+    ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hb"),
         F.unix_timestamp("ts").alias("t"),
         F.floor(F.col("value") * 100).cast("long").alias("v"),
         "event_id",
     ).withColumn("one", F.lit(1).cast("long"))
-    rs = running_sums(
-        ev, ["v", "one"], ["t", "event_id"], partition_cols=["event_type"]
+    # r06: hb is the hour bucket of the ordering timestamp, i.e. a
+    # monotone bucket — the bucketed two-level prefix drops the
+    # range-partition sampling pass and the checkpoint, and the final
+    # (event_type, hb) groupBy reuses the within-bucket window's
+    # exchange (2.38 s -> ~1.5 s at sf1.0)
+    rs = running_sums_bucketed(
+        ev, ["v", "one"], ["t", "event_id"], "hb",
+        partition_cols=["event_type"],
     )
     c = F.col("rs_v") % COUNTER_WRAP
     prev = (F.col("rs_v") - F.col("v")) % COUNTER_WRAP
@@ -3802,18 +3805,37 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    ranked = global_rank(
-        stats, [F.col("recency"), F.col("user_id")], "_rr"
-    )
-    ranked = global_rank(
-        ranked, [F.col("freq"), F.col("user_id")], "_rf"
-    )
-    ranked = global_rank(
-        ranked, [F.col("monetary"), F.col("user_id")], "_rm"
-    )
-    # count over the (localCheckpoint-backed) ranked rows — never a
-    # second pass over the purchase scan just to learn |users|
-    n_u = ranked.agg(F.count("*").cast("long").alias("_nu"))
+    # r06: the three global ranks are independent of each other, but
+    # chaining them serialized three repartitionByRange+checkpoint+
+    # collect sequences.  Checkpoint the user-stats table once and run
+    # the three ranks from a small thread pool (guide §2.6 — actions
+    # are only sequential because driver code calls them
+    # sequentially); each emits (user_id, rank) and the user-keyed
+    # joins reassemble — same ranks, same quartiles, ~40% less wall.
+    from concurrent.futures import ThreadPoolExecutor
+
+    stats_c = stats.localCheckpoint()
+
+    def _rank(metric: str, out: str):
+        return global_rank(
+            stats_c.select("user_id", metric),
+            [F.col(metric), F.col("user_id")],
+            out,
+        ).select("user_id", out)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_rr = pool.submit(_rank, "recency", "_rr")
+        f_rf = pool.submit(_rank, "freq", "_rf")
+        f_rm = pool.submit(_rank, "monetary", "_rm")
+        ranked = (
+            stats_c.select("user_id")
+            .join(f_rr.result(), "user_id")
+            .join(f_rf.result(), "user_id")
+            .join(f_rm.result(), "user_id")
+        )
+    # count over the checkpointed stats rows — never a second pass
+    # over the purchase scan just to learn |users|
+    n_u = stats_c.agg(F.count("*").cast("long").alias("_nu"))
     q = lambda c: f"(4 * ({c} - 1)) DIV _nu + 1"  # noqa: E731
     out = ranked.join(F.broadcast(n_u)).selectExpr(
         "user_id",
@@ -3900,12 +3922,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key — exchange reuse) + one groupBy(dst) of per-edge
     contributions, 3 rounds = a bounded chain exactly like
     clusters.py's star-CC.  Ranks stay < n*SCALE, far inside int64."""
-    # r06: fan the scan out on event_id — parallelizes the edge
-    # projection feeding the (stream, day) lag window (3.29 s ->
-    # 2.88 s at sf1.0)
-    ev = load_table(
-        spark, sf_dir, "events", fanout_on=["event_id"]
-    ).select(
+    ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("stream"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "event_id",
@@ -4970,7 +4987,10 @@ FROM ranked WHERE rank <= 10
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fanout_on=[]: one md5 + map-side partial agg per doc is lighter
+    # than shuffling the raw text (0.30 s vs 0.70 s at sf1.0) — the
+    # scan-side aggregate already ships ~1 row per distinct hash
+    docs = load_table(spark, sf_dir, "documents", fanout_on=[])
     return (
         docs.groupBy(F.md5("text").alias("content_hash"))
         .agg(
@@ -7665,7 +7685,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing — schema, batching, binary transport — is real."""
     from .multimodal import extract_metadata
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # fanout_on=[]: the metadata probe reads a few header bytes per
+    # payload — far lighter than shuffling the payloads (0.40 s vs
+    # 0.78 s at sf1.0)
+    docs = load_table(spark, sf_dir, "documents", fanout_on=[]).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
@@ -8598,6 +8621,31 @@ def _mg_candidates(batches):
         yield pd.DataFrame({"word": counts.index})
 
 
+def _mg_candidate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n): exact counts for the MG candidate words plus one
+    NULL-word row carrying the count of everything else — r06's ONE
+    verify scan instead of two (the old shape paid a third full
+    scan+split+explode just for n_words).  A broadcast LEFT join marks
+    candidate words; grouping on the candidate word (NULL for
+    non-candidates) yields the exact per-candidate counts AND, summed,
+    the total word count, from the same map-side-combinable aggregate
+    (<= |cands|+1 rows).  Lazy — q_heavy_hitters_mg localCheckpoints
+    it so the total and the candidate rows read one materialization;
+    kept separate so the plan pin (tests/test_plans.py: no keyed
+    exchange below MapInPandas) can still see the pass-1 subtree."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word")
+    )
+    cands = words.mapInPandas(_mg_candidates, "word string").distinct()
+    marked = words.join(
+        F.broadcast(cands.withColumn("_c", F.lit(1))), "word", "left"
+    )
+    return marked.groupBy(
+        F.when(F.col("_c") == 1, F.col("word")).alias("word")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
 def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic heavy hitters: every word whose EXACT corpus count
     exceeds n/MG_K, found without ever shuffling the full word stream —
@@ -8606,38 +8654,17 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pass 1 is shuffle-free: mapInPandas runs a bounded-memory batched
     MG summary per scan partition (vectorized value_counts — the
     candidate set is a guaranteed superset of the true heavy hitters
-    for ANY partitioning, see _mg_candidates).  Pass 2 recounts ONLY
-    candidate words exactly: the candidate list (<= CAPACITY ×
-    partitions rows) broadcast-semi-joins the word stream, one
-    map-side-combinable groupBy, filter n*MG_K > n_words.  Exact
-    output from a sketch-sized shuffle; the CMS variant (q_cms_heavy)
-    trades this two-pass exactness for one-pass mergeability.
+    for ANY partitioning, see _mg_candidates).  Pass 2 recounts
+    candidate words exactly AND totals the stream in the same scan
+    (_mg_candidate_counts: broadcast-marked LEFT join, candidate-or-
+    NULL groupBy, <= CAPACITY x partitions + 1 rows, checkpointed
+    once), then filters n*MG_K > n_words.  Exact output from a
+    sketch-sized shuffle; the CMS variant (q_cms_heavy) trades this
+    two-pass exactness for one-pass mergeability.
 
     Oracle = the definition itself: exact counts filtered at the same
     bar."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), " +")).alias("word")
-    )
-    cands = words.mapInPandas(_mg_candidates, "word string").distinct()
-    # r06: ONE verify scan instead of two — the old shape paid a
-    # third full scan+split+explode just for n_words.  A broadcast
-    # LEFT join marks candidate words; grouping on the candidate word
-    # (NULL for everything else) yields the exact per-candidate counts
-    # AND, summed, the total word count, from the same
-    # map-side-combinable aggregate (<= |cands|+1 rows).  The tiny
-    # aggregate is localCheckpoint-pinned so the total and the
-    # candidate rows read one materialization, not two scans.
-    marked = words.join(
-        F.broadcast(cands.withColumn("_c", F.lit(1))), "word", "left"
-    )
-    agg = (
-        marked.groupBy(
-            F.when(F.col("_c") == 1, F.col("word")).alias("word")
-        )
-        .agg(F.count("*").cast("long").alias("n"))
-        .localCheckpoint()
-    )
+    agg = _mg_candidate_counts(spark, sf_dir).localCheckpoint()
     total = agg.agg(F.sum("n").cast("long").alias("n_words"))
     counted = agg.where(F.col("word").isNotNull())
     return (

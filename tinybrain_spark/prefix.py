@@ -126,6 +126,70 @@ def running_sums(
     return out.drop("_pid", *[f"_off_{c}" for c in sum_cols])
 
 
+def running_sums_bucketed(
+    df: DataFrame,
+    sum_cols: list[str],
+    order_cols: list[str],
+    bucket_col: str,
+    partition_cols: list[str],
+    out_prefix: str = "rs_",
+) -> DataFrame:
+    """Inclusive running sums like :func:`running_sums`, for callers
+    that already carry a MONOTONE bucket column (e.g. the hour bucket
+    of the ordering timestamp): within each ``partition_cols`` group,
+    rows ordered by ``order_cols`` must visit ``bucket_col`` in
+    non-decreasing order, so every bucket is a contiguous run of the
+    stream and ``running = prior-bucket totals + within-bucket
+    running``.
+
+    Versus the range-partitioned shape this removes the sampling pass
+    (repartitionByRange evaluates its child once extra to sample
+    boundaries), the localCheckpoint materialization, and the
+    boundary-determinism hazard: the bucket is DATA-derived, so both
+    evaluations of any subtree agree by construction.  The final
+    aggregate/window a caller runs on (partition_cols..., bucket_col)
+    reuses the within-bucket window's hash exchange — one wide
+    exchange total.
+
+    Cardinality contract: ``partition_cols`` must be non-empty (a
+    constant would fold out of the window spec and plan the one-task
+    funnel) and the (groups x buckets) offsets table must stay
+    broadcast-sized — true for stream-key x time-bucket shapes (it IS
+    the rollup grid); for unbounded bucket domains use
+    :func:`running_sums`.
+    """
+    if not partition_cols:
+        raise ValueError(
+            "running_sums_bucketed needs non-empty partition_cols; "
+            "use running_sums for the global-stream case"
+        )
+    parts = list(partition_cols)
+    sums = [F.sum(c).cast("long").alias(f"_t_{c}") for c in sum_cols]
+    totals = df.groupBy(*parts, bucket_col).agg(*sums)
+    wg = Window.partitionBy(*parts).orderBy(bucket_col)
+    offsets = totals.select(
+        *parts,
+        bucket_col,
+        *[
+            (F.sum(f"_t_{c}").over(wg) - F.col(f"_t_{c}"))
+            .cast("long")
+            .alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    joined = df.join(F.broadcast(offsets), [*parts, bucket_col])
+    ww = Window.partitionBy(*parts, bucket_col).orderBy(
+        *order_cols
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    out = joined
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{out_prefix}{c}",
+            (F.col(f"_off_{c}") + F.sum(c).over(ww)).cast("long"),
+        )
+    return out.drop(*[f"_off_{c}" for c in sum_cols])
+
+
 def running_mins(
     df: DataFrame,
     min_cols: list[str],

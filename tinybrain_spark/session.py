@@ -210,14 +210,16 @@ def load_table(
     the scan out across cores when the file layout cannot (see the
     fan-out note above).  ``fanout_on``: hash keys for a caller-chosen
     fan-out — pass the downstream partition key so the added exchange
-    substitutes for the one the query would plan anyway."""
+    substitutes for the one the query would plan anyway; pass ``[]``
+    to suppress the table default (queries whose per-row work is too
+    light to repay the exchange, e.g. one md5 per doc)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    keys = (
-        (fanout_on or _FANOUT_DEFAULT_KEYS.get(name))
-        if _FANOUT_ENABLED
-        else None
-    )
+    keys = None
+    if _FANOUT_ENABLED:
+        keys = (
+            _FANOUT_DEFAULT_KEYS.get(name) if fanout_on is None else fanout_on
+        )
     if keys:
         cores = spark.sparkContext.defaultParallelism
         splits, rows = _parquet_layout(path)
