@@ -230,7 +230,16 @@ def pack_tokens(
     unpartitioned-WindowExec defect); every window is partitioned and
     bounded, and the explode is map-side.
     """
-    with_n = seqs.withColumn("_n", F.size(tokens_col).cast("long"))
+    # r06: pin the sequence table once — pack_offsets consumes it
+    # three times (the per-bucket aggregate, the range partitioner's
+    # sampling pass over that aggregate, and the offsets join), and
+    # without the checkpoint each consumer re-runs the caller's whole
+    # sequence-assembly pipeline (scan + window + collect_list at
+    # q_pack_tokens; 22 MB materialized vs two extra full passes —
+    # same trade the iterative queries already make per CLAUDE.md)
+    with_n = seqs.withColumn(
+        "_n", F.size(tokens_col).cast("long")
+    ).localCheckpoint()
     off = pack_offsets(
         with_n,
         n_col="_n",
