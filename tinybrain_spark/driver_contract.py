@@ -11922,7 +11922,7 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity reconciliation census (the Deequ /
     dbt-`relationships`-test shape): for each foreign-key relation in
     the warehouse — orders.o_custkey -> customer, lineitem.l_orderkey
-    -> orders, embeddings.doc_id -> documents — report child rows,
+    -> orders, lineitem.l_partkey -> part — report child rows,
     orphaned child rows (FK with no parent), parents, and childless
     parents.  The audit every ingest pipeline runs before promoting a
     snapshot; counts are exact, one row per relation.
@@ -12420,6 +12420,11 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_share_delta_pm is large under-represents some source, and
     per-source eval numbers stop being comparable across splits.
     All-integer (counts and truncating permille divisions only).
+    Present-pairs-only semantics (ADVICE r05): the max runs over
+    (split, source) pairs that OCCUR in the split — a source entirely
+    absent from a split contributes no row (the oracle mirrors this
+    exactly, so parity holds); with the 900/50/50 hash split and the
+    fixture source mix every source appears in every split.
 
     Scale shape: ONE corpus-sized map-side-combinable groupBy onto
     (split, source) — everything after runs on <= 3 x |sources| rows
