@@ -3349,7 +3349,8 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition key, so the fan-out exchange replaces the window's and
     # the timestamp projection parallelizes (2.22 s -> 1.18 s at sf1.0)
     ev = load_table(
-        spark, sf_dir, "events", fanout_on=["user_id"]
+        spark, sf_dir, "events", fanout_on=["user_id"],
+        fanout_min_rows=300_000,
     ).select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
@@ -8536,7 +8537,8 @@ def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregation exchange and the projection runs on all cores
     # (2.41 s -> 1.33 s at sf1.0, OPTIMIZATION_r06.md)
     ev = load_table(
-        spark, sf_dir, "events", fanout_on=["user_id"]
+        spark, sf_dir, "events", fanout_on=["user_id"],
+        fanout_min_rows=300_000,
     ).select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),

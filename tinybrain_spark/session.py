@@ -173,6 +173,19 @@ _FANOUT_DEFAULT_KEYS = {
     "embeddings": ["vec_id"],
 }
 
+# Per-table fan-out row floors (r06, measured): the break-even input
+# size depends on per-row map cost, not on a universal constant.  A
+# document row costs ~50-100x an event row (regex split + ~50-window
+# explode + md5 each vs a couple of timestamp casts), so documents
+# repay a 64-way exchange from ~16k rows (sf1.0: 50k -> 2-8x wins)
+# while at 5k rows (sf0.1) the same exchange measured as a net loss
+# on every light consumer (A/B table in OPTIMIZATION_r06.md).  Keyed
+# event call sites pass their own floor (~300k) for the same reason.
+_FANOUT_DEFAULT_MIN_ROWS = {
+    "documents": 16384,
+    "embeddings": 16384,
+}
+
 
 def _parquet_layout(path: str) -> tuple[int, int]:
     """(natural_splits, rows) from parquet footers — row groups are the
@@ -205,6 +218,7 @@ def load_table(
     sf_dir: str,
     name: str,
     fanout_on: list[str] | None = None,
+    fanout_min_rows: int | None = None,
 ):
     """Read one driver-provided parquet table (TESTDATA.md), fanning
     the scan out across cores when the file layout cannot (see the
@@ -223,7 +237,12 @@ def load_table(
     if keys:
         cores = spark.sparkContext.defaultParallelism
         splits, rows = _parquet_layout(path)
-        if splits < cores and rows // splits >= _FANOUT_MIN_ROWS:
+        floor = (
+            fanout_min_rows
+            if fanout_min_rows is not None
+            else _FANOUT_DEFAULT_MIN_ROWS.get(name, _FANOUT_MIN_ROWS)
+        )
+        if splits < cores and rows // splits >= floor:
             from pyspark.sql import functions as _F
 
             df = df.repartition(2 * cores, *[_F.col(k) for k in keys])
