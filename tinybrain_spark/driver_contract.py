@@ -6192,7 +6192,11 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast 1-row aggregate cross join (r04, ADVICE): no separate
     driver-side .count() action per invocation."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tab = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    # the 1-row count never benefits from the scan fan-out — read the
+    # table plain so the count branch is scan -> agg, no exchange
+    n_tab = load_table(spark, sf_dir, "documents", fanout_on=[]).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
     words = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.trim(F.col("text")), " +").alias("ws"),
