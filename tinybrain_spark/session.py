@@ -198,8 +198,8 @@ def _parquet_layout(path: str) -> tuple[int, int]:
         [path]
         if os.path.isfile(path)
         else sorted(
-            _glob.glob(os.path.join(path, "*.parquet"))
-            + _glob.glob(os.path.join(path, "part-*"))
+            set(_glob.glob(os.path.join(path, "*.parquet")))
+            | set(_glob.glob(os.path.join(path, "part-*")))
         )
     )
     splits = rows = 0
